@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.operators.Knn
+import graft.queries.Tables
+
+/** Invariants pinned by the reference suite: self-recall rank-1
+  * (tests/integration_tests.rs:34-40), |result| == min(k,n), scores
+  * monotone non-increasing, euclidean negation ordering. */
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir).cache()
+  private def qv(id: Long) =
+    emb.filter($"vec_id" === id).select($"embedding".as("qe"))
+
+  test("self-recall: query with a stored vector ranks itself #1 with score 1.0") {
+    val top = Knn.topK(emb, qv(7), 5).collect()
+    assert(top.head.getLong(0) === 7L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+  }
+
+  test("result length == min(k, n) and scores monotone non-increasing") {
+    val rows = Knn.topK(emb, qv(0), 13).collect()
+    assert(rows.length === 13)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val all = Knn.topK(emb, qv(0), 100000).collect()
+    assert(all.length === emb.count())
+  }
+
+  test("euclidean mode: scores are negated distances, self = 0.0 ranks first") {
+    val rows = Knn.topK(emb, qv(3), 5, Knn.NegEuclidean).collect()
+    assert(rows.head.getLong(0) === 3L)
+    assert(rows.head.getDouble(1) === 0.0)
+    assert(rows.forall(_.getDouble(1) <= 0.0))
+  }
+
+  test("search_with_scores joins back full record preserving rank order") {
+    val rows = Knn.searchWithScores(emb, qv(7), 5)
+      .select($"vec_id", $"label", $"score").collect()
+    assert(rows.length === 5)
+    assert(rows.head.getLong(0) === 7L)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("join-back silently drops ids missing from storage (src/query.rs:19-23)") {
+    // Simulate dangling ids by restricting storage to even vec_ids.
+    val evens = emb.filter($"vec_id" % 2 === 0)
+    val top = Knn.topK(emb, qv(0), 10)
+    val joined = evens.join(broadcast(top), Seq("vec_id"), "inner")
+    val topEvens = top.filter($"vec_id" % 2 === 0).count()
+    assert(joined.count() === topEvens)
+  }
+
+  test("topKPerQuery returns k rows per query with rank 1 = self") {
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val rows = Knn.topKPerQuery(emb, qs, 4).collect()
+    assert(rows.length === 12)
+    val rank1 = rows.filter(_.getAs[Int]("rank") == 1)
+    assert(rank1.forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("vec_id")))
+  }
+}
