@@ -1,0 +1,54 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{CollectionManager, KwiFormat}
+
+/** End-to-end storage parity exercised as a declared query: build a
+  * collection from the `embeddings` table, export to `.kwi`, read it
+  * back, and emit counts that the DuckDB oracle can derive from the
+  * source table alone. Runs the whole §2.4–§2.6 surface (catalog create,
+  * validated insert, scan, kwi write/read) inside the driver's t2 gate.
+  */
+object StorageQueries extends QueryRegistry {
+  import Tables._
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "storage_roundtrip" -> ((s, dir) => {
+      val base = Files.createTempDirectory("graft-verify-store").toString
+      val cm = new CollectionManager(s, base)
+      val src = embeddings(s, dir).select(
+        col("vec_id").cast("string").as("id"),
+        col("embedding"),
+        to_json(struct(col("label"))).as("metadata"))
+      val dim = src.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+      cm.createCollection("embeddings", dim)
+      cm.insert("embeddings", src)
+
+      val kwiPath = s"$base/export.kwi"
+      KwiFormat.write(cm.scan("embeddings"), kwiPath)
+      val back = KwiFormat.read(s, kwiPath)
+
+      val nCollection = cm.countVectors("embeddings")
+      val nKwi = back.count()
+      val nMetaOk = back
+        .filter(get_json_object(col("metadata"), "$.label").isNotNull)
+        .count()
+      CollectionManager.deleteRecursively(java.nio.file.Paths.get(base))
+
+      import s.implicits._
+      Seq((nCollection, nKwi, nMetaOk))
+        .toDF("n_collection", "n_kwi", "n_meta_ok")
+    }),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "storage_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_collection,
+        |       CAST(count(*) AS BIGINT) AS n_kwi,
+        |       CAST(count(*) AS BIGINT) AS n_meta_ok
+        |FROM embeddings""".stripMargin,
+  )
+}

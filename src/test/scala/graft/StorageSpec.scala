@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.sources._
+
+/** Storage parity suite — replicates the reference's CRUD / persistence /
+  * error-contract idioms (SURVEY.md §5, FIXTURES.md §A4/§A5). */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(): String =
+    Files.createTempDirectory("graft-collections").toString
+
+  private def rows(ids: (String, Array[Float])*) =
+    ids.toSeq.toDF("id", "embedding")
+
+  private val v3a = Array(1.0f, 2.0f, 3.0f)
+  private val v3b = Array(4.0f, 5.0f, 6.0f)
+
+  test("create/list/info/delete collection with _meta.json sidecar") {
+    val cm = new CollectionManager(spark, freshBase())
+    cm.createCollection("docs", 3)
+    cm.createCollection("embs", 64)
+    assert(cm.listCollections() === Seq("docs", "embs"))
+    val info = cm.collectionInfo("docs")
+    assert(info.dimension === 3)
+    assert(info.vectorCount === 0L)
+    assert(info.storageType === "graft_parquet")
+    cm.deleteCollection("docs")
+    assert(cm.listCollections() === Seq("embs"))
+    intercept[NoSuchCollectionException](cm.scan("docs"))
+  }
+
+  test("insert + round-trip preserves id, data, metadata") {
+    val cm = new CollectionManager(spark, freshBase())
+    cm.createCollection("c", 3)
+    val meta = """{"user":{"id":12345,"preferences":{"theme":"dark"}},"tags":["test","vector"]}"""
+    cm.insert("c", Seq(("a", v3a, meta)).toDF("id", "embedding", "metadata"))
+    val got = cm.allVectors("c").collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[String]("id") === "a")
+    assert(got(0).getAs[Seq[Float]]("embedding") === v3a.toSeq)
+    assert(got(0).getAs[String]("metadata") === meta)
+    // nested JSON stays queryable
+    val theme = cm.scan("c")
+      .select(get_json_object($"metadata", "$.user.preferences.theme"))
+      .collect()(0).getString(0)
+    assert(theme === "dark")
+  }
+
+  test("duplicate insert raises DuplicateIdException (src/storage.rs:30-36)") {
+    val cm = new CollectionManager(spark, freshBase())
+    cm.createCollection("c", 3)
+    cm.insert("c", rows("a" -> v3a))
+    val e = intercept[DuplicateIdException](cm.insert("c", rows("a" -> v3b)))
+    assert(e.ids === Seq("a"))
+    assert(cm.countVectors("c") === 1L)
+  }
+
+  test("delete of missing id raises MissingIdException (src/storage.rs:42-47)") {
+    val cm = new CollectionManager(spark, freshBase())
+    cm.createCollection("c", 3)
+    cm.insert("c", rows("a" -> v3a))
+    intercept[MissingIdException](cm.delete("c", "nope"))
+    cm.delete("c", "a")
+    assert(cm.countVectors("c") === 0L)
+  }
+
+  test("dimension validation (collection_manager.rs:146-152)") {
+    val cm = new CollectionManager(spark, freshBase())
+    cm.createCollection("c", 64)
+    val e = intercept[DimensionMismatchException](cm.insert("c", rows("a" -> v3a)))
+    assert(e.expected === 64)
+    assert(e.got === Seq(3))
+    cm.insert("c", rows("ok" -> Array.fill(64)(0.5f)))
+    assert(cm.countVectors("c") === 1L)
+  }
+
+  test("upsert replaces existing ids (sqlite INSERT OR REPLACE parity)") {
+    val cm = new CollectionManager(spark, freshBase())
+    cm.createCollection("c", 3)
+    cm.insert("c", rows("a" -> v3a, "b" -> v3b))
+    cm.upsert("c", rows("a" -> v3b, "z" -> v3a))
+    val got = cm.scan("c").select($"id", $"embedding").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(got.keySet === Set("a", "b", "z"))
+    assert(got("a") === v3b.toSeq)
+  }
+
+  test("insertion-order scan + sidecar stats + optimize") {
+    val cm = new CollectionManager(spark, freshBase())
+    cm.createCollection("c", 3)
+    cm.insert("c", rows("first" -> v3a))
+    cm.insert("c", rows("second" -> v3b))
+    cm.insert("c", rows("third" -> v3a))
+    assert(cm.allVectors("c").select("id").as[String].collect()
+      === Array("first", "second", "third"))
+    assert(cm.collectionInfo("c").vectorCount === 3L)
+    cm.optimizeCollection("c")
+    assert(cm.allVectors("c").select("id").as[String].collect()
+      === Array("first", "second", "third"))
+  }
+
+  test("kwi: write/read round-trip with metadata + header count") {
+    val base = freshBase()
+    val path = s"$base/vectors.kwi"
+    val df = Seq(
+      ("a", v3a, """{"label":"cat","confidence":0.95}"""),
+      ("b", v3b, null.asInstanceOf[String]),
+      ("c", Array(7.0f, 8.0f, 9.0f), """{"nested":{"deep":[1,2,3]}}"""))
+      .toDF("id", "embedding", "metadata")
+    val n = KwiFormat.write(df, path)
+    assert(n === 3L)
+    assert(KwiFormat.count(path) === 3L)
+    val back = KwiFormat.read(spark, path).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1), Option(r.getString(2)))).toSeq
+    assert(back.map(_._1).sorted === Seq("a", "b", "c"))
+    val byId = back.map(t => t._1 -> t).toMap
+    assert(byId("a")._2 === v3a.toSeq)
+    assert(byId("a")._3 === Some("""{"label":"cat","confidence":0.95}"""))
+    assert(byId("b")._3 === None)
+    assert(byId("c")._3 === Some("""{"nested":{"deep":[1,2,3]}}"""))
+  }
+
+  test("kwi: compaction via rewrite preserves survivors") {
+    val base = freshBase()
+    val path = s"$base/vectors.kwi"
+    val df = Seq(("a", v3a), ("b", v3b)).toDF("id", "embedding")
+    KwiFormat.write(df, path)
+    val survivors = KwiFormat.read(spark, path).filter($"id" =!= "a")
+    KwiFormat.write(survivors, path)
+    assert(KwiFormat.count(path) === 1L)
+    assert(KwiFormat.read(spark, path).select("id").as[String].collect() === Array("b"))
+  }
+
+  test("json store: save/load/append/clear round-trip (persistence.rs parity)") {
+    val base = freshBase()
+    val path = s"$base/store"
+    JsonStore.save(Seq(("a", v3a, """{"k":1}""")).toDF("id", "embedding", "metadata"), path)
+    JsonStore.append(Seq(("b", v3b)).toDF("id", "embedding"), path)
+    val ids = JsonStore.load(spark, path).select("id").as[String].collect().sorted
+    assert(ids === Array("a", "b"))
+    val a = JsonStore.load(spark, path).filter($"id" === "a").collect()(0)
+    assert(a.getSeq[Float](1) === v3a.toSeq)
+    assert(a.getString(2) === """{"k":1}""")
+    JsonStore.clear(path)
+    assert(!Files.exists(Paths.get(path)))
+  }
+
+  test("reference pretty-JSON-array interchange load") {
+    val base = freshBase()
+    val p = Paths.get(base, "ref.json")
+    Files.writeString(p,
+      """[
+        |  {"id": "x", "data": [1.0, 0.0], "metadata": "{\"src\":\"ref\"}"},
+        |  {"id": "y", "data": [0.0, 1.0], "metadata": null}
+        |]""".stripMargin)
+    val got = JsonStore.loadReferenceArray(spark, p.toString).orderBy("id").collect()
+    assert(got.length === 2)
+    assert(got(0).getString(0) === "x")
+    assert(got(0).getSeq[Float](1) === Seq(1.0f, 0.0f))
+  }
+}
