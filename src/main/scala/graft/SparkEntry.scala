@@ -15,6 +15,7 @@ object SparkEntry {
   private val registries: Seq[QueryRegistry] = Seq(
     VectorQueries,
     StorageQueries,
+    IndexQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

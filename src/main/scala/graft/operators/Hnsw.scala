@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+import scala.collection.mutable
+
+/** HNSW — batch graph construction on Spark + a serve-time walk, per the
+  * project north star ("Spark for batch index build; online ANN serving
+  * requires specialized runtime").
+  *
+  * Reference: kowari `HNSWIndex` (src/index.rs:188-368), M=16, ef=32
+  * defaults (src/index.rs:364-368), distance = 1 − cosine
+  * (src/index.rs:227-229).
+  *
+  * Differences by design:
+  *   - levels are a deterministic geometric draw (p=0.5) from a hash of
+  *     the id — reproducible across runs, unlike `thread_rng`
+  *     (src/index.rs:218-225), and capped (the reference's loop is
+  *     unbounded);
+  *   - the reference's insertion-order-dependent O(n²) "connect to every
+  *     prior node then prune to M" (src/index.rs:231-267) is replaced by
+  *     the order-independent batch equivalent: at each level, every node
+  *     keeps its M nearest peers among nodes of that level — exactly the
+  *     `Window.partitionBy(node, level).orderBy(dist) row_number <= M`
+  *     prune of SURVEY §2.2. Still O(n²·d) work like the reference, but
+  *     embarrassingly parallel; for big corpora pass an `Lsh` blocker to
+  *     generate candidate pairs instead of the full cross join.
+  *   - the built index is a plain adjacency DataFrame
+  *     `(node_id, level, neighbor_id, dist)` → parquet; the online walk
+  *     (greedy descent + ef-bounded BFS, src/index.rs:314-355) runs on
+  *     the driver over the collected adjacency of a (small) serving set.
+  */
+class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
+           val maxLevel: Int = 8) {
+
+  /** Deterministic geometric level (p = 0.5): floor(−log₂ u) with
+    * u ∈ (0,1] derived from xxhash64(id, seed). */
+  def levelCol(id: Column): Column = {
+    val h = pmod(xxhash64(id, lit(seed)), lit(1000000L))
+    val u = (h.cast("double") + 1.0) / 1000001.0
+    least(floor(-log2(u)), lit(maxLevel)).cast("int")
+  }
+
+  /** Build the adjacency: for every level l ≤ node level, connect each
+    * node to its M nearest same-level peers. Returns
+    * (node_id, level, neighbor_id, dist) sorted-free; write to parquet
+    * partitioned by level for pruned serve-time loads. */
+  def buildAdjacency(vectors: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     blocker: Option[Lsh] = None): DataFrame = {
+    val leveled = vectors.select(
+      col(idCol).as("node_id"), col(vecCol).as("vec"),
+      levelCol(col(idCol)).as("node_level"))
+
+    val top = leveled.agg(max(col("node_level"))).collect()(0).getInt(0)
+
+    val perLevel = (0 to top).map { l =>
+      val nodes = leveled.filter(col("node_level") >= l)
+        .select(col("node_id"), col("vec"))
+      val left = nodes.select(col("node_id").as("src"), col("vec").as("src_vec"))
+      val right = nodes.select(col("node_id").as("dst"), col("vec").as("dst_vec"))
+      val pairs = blocker match {
+        case None =>
+          left.join(right, col("src") =!= col("dst"))
+        case Some(lsh) =>
+          // LSH-blocked candidate generation: only pairs sharing a bucket.
+          // The 100-TB path — turns O(n²) into Σ|bucket|².
+          val dim = vectors.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+          val lb = left.withColumn("bucket", lsh.bucketCol(col("src_vec"), dim))
+          val rb = right.withColumn("bucket", lsh.bucketCol(col("dst_vec"), dim))
+          lb.join(rb, lb("bucket") === rb("bucket") && col("src") =!= col("dst"))
+            .drop("bucket")
+      }
+      val w = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("dst").asc)
+      pairs
+        .select(col("src"), col("dst"),
+          (lit(1.0) - VectorOps.cosine(col("src_vec"), col("dst_vec"))).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= m)
+        .select(col("src").as("node_id"), lit(l).as("level"),
+          col("dst").as("neighbor_id"), round(col("dist"), 6).as("dist"))
+    }
+    perLevel.reduce(_.unionByName(_))
+  }
+
+  /** Entry point = a highest-level node (deterministic: smallest id among
+    * them, vs the reference's "last inserted at max level",
+    * src/index.rs:263-266). */
+  def entryPoint(adjacency: DataFrame): (Long, Int) = {
+    val r = adjacency
+      .groupBy(col("node_id")).agg(max(col("level")).as("lvl"))
+      .orderBy(col("lvl").desc, col("node_id").asc)
+      .limit(1).collect()(0)
+    (r.getLong(0), r.getInt(1))
+  }
+
+  /** Serve-time search (src/index.rs:314-355): greedy descent on levels
+    * max..1, ef-bounded BFS at level 0, exact cosine rerank of the
+    * visited set. Runs on the driver over collected maps — the serving
+    * set is the (small) index head, not the corpus.
+    */
+  def serveQuery(
+      adjacency: Map[(Long, Int), Seq[Long]],
+      vecs: Map[Long, Array[Float]],
+      entry: (Long, Int),
+      q: Array[Float],
+      k: Int): Seq[(Long, Double)] = {
+
+    def dist(id: Long): Double = 1.0 - cosineScala(vecs(id), q)
+
+    var (current, level) = entry
+    // greedy descent, levels max..1 (src/index.rs:321-324)
+    while (level > 0) {
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = adjacency.getOrElse((current, level), Seq.empty)
+        for (n <- ns if vecs.contains(n)) {
+          if (dist(n) < dist(current)) { current = n; improved = true }
+        }
+      }
+      level -= 1
+    }
+    // ef-bounded BFS at level 0 (src/index.rs:326-343)
+    val visited = mutable.LinkedHashSet[Long](current)
+    val queue = mutable.Queue[Long](current)
+    while (queue.nonEmpty && visited.size < ef) {
+      val u = queue.dequeue()
+      for (n <- adjacency.getOrElse((u, 0), Seq.empty)
+           if vecs.contains(n) && !visited.contains(n) && visited.size < ef) {
+        visited += n
+        queue.enqueue(n)
+      }
+    }
+    // exact rerank (src/index.rs:345-354)
+    visited.toSeq
+      .map(id => id -> cosineScala(vecs(id), q))
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k)
+  }
+
+  /** Convenience: collect an adjacency DataFrame + vectors into the
+    * serve-time structures. */
+  def collectIndex(adjacency: DataFrame, vectors: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Map[(Long, Int), Seq[Long]], Map[Long, Array[Float]]) = {
+    val adj = adjacency
+      .groupBy(col("node_id"), col("level"))
+      .agg(sort_array(collect_list(col("neighbor_id"))).as("ns"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2))
+      .toMap
+    val vm = vectors.select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    (adj, vm)
+  }
+
+  private def cosineScala(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

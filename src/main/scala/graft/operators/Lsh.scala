@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Random-hyperplane LSH — the reference's `LSHIndex`
+  * (kowari src/index.rs:88-186), rebuilt as an offline Spark index-build
+  * job plus a cheap partition-pruned probe.
+  *
+  * Semantics pinned from the reference:
+  *   - signature bit i = 1 iff v·planeᵢ ≥ 0, packed into a 64-bit key
+  *     (src/index.rs:99-107); default 16 planes (src/index.rs:182-186);
+  *   - probe reranks exactly (cosine) within the query's single bucket
+  *     (src/index.rs:109-120);
+  *   - if the bucket yields FEWER than k candidates, fall back to a full
+  *     brute-force scan — recall guarantee (src/index.rs:158-173; note
+  *     the trigger is `< k`, not empty).
+  *
+  * Differences by design (SURVEY §7.5.1): hyperplanes are drawn from a
+  * seeded PRNG, not `thread_rng`, so builds are reproducible; the built
+  * index is a parquet directory PARTITIONED BY bucket, so the probe's
+  * `bucket = h` filter becomes partition pruning — at 100 TB the probe
+  * reads one directory, not the corpus. The plane matrix is tiny
+  * (planes × dim floats) and rides into the executors as literals.
+  */
+class Lsh(val numPlanes: Int = 16, val seed: Long = 42L) {
+  require(numPlanes >= 1 && numPlanes <= 63, "numPlanes must be in [1,63]")
+
+  /** Deterministic plane matrix, uniform [-1,1) — seeded replacement for
+    * src/index.rs:134-143. */
+  def planes(dim: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rng.nextDouble() * 2.0 - 1.0)
+  }
+
+  /** The 64-bit signature as a column expression (distributed hash path,
+    * src/index.rs:99-107). One dot product per plane, all built-in HOFs. */
+  def bucketCol(vec: Column, dim: Int): Column =
+    planes(dim).zipWithIndex.map { case (p, i) =>
+      when(VectorOps.dot(vec, typedLit(p.toSeq)) >= 0.0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side signature of a single query vector (the serve-time
+    * `compute_hash` on the probe path). */
+  def bucketOf(v: Array[Float]): Long = {
+    val ps = planes(v.length)
+    var h = 0L
+    var i = 0
+    while (i < numPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += v(j).toDouble * ps(i)(j); j += 1 }
+      if (dot >= 0.0) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Materialize the index: source vectors + bucket key, written as
+    * bucket-partitioned parquet (src/index.rs:124-156's HashMap of
+    * buckets, durably). */
+  def build(vectors: DataFrame, path: String,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val dim = vectors.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+    vectors
+      .select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** In-memory variant for tests/small corpora: same frame, not written. */
+  def index(vectors: DataFrame,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = vectors.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+    vectors.select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
+  }
+
+  /** Probe: exact cosine rerank within the query's bucket; brute-force
+    * fallback when the bucket under-fills (< k hits, src/index.rs:158-173).
+    * `indexDf` is either `spark.read.parquet(builtPath)` (partition-pruned)
+    * or the in-memory `index(...)` frame.
+    */
+  def query(spark: SparkSession, indexDf: DataFrame, queryVec: Array[Float], k: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val b = bucketOf(queryVec)
+    val bucketDf = indexDf.filter(col("bucket") === lit(b))
+    val hits = bucketDf.count()
+    val candidates = if (hits < k) indexDf else bucketDf
+    val q = Seq(Tuple1(queryVec)).toDF("qe")
+    Knn.topK(candidates, q, k, Knn.Cosine, idCol, vecCol)
+  }
+
+  /** Bucket histogram — index health stats (deterministic given seed). */
+  def bucketStats(indexDf: DataFrame): DataFrame =
+    indexDf.groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(col("sz")).as("n_vectors"))
+}

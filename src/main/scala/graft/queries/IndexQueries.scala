@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Metrics
+import graft.operators.{Hnsw, Knn, Lsh}
+
+/** Declared queries for the approximate indexes (LSH / HNSW) and the
+  * evaluation metrics (kowari §2.2, §2.7).
+  *
+  * LSH/HNSW internals (seeded hyperplanes, hash-derived levels) are not
+  * expressible in ANSI SQL, so:
+  *   - `lsh_knn` is oracle-checked against the *brute-force* SQL: the
+  *     reference's own fallback guarantees exact results whenever the
+  *     probed bucket holds < k candidates (src/index.rs:158-173), which
+  *     at 16 planes is every bucket at these scales;
+  *   - `hnsw_self_recall` pins the invariant the reference's tests pin
+  *     (self-query ranks itself #1, tests/integration_tests.rs:247-273)
+  *     with a constant-valued oracle;
+  *   - bucket/degree stats are declared without oracle (rows-only gate).
+  */
+object IndexQueries extends QueryRegistry {
+  import Tables._
+  import OracleFrag._
+
+  private def firstVec(df: DataFrame): Array[Float] =
+    df.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).toArray
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lsh_knn" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val lsh = new Lsh(numPlanes = 16, seed = 42L)
+      lsh.query(s, lsh.index(emb), firstVec(emb), 10)
+    }),
+
+    "lsh_bucket_stats" -> ((s, dir) => {
+      val lsh = new Lsh(numPlanes = 16, seed = 42L)
+      lsh.bucketStats(lsh.index(embeddings(s, dir)))
+    }),
+
+    "hnsw_self_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir).filter(col("vec_id") < 300)
+      val hnsw = new Hnsw(m = 16, ef = 32, seed = 42L)
+      val adjacency = hnsw.buildAdjacency(emb)
+      val (adj, vecs) = hnsw.collectIndex(adjacency, emb)
+      val entry = hnsw.entryPoint(adjacency)
+      val hits = (0L until 5L).map { qid =>
+        val top = hnsw.serveQuery(adj, vecs, entry, vecs(qid), 1)
+        (qid, if (top.headOption.exists(_._1 == qid)) 1L else 0L)
+      }
+      import s.implicits._
+      hits.toDF("query_id", "hit").orderBy(col("query_id"))
+    }),
+
+    "hnsw_degree_stats" -> ((s, dir) => {
+      val emb = embeddings(s, dir).filter(col("vec_id") < 300)
+      val hnsw = new Hnsw(m = 16, ef = 32, seed = 42L)
+      hnsw.buildAdjacency(emb)
+        .groupBy(col("node_id"), col("level"))
+        .agg(count(lit(1)).as("degree"))
+        .groupBy(col("level"))
+        .agg(
+          count(lit(1)).as("n_nodes"),
+          max(col("degree")).as("max_degree"))
+        .orderBy(col("level"))
+    }),
+
+    // recall@10 between the euclidean and cosine rankings, per query —
+    // Metrics.recallAtK (src/utils.rs:64-79) over SQL-derivable lists.
+    "recall_euclid_vs_cosine" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      def ids(metric: Knn.Metric): DataFrame =
+        Knn.topKPerQuery(emb, qs, 10, metric)
+          .groupBy(col("query_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("rank"), col("vec_id")))),
+            x => x.getField("vec_id")).as("ids"))
+      val cos = ids(Knn.Cosine).withColumnRenamed("ids", "cos_ids")
+      val euc = ids(Knn.NegEuclidean).withColumnRenamed("ids", "euc_ids")
+      cos.join(euc, Seq("query_id"))
+        .select(col("query_id"),
+          round(Metrics.recallAtK(col("cos_ids"), col("euc_ids"), 10), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    // LSH fallback ⇒ exact: same oracle as brute-force cosine.
+    "lsh_knn" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, round(${cosine("e.embedding", "q.qe")}, 6) + 0.0 AS score
+         |FROM embeddings e, q
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    // the invariant itself: every self-query hits rank 1.
+    "hnsw_self_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(1 AS BIGINT) AS hit
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "recall_euclid_vs_cosine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |cos_ranked AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY round(${cosine("e.embedding", "q.qe")}, 6) DESC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e, q),
+         |euc_ranked AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY round(${negEuclidean("e.embedding", "q.qe")}, 6) DESC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e, q),
+         |cos_lists AS (
+         |  SELECT query_id, list(vec_id ORDER BY rnk) AS cos_ids
+         |  FROM cos_ranked WHERE rnk <= 10 GROUP BY query_id),
+         |euc_lists AS (
+         |  SELECT query_id, list(vec_id ORDER BY rnk) AS euc_ids
+         |  FROM euc_ranked WHERE rnk <= 10 GROUP BY query_id)
+         |SELECT c.query_id,
+         |       round(CAST(len(list_intersect(c.cos_ids, e.euc_ids)) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM cos_lists c JOIN euc_lists e ON c.query_id = e.query_id
+         |ORDER BY c.query_id""".stripMargin,
+  )
+}

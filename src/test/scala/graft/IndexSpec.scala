@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Hnsw, Knn, Lsh}
+import graft.functions.Metrics
+
+/** LSH + HNSW parity: self-recall rank-1 (tests/integration_tests.rs:
+  * 217-273), fallback recall guarantee, degree bounds, determinism. */
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.queries.Tables.embeddings(spark, sfDir).cache()
+  private def vecOf(id: Long): Array[Float] =
+    emb.filter($"vec_id" === id).select($"embedding")
+      .collect()(0).getSeq[Float](0).toArray
+
+  test("lsh: self-recall rank-1 (integration_tests.rs:240-244)") {
+    val lsh = new Lsh()
+    val idx = lsh.index(emb).cache()
+    val top = lsh.query(spark, idx, vecOf(11), 5).collect()
+    assert(top.head.getLong(0) === 11L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+  }
+
+  test("lsh: bucket hash is deterministic and matches driver-side hash") {
+    val lsh = new Lsh()
+    val idx = lsh.index(emb)
+    val fromCol = idx.filter($"vec_id" === 3).select($"bucket").collect()(0).getLong(0)
+    assert(fromCol === lsh.bucketOf(vecOf(3)))
+    // two builds agree
+    val again = lsh.index(emb).filter($"vec_id" === 3)
+      .select($"bucket").collect()(0).getLong(0)
+    assert(again === fromCol)
+  }
+
+  test("lsh: under-filled bucket falls back to exact brute force (src/index.rs:158-173)") {
+    val lsh = new Lsh()
+    val idx = lsh.index(emb).cache()
+    val q = vecOf(0)
+    val viaLsh = lsh.query(spark, idx, q, 10).collect().map(_.getLong(0))
+    val brute = Knn.topK(emb, Seq(Tuple1(q)).toDF("qe"), 10).collect().map(_.getLong(0))
+    assert(viaLsh === brute)
+  }
+
+  test("hnsw: adjacency degree <= M at every level; levels deterministic") {
+    val small = emb.filter($"vec_id" < 200)
+    val hnsw = new Hnsw(m = 8, ef = 16)
+    val adj = hnsw.buildAdjacency(small).cache()
+    val maxDeg = adj.groupBy($"node_id", $"level").count()
+      .agg(max($"count")).collect()(0).getLong(0)
+    assert(maxDeg <= 8L)
+    val lvl1 = adj.groupBy($"level").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val adj2 = hnsw.buildAdjacency(small)
+    val lvl2 = adj2.groupBy($"level").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(lvl1 === lvl2)
+    assert(lvl1.keySet.min === 0)
+  }
+
+  test("hnsw: self-recall rank-1 (integration_tests.rs:268-272)") {
+    val small = emb.filter($"vec_id" < 200).cache()
+    val hnsw = new Hnsw()
+    val adjacency = hnsw.buildAdjacency(small)
+    val (adj, vecs) = hnsw.collectIndex(adjacency, small)
+    val entry = hnsw.entryPoint(adjacency)
+    for (qid <- Seq(0L, 17L, 42L, 199L)) {
+      val top = hnsw.serveQuery(adj, vecs, entry, vecs(qid), 1)
+      assert(top.head._1 === qid, s"self-recall failed for $qid")
+      assert(math.abs(top.head._2 - 1.0) < 1e-9)
+    }
+  }
+
+  test("hnsw: recall@10 vs brute force >= 0.5 on 200 vectors") {
+    val small = emb.filter($"vec_id" < 200).cache()
+    val hnsw = new Hnsw(m = 16, ef = 48)
+    val adjacency = hnsw.buildAdjacency(small)
+    val (adj, vecs) = hnsw.collectIndex(adjacency, small)
+    val entry = hnsw.entryPoint(adjacency)
+    val recalls = (0L until 10L).map { qid =>
+      val approx = hnsw.serveQuery(adj, vecs, entry, vecs(qid), 10).map(_._1).toSet
+      val brute = Knn.topK(small, Seq(Tuple1(vecs(qid))).toDF("qe"), 10)
+        .collect().map(_.getLong(0)).toSet
+      (approx intersect brute).size.toDouble / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean too low: $recalls")
+  }
+
+  test("metrics: recall@k and precision@k clamp like the reference (utils.rs:64-96)") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 5L, 6L)),  // 2/4 overlap in top-4
+      (Seq(1L, 2L), Seq(2L, 1L)),                  // k clamped to 2, full overlap
+      (Seq.empty[Long], Seq(1L, 2L))               // empty expected -> 0.0
+    ).toDF("expected", "actual")
+    val rows = df.select(
+      Metrics.recallAtK($"expected", $"actual", 4).as("r"),
+      Metrics.precisionAtK($"expected", $"actual", 4).as("p")).collect()
+    assert(rows(0).getDouble(0) === 0.5)
+    assert(rows(1).getDouble(0) === 1.0)
+    assert(rows(2).getDouble(0) === 0.0)
+    assert(rows(0).getDouble(1) === 0.5)
+    assert(rows(1).getDouble(1) === 1.0)
+  }
+}
