@@ -66,6 +66,20 @@ object IndexQueries extends QueryRegistry {
         .orderBy(col("level"))
     }),
 
+    // embedding-cosine near-dup: top-20 most-similar distinct pairs —
+    // brute-force baseline for the dedup family (the LSH-bucketed scale
+    // path is `lsh_knn`); plans as a range self-join + TakeOrdered.
+    "embedding_near_dup" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(graft.functions.VectorOps.cosine(col("ea"), col("eb")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
     // recall@10 between the euclidean and cosine rankings, per query —
     // Metrics.recallAtK (src/utils.rs:64-79) over SQL-derivable lists.
     "recall_euclid_vs_cosine" -> ((s, dir) => {
@@ -95,6 +109,13 @@ object IndexQueries extends QueryRegistry {
          |FROM embeddings e, q
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
+
+    "embedding_near_dup" ->
+      s"""SELECT x.vec_id AS a, y.vec_id AS b,
+         |       round(${cosine("x.embedding", "y.embedding")}, 6) + 0.0 AS cos
+         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+         |ORDER BY cos DESC, a ASC, b ASC
+         |LIMIT 20""".stripMargin,
 
     // the invariant itself: every self-query hits rank 1.
     "hnsw_self_recall" ->

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.Dedup
+
+/** Declared queries for the text-analysis / deduplication surface over
+  * the `documents` table: tokenization stats, language-ID heuristic,
+  * quality scoring, rolling fingerprints, exact dedup, MinHash+LSH and
+  * SimHash near-dup detection, exact n-gram Jaccard.
+  *
+  * Every pipeline is deterministic (md5 hash base, fixed band plan) and
+  * each oracle replays the identical arithmetic in DuckDB SQL, so the
+  * approximate (LSH) paths are verified end-to-end, not just their
+  * exact rerank.
+  */
+object TextQueries extends QueryRegistry {
+  import Tables._
+
+  /** DuckDB fragments mirroring graft.functions.TextOps bit-for-bit. */
+  private object F {
+    val P = "2147483647"
+    def toks(t: String) =
+      s"list_filter(string_split_regex(lower($t), '[^a-z]+'), x -> x <> '')"
+    def md5L(s: String) = s"CAST(('0x'||substr(md5($s),1,15)) AS BIGINT)"
+    val sh =
+      s"""CASE WHEN len(toks) < ${Dedup.ShingleN} THEN []::VARCHAR[]
+         |     ELSE list_transform(generate_series(1, len(toks)-${Dedup.ShingleN - 1}),
+         |            i -> array_to_string(toks[i:i+${Dedup.ShingleN - 1}], ' ')) END""".stripMargin
+    def jac(a: String, b: String) =
+      s"""(CASE WHEN len(list_distinct($a || $b)) = 0 THEN 0.0
+         |      ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct($a || $b)) END)""".stripMargin
+    def markers(m: Seq[String]) = m.map("'" + _ + "'").mkString("(", ",", ")")
+    val langScores = TextOps.LangMarkers.map { case (l, m) =>
+      s"len(list_filter(toks, t -> t IN ${markers(m)})) AS s_$l"
+    }.mkString(", ")
+    val langCase =
+      """CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |     WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |     WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |     WHEN s_en >= s_de THEN 'en' ELSE 'de' END""".stripMargin
+    val stopRatio = {
+      val in = markers(TextOps.StopWords)
+      s"(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> t IN $in)) AS DOUBLE) / len(toks) END)"
+    }
+    val punct =
+      "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / length(text) END)"
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tokenization stats (token counting op)
+    "token_stats" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          round(size(array_distinct(toks)).cast("double") /
+            size(toks).cast("double"), 6).as("distinct_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus-level token aggregates
+    "token_corpus_stats" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      documents(s, dir)
+        .select(size(toks).as("n"))
+        .agg(sum(col("n")).cast("long").as("total_tokens"),
+          round(avg(col("n").cast("double")), 6).as("avg_tokens"),
+          sum(when(col("n") >= 40, 1).otherwise(0)).cast("long").as("docs_ge_40"))
+    }),
+
+    // language-ID heuristic vs the labeled lang column (confusion counts)
+    "lang_confusion" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("lang"), TextOps.langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred"))),
+
+    // quality scoring: top-30 docs by composite score
+    "quality_top30" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+        .limit(30)),
+
+    // rolling-hash document fingerprints
+    "doc_fingerprints" -> ((s, dir) =>
+      documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // exact dedup: content-hash group-size histogram
+    "exact_dup_hist" -> ((s, dir) =>
+      Dedup.exactDupGroups(documents(s, dir))
+        .groupBy(col("cnt").as("group_size"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("group_size"))),
+
+    // MinHash+LSH near-dup pipeline, exact-Jaccard reranked
+    "minhash_near_dups" -> ((s, dir) =>
+      Dedup.minhashNearDups(documents(s, dir), 0.3)),
+
+    // exact all-pairs n-gram Jaccard on a bounded subset
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        documents(s, dir).filter(col("doc_id") < 150), 0.2)),
+
+    // SimHash values
+    "simhash_head" -> ((s, dir) =>
+      documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          TextOps.simhash16(TextOps.tokens(col("text"))).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // SimHash near-dup pairs (hamming <= 3) on a bounded subset
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        documents(s, dir).filter(col("doc_id") < 150), 3)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "token_stats" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "token_corpus_stats" ->
+      s"""WITH t AS (SELECT len(${F.toks("text")}) AS n FROM documents)
+         |SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+         |       round(avg(CAST(n AS DOUBLE)), 6) AS avg_tokens,
+         |       CAST(sum(CASE WHEN n >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ge_40
+         |FROM t""".stripMargin,
+
+    "lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${F.toks("text")} AS toks FROM documents),
+         |sc AS (SELECT lang, ${F.langScores} FROM t),
+         |p AS (SELECT lang, ${F.langCase} AS pred FROM sc)
+         |SELECT lang, pred, CAST(count(*) AS BIGINT) AS cnt
+         |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+    "quality_top30" ->
+      s"""WITH t AS (SELECT doc_id, text, ${F.toks("text")} AS toks FROM documents)
+         |SELECT doc_id,
+         |       round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |             + ${F.stopRatio} * 0.3
+         |             + (1.0 - ${F.punct}) * 0.3, 6) AS quality
+         |FROM t ORDER BY quality DESC, doc_id ASC LIMIT 30""".stripMargin,
+
+    "doc_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 50)
+         |SELECT doc_id,
+         |       CAST(list_reduce(list_prepend(0::BIGINT,
+         |              list_transform(toks, t -> ${F.md5L("t")} % ${F.P})),
+         |            (h, x) -> (h * 31 + x) % ${F.P}) AS BIGINT) AS fp
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "exact_dup_hist" ->
+      s"""WITH g AS (SELECT ${F.md5L("text")} AS ch, count(*) AS cnt FROM documents GROUP BY 1)
+         |SELECT CAST(cnt AS BIGINT) AS group_size, CAST(count(*) AS BIGINT) AS n_groups
+         |FROM g GROUP BY 1 ORDER BY group_size""".stripMargin,
+
+    "minhash_near_dups" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0, ${Dedup.MinhashH - 1}), i ->
+         |          coalesce(list_min(list_transform(shh, x -> ((i*2+1)*x + 7919*i) % ${F.P})), ${F.P})) AS sig
+         |        FROM hs),
+         |bnd AS (SELECT doc_id, b AS band,
+         |          list_reduce(list_prepend(0::BIGINT, sig[b*${Dedup.Rows}+1 : b*${Dedup.Rows}+${Dedup.Rows}]),
+         |                      (h, x) -> (h * 31 + x) % ${F.P}) AS band_hash
+         |        FROM sig, (SELECT unnest(generate_series(0, ${Dedup.Bands - 1})) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bnd x JOIN bnd y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |j AS (SELECT c.a, c.b, round(${F.jac("x.sh", "y.sh")}, 6) AS jaccard
+         |      FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id)
+         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY a, b""".stripMargin,
+
+    "ngram_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 150),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |j AS (SELECT x.doc_id AS a, y.doc_id AS b, round(${F.jac("x.sh", "y.sh")}, 6) AS jaccard
+         |      FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin,
+
+    "simhash_head" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 20),
+         |h AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |th AS (SELECT doc_id, ${F.md5L("tok")} AS th FROM h),
+         |bits AS (SELECT doc_id, b,
+         |           CASE WHEN sum(CASE WHEN (th % (2*(1::BIGINT<<b))) >= (1::BIGINT<<b)
+         |                              THEN 1 ELSE -1 END) > 0
+         |                THEN (1::BIGINT<<b) ELSE 0 END AS bit
+         |         FROM th, (SELECT unnest(generate_series(0,15)) AS b) GROUP BY doc_id, b)
+         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 150),
+         |h AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |th AS (SELECT doc_id, ${F.md5L("tok")} AS th FROM h),
+         |bits AS (SELECT doc_id, b,
+         |           CASE WHEN sum(CASE WHEN (th % (2*(1::BIGINT<<b))) >= (1::BIGINT<<b)
+         |                              THEN 1 ELSE -1 END) > 0
+         |                THEN (1::BIGINT<<b) ELSE 0 END AS bit
+         |         FROM th, (SELECT unnest(generate_series(0,15)) AS b) GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.Dedup
+
+/** Text-analysis + dedup operator contracts. */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Row =
+    spark.range(1).select(c).collect()(0)
+
+  test("tokens: lowercase alpha runs, empties dropped") {
+    val r = one(TextOps.tokens(lit("The fast, key!  X")))
+    assert(r.getSeq[String](0) == Seq("the", "fast", "key", "x"))
+  }
+
+  test("md5Long matches the portable 60-bit definition") {
+    // DuckDB: CAST('0x'||substr(md5('abc'),1,15) AS BIGINT) = 648541476951500027
+    assert(one(TextOps.md5Long(lit("abc"))).getLong(0) == 648541476951500027L)
+  }
+
+  test("shingles: n-grams with short-doc guard") {
+    val toks = lit(Array("a", "b", "c", "d"))
+    assert(one(TextOps.shingles(toks, 3)).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(one(TextOps.shingles(toks, 5)).getSeq[String](0).isEmpty)
+  }
+
+  test("minhash signature: length H, values in field, empty -> P sentinel") {
+    val hs = TextOps.shingleHashes(TextOps.shingles(
+      TextOps.tokens(lit("a b c d e f g h")), 3))
+    val sig = one(TextOps.minhashSignature(hs, Dedup.MinhashH)).getSeq[Long](0)
+    assert(sig.length == Dedup.MinhashH)
+    assert(sig.forall(v => v >= 0 && v < TextOps.P))
+    val empty = one(TextOps.minhashSignature(array().cast("array<bigint>"), 4)).getSeq[Long](0)
+    assert(empty.forall(_ == TextOps.P))
+  }
+
+  test("jaccard: distinct-set semantics, zero guard") {
+    val a = lit(Array("x", "y", "y"))
+    val b = lit(Array("y", "z"))
+    assert(one(TextOps.jaccard(a, b)).getDouble(0) == 1.0 / 3.0)
+    val e = array().cast("array<string>")
+    assert(one(TextOps.jaccard(e, e)).getDouble(0) == 0.0)
+  }
+
+  test("simhash16: in range, identical docs agree, hamming contract") {
+    val h1 = one(TextOps.simhash16(TextOps.tokens(lit("spark window batch")))).getLong(0)
+    val h2 = one(TextOps.simhash16(TextOps.tokens(lit("spark window batch")))).getLong(0)
+    assert(h1 == h2 && h1 >= 0 && h1 < (1L << 16))
+    assert(one(TextOps.hamming16(lit(h1), lit(h1))).getLong(0) == 0L)
+    assert(one(TextOps.hamming16(lit(0L), lit(65535L))).getLong(0) == 16L)
+  }
+
+  test("exact dedup groups duplicates by content hash") {
+    val docs = Seq((0L, "same text here"), (1L, "same text here"), (2L, "different"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactDupGroups(docs).collect()
+    assert(g.length == 2)
+    val dup = g.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 0L) // keep_id = min doc_id
+  }
+
+  test("minhash near-dup pipeline surfaces an exact duplicate at jaccard 1.0") {
+    // tokens must stay alphabetic — digits are split boundaries
+    def w(i: Int) = "w" + ("a" + ('a' + i % 26).toChar.toString) * (i / 26 + 1)
+    val body = (1 to 30).map(w).mkString(" ")
+    val docs = Seq((0L, body), (1L, body), (2L, (31 to 60).map(w).mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 0L && pairs(0).getLong(1) == 1L)
+    assert(pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("language-ID and quality score are deterministic and bounded") {
+    val df = Seq((0L, "the fast hash scan table table scan")).toDF("doc_id", "text")
+    val r = df.select(TextOps.langId(col("text")), TextOps.qualityScore(col("text"))).collect()(0)
+    assert(r.getString(0) == "zh") // 5 zh-marker hits beat 3 en hits
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+  }
+}
