@@ -17,6 +17,8 @@ object SparkEntry {
     StorageQueries,
     IndexQueries,
     TextQueries,
+    RelationalQueries,
+    EventQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

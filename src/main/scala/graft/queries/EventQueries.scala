@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table, batch-first (the
+  * identical expressions re-bind to readStream for the streaming path in
+  * graft.streaming): tumbling time windows, sessionization via lag-gap
+  * windows, JSON property extraction, running cumulative windows.
+  *
+  * Time arithmetic uses epoch milliseconds (exact longs both engines);
+  * money-ish `value` sums go through DECIMAL(18,4) like the relational
+  * suite.
+  */
+object EventQueries extends QueryRegistry {
+  import Tables._
+
+  private val Dec = "decimal(18,4)"
+  private val SessionGapMs = 1800000L // 30 min
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1-hour windows (batch window(); streaming reuses it)
+    "events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(Dec)).cast("double").as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("hour"))),
+
+    // per-type stats
+    "events_type_stats" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(Dec)).cast("double").as("total_value"))
+        .orderBy(col("event_type"))),
+
+    // sessionization: a >30-min silence starts a new session
+    "events_user_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > SessionGapMs, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // JSON props extraction: histogram of k mod 10
+    "events_props_hist" -> ((s, dir) =>
+      events(s, dir)
+        .select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+        .groupBy(col("k_mod"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("k_mod"))),
+
+    // daily counts with a running cumulative window per user (first 5 users)
+    "events_user_running" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .filter(col("user_id") < 5)
+        .groupBy(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("daily_events"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("running_events", sum(col("daily_events")).over(w))
+        .orderBy(col("user_id"), col("day"))
+    }),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "events_type_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_user_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM x)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_props_hist" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "events_user_running" ->
+      """WITH d AS (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS daily_events
+        |  FROM events WHERE user_id < 5 GROUP BY user_id, day)
+        |SELECT user_id, day, daily_events,
+        |       CAST(sum(daily_events) OVER (PARTITION BY user_id ORDER BY day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_events
+        |FROM d ORDER BY user_id, day""".stripMargin,
+  )
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped relational queries over the star schema — the operators
+  * a 100 TB training-data pipeline leans on: filtered scans with
+  * predicate pushdown, broadcast dimension joins, hash aggregations
+  * with map-side partials, top-k, and ranking windows.
+  *
+  * Determinism rules: every money aggregate sums DECIMAL(18,4) (exact,
+  * associative — immune to Spark-vs-DuckDB partial-agg ordering, which
+  * would flake a raw double sum at the 1e-7 level), quantities are
+  * integer-valued doubles (exact in IEEE), and every output has a total
+  * ORDER BY with key tiebreakers.
+  */
+object RelationalQueries extends QueryRegistry {
+  import Tables._
+
+  private val Dec = "decimal(18,4)"
+  /** revenue = extprice * (1 - discount), decimal-first: the stored
+    * doubles are 2-decimal-valued, so casting the INPUTS to decimal is
+    * unambiguous, and the decimal multiply is then exact (scale 2+2=4,
+    * no rounding step) — whereas rounding the double PRODUCT differs
+    * between engines on half-way cases (Spark rounds the shortest
+    * string repr, DuckDB the binary value). */
+  private def revenue =
+    col("l_extendedprice").cast("decimal(14,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+  /** charge = revenue * (1 + tax), exact decimal scale 6. */
+  private def charge =
+    revenue * (lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: pricing summary with shipdate pushdown
+    "q1_pricing_summary" -> ((s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(col("l_extendedprice").cast(Dec)).cast("double").as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
+          round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3 shape: top-10 revenue orders for one segment
+    // (broadcast the filtered customer dim; shuffle only on orderkey)
+    "q3_top_revenue" -> ((s, dir) => {
+      val cust = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      orders(s, dir)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: revenue rollup by supplier region/nation
+    // (three broadcast dims chained onto the lineitem scan)
+    "q5_region_volume" -> ((s, dir) =>
+      lineitem(s, dir)
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // part dim join + top-10 types by shipped quantity
+    "top_part_types" -> ((s, dir) =>
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("total_qty").desc, col("p_type").asc)
+        .limit(10)),
+
+    // TPC-H Q4 shape: order priority histogram in a date window
+    "order_priority_count" -> ((s, dir) =>
+      orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))),
+
+    // ranking window: top-3 customers by account balance per segment
+    "segment_top_customers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      customer(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk").cast("long").as("rnk"),
+          col("c_custkey"),
+          col("c_acctbal").cast(Dec).cast("double").as("acctbal"))
+        .orderBy(col("c_mktsegment"), col("rnk"))
+    }),
+
+    // dim rollup: customer count + exact decimal balance sum per nation
+    "nation_customer_rollup" -> ((s, dir) =>
+      customer(s, dir)
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(Dec)).cast("double").as("total_acctbal"))
+        .orderBy(col("n_name"))),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum((CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(((CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))) AS DOUBLE) AS sum_charge,
+        |       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       CAST(sum((CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey, orderdate
+        |ORDER BY revenue DESC, o.o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_volume" ->
+      """SELECT r.r_name, n.n_name,
+        |       CAST(sum((CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""".stripMargin,
+
+    "top_part_types" ->
+      """SELECT p.p_type, CAST(sum(l.l_quantity) AS BIGINT) AS total_qty,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_type
+        |ORDER BY total_qty DESC, p.p_type ASC
+        |LIMIT 10""".stripMargin,
+
+    "order_priority_count" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "segment_top_customers" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, c_custkey,
+        |       CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal
+        |FROM r WHERE rnk <= 3
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "nation_customer_rollup" ->
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+  )
+}

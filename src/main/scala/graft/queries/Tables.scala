@@ -10,7 +10,20 @@ object Tables {
 
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
-  def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
+
+  /** `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark only
+    * reads with spark.sql.legacy.parquet.nanosAsLong=true (set in every
+    * session builder) — it then surfaces as a nanos LongType, normalized
+    * here to a microsecond timestamp with integer division (a double
+    * division would lose precision at 2^63 nanos scale). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    val df = t(s, dir, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
   def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame = t(s, dir, "orders")
   def customer(s: SparkSession, dir: String): DataFrame = t(s, dir, "customer")
