@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Declared queries for the multimodal binary-column pipeline. The
+  * payloads are utf-8 text bytes (ascii corpus), so the DuckDB oracle
+  * can replay the byte math character-by-character — verifying the
+  * mapPartitions decode→feature path end-to-end, not just its schema.
+  */
+object MultimodalQueries extends QueryRegistry {
+  import Tables._
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // decode → feature-extract over binary payloads (batch iterator)
+    "media_features" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(
+        documents(s, dir).filter(col("doc_id") < 50))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(col("mean_sample"), 6).as("mean_sample"),
+          round(element_at(col("features"), 3), 6).as("bin2"),
+          round(element_at(col("features"), 7), 6).as("bin6"))
+        .orderBy(col("media_id"))
+    }),
+
+    // metadata-only rollup (prunable without touching payload bytes)
+    "media_kind_stats" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(documents(s, dir))
+      Multimodal.extractFeatures(media).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(min(col("mean_sample")), 6).as("min_mean"),
+          round(max(col("mean_sample")), 6).as("max_mean"))
+        .orderBy(col("kind"))
+    }),
+
+    // resize pass: payload subsampling + metadata update
+    "media_resize_audit" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(
+        documents(s, dir).filter(col("doc_id") < 20))
+      Multimodal.resize(media, 4).toDF()
+        .select(col("media_id"), length(col("payload")).cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy(col("media_id"))
+    }),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         list_transform(generate_series(1, length(text)), i -> ascii(text[i])) AS bytes
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id AS media_id,
+        |       ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |       CAST(n AS BIGINT) AS n_bytes,
+        |       round(CAST(list_sum(bytes) AS DOUBLE) / n, 6) AS mean_sample,
+        |       round(CAST(len(list_filter(bytes, x -> x // 16 = 2)) AS DOUBLE) / n, 6) AS bin2,
+        |       round(CAST(len(list_filter(bytes, x -> x // 16 = 6)) AS DOUBLE) / n, 6) AS bin6
+        |FROM b ORDER BY media_id""".stripMargin,
+
+    "media_kind_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         list_transform(generate_series(1, length(text)), i -> ascii(text[i])) AS bytes
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |         n, CAST(list_sum(bytes) AS DOUBLE) / n AS mean_sample
+        |  FROM b)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_assets,
+        |       CAST(sum(n) AS BIGINT) AS total_bytes,
+        |       round(min(mean_sample), 6) AS min_mean,
+        |       round(max(mean_sample), 6) AS max_mean
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "media_resize_audit" ->
+      """SELECT doc_id AS media_id,
+        |       CAST((length(text) + 3) // 4 AS BIGINT) AS n_bytes,
+        |       CAST(greatest((doc_id % 64 + 16) // 4, 1) AS BIGINT) AS width,
+        |       CAST(greatest((doc_id % 48 + 9) // 4, 1) AS BIGINT) AS height
+        |FROM documents WHERE doc_id < 20 ORDER BY media_id""".stripMargin,
+  )
+}
