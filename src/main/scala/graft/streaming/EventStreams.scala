@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the batch event analytics re-bound to
+  * unbounded input. Spark's unified API means the tumbling-window and
+  * per-type aggregations are the *same expressions* as the batch
+  * queries in graft.queries.EventQueries — only the source
+  * (`readStream`), a watermark, and the sink differ. Stateful
+  * sessionization uses mapGroupsWithState with an event-time timeout,
+  * the scale-correct shape for per-key state over millions of users
+  * (state lives in the state store, partitioned by user, never on the
+  * driver).
+  *
+  * The reference engine is batch-only (SURVEY.md §2.8), so this module
+  * is extension surface; it is exercised by StreamingSpec via
+  * MemoryStream rather than a declared oracle query (DuckDB cannot
+  * replay a stream).
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts/sums with a 2-hour watermark — identical
+    * aggregation expressions to the batch `events_hourly` query. */
+  def hourlyAggregate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("w.start").as("hour_start"), col("n_events"), col("total_value"))
+
+  /** Per-type running aggregate (complete-mode friendly). */
+  def typeAggregate(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+
+  case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionCount: Long, lastSeenMs: Long, eventsInSession: Long)
+  case class SessionUpdate(user_id: Long, n_sessions: Long, current_session_events: Long)
+
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Stateful sessionization: a >30-min silence starts a new session.
+    * State is one small record per user in the state store; the
+    * event-time timeout closes idle sessions so state cannot grow
+    * unboundedly. Batch-equivalent semantics: the lag-gap window in
+    * `events_user_sessions`. */
+  def sessionize(events: Dataset[EventIn]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (userId, batch, state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          // events within one trigger arrive unordered: sort by event time
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = prev
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            s =
+              if (s.lastSeenMs == Long.MinValue || ms - s.lastSeenMs > SessionGapMs)
+                SessionState(s.sessionCount + 1, ms, 1L)
+              else
+                SessionState(s.sessionCount, ms, s.eventsInSession + 1L)
+          }
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastSeenMs + SessionGapMs)
+          SessionUpdate(userId, s.sessionCount, s.eventsInSession)
+      }
+  }
+
+  /** Wire any streaming DataFrame to an in-memory sink (tests/demos). */
+  def toMemorySink(df: DataFrame, queryName: String, mode: OutputMode) =
+    df.writeStream.format("memory").queryName(queryName).outputMode(mode).start()
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.EventIn
+
+/** Streaming semantics pinned via MemoryStream: windowed aggregation
+  * matches the batch expressions, sessionization matches the batch
+  * lag-gap definition. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourly tumbling aggregate over a memory stream matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventIn]
+    val q = EventStreams.toMemorySink(
+      EventStreams.hourlyAggregate(in.toDF()), "hourly_test", OutputMode.Complete())
+    try {
+      in.addData(
+        EventIn(1, ts(10), 1, "click", 1.5),
+        EventIn(2, ts(20), 1, "view", 2.5),
+        EventIn(3, ts(70), 2, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).sorted
+      assert(rows.toSeq == Seq(
+        ("2024-01-01 00:00:00.0", 2L, 4.0),
+        ("2024-01-01 01:00:00.0", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization counts sessions across triggers with 30-min gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventIn]
+    val q = EventStreams.toMemorySink(
+      EventStreams.sessionize(in.toDS()).toDF(), "sessions_test", OutputMode.Update())
+    try {
+      // trigger 1: two events 10 min apart -> one session
+      in.addData(EventIn(1, ts(0), 7, "click", 0), EventIn(2, ts(10), 7, "view", 0))
+      q.processAllAvailable()
+      // trigger 2: 50-min silence -> second session for same user
+      in.addData(EventIn(3, ts(60), 7, "click", 0))
+      q.processAllAvailable()
+      val last = spark.table("sessions_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).last
+      assert(last == ((7L, 2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming type aggregate equals the batch groupBy on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      EventIn(1, ts(1), 1, "click", 1.25), EventIn(2, ts(2), 2, "click", 2.25),
+      EventIn(3, ts(3), 1, "view", 10.0))
+    val in = MemoryStream[EventIn]
+    val q = EventStreams.toMemorySink(
+      EventStreams.typeAggregate(in.toDF()), "types_test", OutputMode.Complete())
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("types_test").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val batch = EventStreams.typeAggregate(data.toDF()).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
