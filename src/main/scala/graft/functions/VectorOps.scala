@@ -72,4 +72,8 @@ object VectorOps {
 
   /** `size(v)` — dimension of the vector (src/vector.rs:37-39). */
   def dimension(v: Column): Column = size(v)
+
+  /** Elementwise cast to ARRAY&lt;DOUBLE&gt; (for zip_with against
+    * double-typed literals, e.g. centroids). */
+  def toDouble(v: Column): Column = transform(v, x => d(x))
 }

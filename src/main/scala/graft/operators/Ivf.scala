@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** IVF (inverted-file) approximate nearest neighbor: deterministic
+  * k-means partitions the corpus into nlist cells; a query probes only
+  * the nprobe nearest cells and exact-reranks inside them — the classic
+  * scale path when LSH bucketing is too coarse.
+  *
+  * Spark-first shape:
+  *  - build = an offline batch job (like kowari's Index::build,
+  *    src/index.rs:124-156, but distributed): assignment is a pure
+  *    expression argmin over a broadcast centroid literal (no UDF, no
+  *    shuffle), centroid update is one posexplode + groupBy(cluster,
+  *    pos) aggregation per Lloyd round;
+  *  - at 100 TB the assignment output is written as parquet partitioned
+  *    by `cluster`, so a probe's `cluster IN (...)` filter becomes
+  *    partition pruning and reads nprobe/nlist of the data;
+  *  - serve = centroid scan on the driver (nlist is small by design) +
+  *    one partition-pruned top-k job.
+  *
+  * Determinism: centroids seed from evenly-strided vec_ids and Lloyd
+  * rounds are a fixed count, so the index is reproducible run-to-run.
+  */
+class Ivf(nlist: Int, iters: Int) {
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, x) => s + x)
+
+  /** Deterministic init: stride the corpus by vec_id rank. */
+  def initCentroids(vecs: DataFrame): Array[(Int, Array[Double])] = {
+    val ids = vecs.select(col("vec_id")).orderBy(col("vec_id")).collect().map(_.getLong(0))
+    val stride = math.max(ids.length / nlist, 1)
+    val seedIds = (0 until nlist).map(i => ids(math.min(i * stride, ids.length - 1)))
+    vecs.filter(col("vec_id").isin(seedIds: _*))
+      .orderBy(col("vec_id")).collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      }
+  }
+
+  private def centroidLit(cents: Array[(Int, Array[Double])]): Column =
+    typedLit(cents.sortBy(_._1).map(_._2.toSeq).toSeq)
+
+  /** Expression-only argmin assignment against broadcast centroids:
+    * array_min over (dist, idx) structs gives min-dist with min-idx
+    * tiebreak, entirely inside WholeStageCodegen. */
+  def assignExpr(emb: Column, cents: Array[(Int, Array[Double])]): Column = {
+    val cl = centroidLit(cents)
+    array_min(transform(sequence(lit(0), lit(nlist - 1)),
+      i => struct(
+        sqDist(VectorOps.toDouble(emb), element_at(cl, i + 1)).as("d"),
+        i.as("c"))))
+      .getField("c")
+  }
+
+  /** One Lloyd round: assign, then recompute per-cell means via
+    * posexplode + (cluster, pos) aggregation. */
+  def lloydRound(vecs: DataFrame, cents: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
+    val assigned = vecs.select(col("vec_id"), col("embedding"),
+      assignExpr(col("embedding"), cents).as("cluster"))
+    val updated = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cluster"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // empty cells keep their previous centroid
+    val byId = updated.toMap
+    cents.map { case (i, c) => (i, byId.getOrElse(i, c)) }
+  }
+
+  /** Full index build: fixed Lloyd rounds, then final assignment.
+    * Returns (centroids, assignment DF (vec_id, embedding, cluster)). */
+  def build(vecs: DataFrame): (Array[(Int, Array[Double])], DataFrame) = {
+    var cents = initCentroids(vecs)
+    (0 until iters).foreach(_ => cents = lloydRound(vecs, cents))
+    val assigned = vecs.select(col("vec_id"), col("embedding"),
+      assignExpr(col("embedding"), cents).as("cluster"))
+    (cents, assigned)
+  }
+
+  /** Probe: nearest nprobe cells (driver-side centroid scan — nlist is
+    * small), then exact cosine top-k inside them. With the assignment
+    * parquet partitioned by cluster this scans nprobe/nlist of data. */
+  def query(assigned: DataFrame, cents: Array[(Int, Array[Double])],
+      q: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val qd = q.map(_.toDouble)
+    def d2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val diff = c(i) - qd(i); s += diff * diff; i += 1 }
+      s
+    }
+    val probes = cents.sortBy { case (i, c) => (d2(c), i) }.take(nprobe).map(_._1)
+    Knn.topK(
+      assigned.filter(col("cluster").isin(probes.toSeq: _*)),
+      assigned.sparkSession.range(1).select(typedLit(q.toSeq).as("qe")),
+      k, Knn.Cosine)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Metrics
-import graft.operators.{Hnsw, Knn, Lsh}
+import graft.operators.{Hnsw, Ivf, Knn, Lsh}
 
 /** Declared queries for the approximate indexes (LSH / HNSW) and the
   * evaluation metrics (kowari §2.2, §2.7).
@@ -66,6 +66,25 @@ object IndexQueries extends QueryRegistry {
         .orderBy(col("level"))
     }),
 
+    // IVF full-probe: probing every cell is exactly brute force (same
+    // guarantee shape as the LSH fallback), so the whole build+probe
+    // pipeline is oracle-checked against the exact SQL.
+    "ivf_knn" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val ivf = new Ivf(nlist = 8, iters = 2)
+      val (cents, assigned) = ivf.build(emb)
+      ivf.query(assigned, cents, firstVec(emb), 10, nprobe = 8)
+    }),
+
+    // IVF cell-size profile (rows-only gate: k-means isn't SQL)
+    "ivf_cell_sizes" -> ((s, dir) => {
+      val ivf = new Ivf(nlist = 8, iters = 2)
+      val (_, assigned) = ivf.build(embeddings(s, dir))
+      assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("cluster"))
+    }),
+
     // embedding-cosine near-dup: top-20 most-similar distinct pairs —
     // brute-force baseline for the dedup family (the LSH-bucketed scale
     // path is `lsh_knn`); plans as a range self-join + TakeOrdered.
@@ -104,6 +123,14 @@ object IndexQueries extends QueryRegistry {
   override def oracle: Map[String, String] = Map(
     // LSH fallback ⇒ exact: same oracle as brute-force cosine.
     "lsh_knn" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, round(${cosine("e.embedding", "q.qe")}, 6) + 0.0 AS score
+         |FROM embeddings e, q
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    // full probe ⇒ exact: same oracle as brute-force cosine.
+    "ivf_knn" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id AS vec_id, round(${cosine("e.embedding", "q.qe")}, 6) + 0.0 AS score
          |FROM embeddings e, q

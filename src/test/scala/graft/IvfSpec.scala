@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, Knn}
+
+/** IVF index contracts: deterministic build, cell coverage, and recall
+  * against exact brute force. */
+class IvfSpec extends SparkSpec {
+
+  private lazy val vecs =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  private def firstVec: Array[Float] =
+    vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).toArray
+
+  test("build is deterministic and covers all vectors exactly once") {
+    val ivf = new Ivf(nlist = 8, iters = 2)
+    val (c1, a1) = ivf.build(vecs)
+    val (c2, a2) = ivf.build(vecs)
+    assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq)
+    assert(a1.count() == vecs.count())
+    val clusters = a1.select(col("cluster")).distinct().collect().map(_.getInt(0)).sorted
+    assert(clusters.forall(c => c >= 0 && c < 8))
+    assert(a2.groupBy(col("vec_id")).count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("probing all cells reproduces exact brute-force top-k") {
+    val ivf = new Ivf(nlist = 8, iters = 2)
+    val (cents, assigned) = ivf.build(vecs)
+    val exact = Knn.topK(vecs,
+      vecs.filter(col("vec_id") === 0).select(col("embedding").as("qe")), 10, Knn.Cosine)
+      .collect().map(_.getLong(0)).toSeq
+    val ivfAll = ivf.query(assigned, cents, firstVec, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivfAll == exact)
+  }
+
+  test("recall@10 with nprobe=3 of 8 cells is >= 0.7 and self is rank 1") {
+    val ivf = new Ivf(nlist = 8, iters = 2)
+    val (cents, assigned) = ivf.build(vecs)
+    val exact = Knn.topK(vecs,
+      vecs.filter(col("vec_id") === 0).select(col("embedding").as("qe")), 10, Knn.Cosine)
+      .collect().map(_.getLong(0)).toSet
+    val approx = ivf.query(assigned, cents, firstVec, 10, nprobe = 3)
+      .collect().map(_.getLong(0))
+    assert(approx.head == 0L) // self-recall: query vector is vec_id 0
+    assert(exact.intersect(approx.toSet).size >= 7)
+  }
+}
