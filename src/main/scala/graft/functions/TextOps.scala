@@ -74,8 +74,14 @@ object TextOps {
     * that bit across tokens is > 0. Bit tests use modulo arithmetic
     * ((h mod 2^(b+1)) >= 2^b) instead of shifts so the bit index can be
     * a column in both engines. */
-  def simhash16(toks: Column): Column = {
-    val hashes = transform(toks, t => md5Long(t))
+  def simhash16(toks: Column): Column =
+    simhash16FromHashes(transform(toks, t => md5Long(t)))
+
+  /** SimHash from a pre-hashed token array. The hash array is embedded
+    * 16 times (once per bit), so callers on a hot path should
+    * materialize it first (cache / parquet) — inlined, each bit would
+    * re-run md5 over every token. */
+  def simhash16FromHashes(hashes: Column): Column = {
     val pw = typedLit((0 to 16).map(i => 1L << i).toArray)
     aggregate(
       transform(sequence(lit(0), lit(15)), b => {

@@ -76,4 +76,15 @@ object VectorOps {
   /** Elementwise cast to ARRAY&lt;DOUBLE&gt; (for zip_with against
     * double-typed literals, e.g. centroids). */
   def toDouble(v: Column): Column = transform(v, x => d(x))
+
+  /** Fused single-pass cosine via the native codegen expression
+    * (graft.expressions.CosineSim) — bit-identical to `cosine` but one
+    * array walk instead of three. Requires GraftFunctions.register on
+    * the session (done by graft.queries.Tables on first table load). */
+  def fastCosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  /** Fused dot product (graft.expressions.DotProduct). */
+  def fastDot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
 }

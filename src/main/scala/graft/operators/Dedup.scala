@@ -61,14 +61,26 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: candidates reranked by exact
-    * shingle Jaccard >= threshold. */
+    * shingle Jaccard >= threshold.
+    *
+    * The shingle+signature prefix feeds three consumers (band table,
+    * A-side rerank, B-side rerank); it is computed once and cached —
+    * without this Spark re-tokenizes and re-hashes the corpus three
+    * times. At 100 TB the same role is played by materializing the
+    * signature table to parquet between the two jobs. */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingled(docs).select(col("doc_id"), col("sh"))
-    val cand = candidatePairs(bandTable(signatures(docs)))
+    // cache BEFORE the signature fold: minhashSignature embeds the
+    // shingle-hash array once per hash function, so without a
+    // materialization boundary projection collapse re-runs md5 over
+    // every shingle MinhashH times
+    val hashed = shingled(docs).cache()
+    val sigs = hashed.withColumn(
+      "sig", TextOps.minhashSignature(col("shh"), MinhashH))
+    val cand = candidatePairs(bandTable(sigs))
     // select-based aliases (not withColumnRenamed) so the three branches
     // of this self-join get distinct attribute ids and resolve correctly
-    val shA = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
-    val shB = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
+    val shA = hashed.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val shB = hashed.select(col("doc_id").as("b"), col("sh").as("shb"))
     cand
       .join(shA, "a")
       .join(shB, "b")
@@ -96,11 +108,53 @@ object Dedup {
     docs.groupBy(TextOps.md5Long(col("text")).as("content_hash"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
 
+  /** Embedding near-dup via banded sign-LSH with DATA-DEPENDENT
+    * hyperplanes: the first nPlanes embeddings act as planes, each
+    * vector gets one sign bit per plane, bits group into bands of
+    * bandBits, and only pairs sharing a band key are cosine-reranked.
+    *
+    * This is the 100 TB shape for embedding dedup: the plane set is a
+    * broadcast (nPlanes rows), bit computation is a map-only pass, and
+    * the single shuffle is keyed on (band, key) — Σ|bucket|² work
+    * instead of n². Data-dependent planes also make the whole pipeline
+    * SQL-replayable (the oracle reads planes from the same table),
+    * unlike a PRNG plane matrix. */
+  def lshEmbeddingPairs(emb: DataFrame, nPlanes: Int, bandBits: Int,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val pw = typedLit((0 until bandBits).map(1L << _).toArray)
+    val planeVecs = emb.filter(col("vec_id") < nPlanes)
+      .select(col("vec_id").as("plane_id"), col("embedding").as("pe"))
+    val keys = emb.crossJoin(broadcast(planeVecs))
+      .select(col("vec_id"), col("plane_id"),
+        when(VectorOps.fastDot(col("embedding"), col("pe")) >= 0.0, 1L)
+          .otherwise(0L).as("bit"))
+      .groupBy(col("vec_id"), (col("plane_id") / bandBits).cast("int").as("band"))
+      .agg(sum(col("bit") * element_at(pw, (col("plane_id") % bandBits).cast("int") + 1))
+        .as("key"))
+    val ka = keys.select(col("vec_id").as("a"), col("band"), col("key"))
+    val kb = keys.select(col("vec_id").as("b"), col("band"), col("key"))
+    val cand = ka.join(kb, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val ea = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    cand.join(ea, "a").join(eb, "b")
+      .select(col("a"), col("b"),
+        round(VectorOps.fastCosine(col("ea"), col("eb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** SimHash near-dup pairs over a bounded subset: hamming(simhash16)
     * <= maxDist. */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      TextOps.simhash16(TextOps.tokens(col("text"))).as("simhash"))
+    // materialize token hashes BEFORE the 16-bit fold: simhash embeds
+    // the hash array once per bit, so an inlined md5 would run 16x per
+    // token; the cache boundary blocks projection collapse
+    val hashed = docs.select(col("doc_id"),
+      transform(TextOps.tokens(col("text")), t => TextOps.md5Long(t)).as("th")).cache()
+    val sh = hashed.select(col("doc_id"),
+      TextOps.simhash16FromHashes(col("th")).as("simhash"))
     val a = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
     val b = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
     a.crossJoin(b).filter(col("a") < col("b"))

@@ -52,39 +52,38 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      blocker: Option[Lsh] = None): DataFrame = {
-    val leveled = vectors.select(
+    // One plan for all levels: a node of level L participates in levels
+    // 0..L, so explode the level range and self-join per level — a
+    // single shuffle + window instead of one Spark job per level (which
+    // cost ~9 jobs of pure scheduling overhead at small scale and ~9
+    // scans at large scale).
+    val exploded = vectors.select(
       col(idCol).as("node_id"), col(vecCol).as("vec"),
-      levelCol(col(idCol)).as("node_level"))
+      explode(sequence(lit(0), levelCol(col(idCol)))).as("level"))
 
-    val top = leveled.agg(max(col("node_level"))).collect()(0).getInt(0)
-
-    val perLevel = (0 to top).map { l =>
-      val nodes = leveled.filter(col("node_level") >= l)
-        .select(col("node_id"), col("vec"))
-      val left = nodes.select(col("node_id").as("src"), col("vec").as("src_vec"))
-      val right = nodes.select(col("node_id").as("dst"), col("vec").as("dst_vec"))
-      val pairs = blocker match {
-        case None =>
-          left.join(right, col("src") =!= col("dst"))
-        case Some(lsh) =>
-          // LSH-blocked candidate generation: only pairs sharing a bucket.
-          // The 100-TB path — turns O(n²) into Σ|bucket|².
-          val dim = vectors.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
-          val lb = left.withColumn("bucket", lsh.bucketCol(col("src_vec"), dim))
-          val rb = right.withColumn("bucket", lsh.bucketCol(col("dst_vec"), dim))
-          lb.join(rb, lb("bucket") === rb("bucket") && col("src") =!= col("dst"))
-            .drop("bucket")
-      }
-      val w = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("dst").asc)
-      pairs
-        .select(col("src"), col("dst"),
-          (lit(1.0) - VectorOps.cosine(col("src_vec"), col("dst_vec"))).as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= m)
-        .select(col("src").as("node_id"), lit(l).as("level"),
-          col("dst").as("neighbor_id"), round(col("dist"), 6).as("dist"))
+    val left = exploded.select(col("level"), col("node_id").as("src"), col("vec").as("src_vec"))
+    val right = exploded.select(col("level"), col("node_id").as("dst"), col("vec").as("dst_vec"))
+    val pairs = blocker match {
+      case None =>
+        left.join(right, Seq("level")).filter(col("src") =!= col("dst"))
+      case Some(lsh) =>
+        // LSH-blocked candidate generation: only same-level pairs sharing
+        // a bucket. The 100-TB path — turns O(n²) into Σ|bucket|².
+        val dim = vectors.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+        val lb = left.withColumn("bucket", lsh.bucketCol(col("src_vec"), dim))
+        val rb = right.withColumn("bucket", lsh.bucketCol(col("dst_vec"), dim))
+        lb.join(rb, Seq("level", "bucket")).filter(col("src") =!= col("dst"))
+          .drop("bucket")
     }
-    perLevel.reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("level"), col("src"))
+      .orderBy(col("dist").asc, col("dst").asc)
+    pairs
+      .select(col("level"), col("src"), col("dst"),
+        (lit(1.0) - VectorOps.fastCosine(col("src_vec"), col("dst_vec"))).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("src").as("node_id"), col("level"),
+        col("dst").as("neighbor_id"), round(col("dist"), 6).as("dist"))
   }
 
   /** Entry point = a highest-level node (deterministic: smallest id among

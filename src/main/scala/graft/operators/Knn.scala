@@ -36,9 +36,10 @@ object Knn {
   private[graft] def stableScore(c: Column): Column = round(c, 6) + lit(0.0)
 
   sealed trait Metric { def score(a: Column, b: Column): Column }
-  /** cosine similarity, higher = closer. */
+  /** cosine similarity, higher = closer — fused native expression on
+    * the hot scan (bit-identical to the HOF kernel). */
   case object Cosine extends Metric {
-    def score(a: Column, b: Column): Column = VectorOps.cosine(a, b)
+    def score(a: Column, b: Column): Column = VectorOps.fastCosine(a, b)
   }
   /** negated euclidean distance, higher = closer (src/index.rs:36-38). */
   case object NegEuclidean extends Metric {

@@ -38,7 +38,7 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L) {
     * src/index.rs:99-107). One dot product per plane, all built-in HOFs. */
   def bucketCol(vec: Column, dim: Int): Column =
     planes(dim).zipWithIndex.map { case (p, i) =>
-      when(VectorOps.dot(vec, typedLit(p.toSeq)) >= 0.0, lit(1L << i))
+      when(VectorOps.fastDot(vec, typedLit(p.toSeq)) >= 0.0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -42,7 +42,8 @@ object IndexQueries extends QueryRegistry {
     "hnsw_self_recall" -> ((s, dir) => {
       val emb = embeddings(s, dir).filter(col("vec_id") < 300)
       val hnsw = new Hnsw(m = 16, ef = 32, seed = 42L)
-      val adjacency = hnsw.buildAdjacency(emb)
+      // two consumers (collectIndex + entryPoint) — build once
+      val adjacency = hnsw.buildAdjacency(emb).cache()
       val (adj, vecs) = hnsw.collectIndex(adjacency, emb)
       val entry = hnsw.entryPoint(adjacency)
       val hits = (0L until 5L).map { qid =>
@@ -85,6 +86,13 @@ object IndexQueries extends QueryRegistry {
         .orderBy(col("cluster"))
     }),
 
+    // banded sign-LSH embedding near-dup with data-dependent planes —
+    // the Σ|bucket|² scale path; fully SQL-replayable since the planes
+    // come from the data, not a PRNG
+    "lsh_similarity_join" -> ((s, dir) =>
+      graft.operators.Dedup.lshEmbeddingPairs(
+        embeddings(s, dir), nPlanes = 16, bandBits = 4, threshold = 0.3)),
+
     // embedding-cosine near-dup: top-20 most-similar distinct pairs —
     // brute-force baseline for the dedup family (the LSH-bucketed scale
     // path is `lsh_knn`); plans as a range self-join + TakeOrdered.
@@ -94,7 +102,7 @@ object IndexQueries extends QueryRegistry {
       val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
       a.crossJoin(b).filter(col("a") < col("b"))
         .select(col("a"), col("b"),
-          round(graft.functions.VectorOps.cosine(col("ea"), col("eb")), 6).as("cos"))
+          round(graft.functions.VectorOps.fastCosine(col("ea"), col("eb")), 6).as("cos"))
         .orderBy(col("cos").desc, col("a").asc, col("b").asc)
         .limit(20)
     }),
@@ -128,6 +136,24 @@ object IndexQueries extends QueryRegistry {
          |FROM embeddings e, q
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
+
+    "lsh_similarity_join" ->
+      s"""WITH p AS (SELECT vec_id AS plane_id, embedding AS pe FROM embeddings WHERE vec_id < 16),
+         |bits AS (
+         |  SELECT e.vec_id, p.plane_id,
+         |         CASE WHEN ${dot("e.embedding", "p.pe")} >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN p),
+         |keys AS (
+         |  SELECT vec_id, plane_id // 4 AS band,
+         |         CAST(sum(bit * (1 << (plane_id % 4))) AS BIGINT) AS key
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM keys x JOIN keys y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+         |SELECT c.a, c.b, round(${cosine("x.embedding", "y.embedding")}, 6) + 0.0 AS cos
+         |FROM cand c JOIN embeddings x ON c.a = x.vec_id JOIN embeddings y ON c.b = y.vec_id
+         |WHERE round(${cosine("x.embedding", "y.embedding")}, 6) >= 0.3
+         |ORDER BY a, b""".stripMargin,
 
     // full probe ⇒ exact: same oracle as brute-force cosine.
     "ivf_knn" ->

@@ -5,8 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Parquet table loader for the driver testdata layout
   * (`/root/testdata/sf&lt;sf&gt;/NAME.parquet`). */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // idempotent: every declared query loads at least one table, which
+    // guarantees the native expressions are available in its session
+    graft.expressions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")

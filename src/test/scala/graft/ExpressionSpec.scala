@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** The native codegen expressions must be BIT-identical to the HOF
+  * kernels — they share result responsibility with the DuckDB oracle,
+  * so even a 1-ulp divergence (e.g. different accumulation order)
+  * would surface as a hash mismatch. */
+class ExpressionSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("fastCosine == HOF cosine exactly, all pairs vs first vector") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val diff = emb.crossJoin(q)
+      .select(
+        VectorOps.cosine(col("embedding"), col("qe")).as("hof"),
+        VectorOps.fastCosine(col("embedding"), col("qe")).as("fast"))
+      .filter(col("hof") =!= col("fast"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("fastDot == HOF dot exactly, including double-literal side") {
+    val p = typedLit((1 to 64).map(i => (i * 0.37) - 12.0))
+    val diff = emb
+      .select(
+        VectorOps.dot(col("embedding"), p).as("hof"),
+        VectorOps.fastDot(col("embedding"), p).as("fast"))
+      .filter(col("hof") =!= col("fast"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("zero-vector guard matches the reference (cosine -> 0.0)") {
+    val z = typedLit(Array.fill(64)(0.0f))
+    val r = emb.limit(1)
+      .select(VectorOps.fastCosine(col("embedding"), z)).collect()(0).getDouble(0)
+    assert(r == 0.0)
+  }
+
+  test("interpreted eval path agrees with codegen path") {
+    // force interpreted evaluation by turning codegen off in a local op
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val q = emb.filter(col("vec_id") === 1).select(col("embedding").as("qe"))
+      val interp = emb.crossJoin(q)
+        .select(col("vec_id"), VectorOps.fastCosine(col("embedding"), col("qe")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val gen = emb.crossJoin(q)
+        .select(col("vec_id"), VectorOps.fastCosine(col("embedding"), col("qe")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(interp == gen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}

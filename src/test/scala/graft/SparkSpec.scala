@@ -15,6 +15,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(s)
     s
   }
   val sfDir = "/root/testdata/sf0.001"
