@@ -1,0 +1,67 @@
+package graft
+
+/** Physical-plan contracts: the properties that make these operators
+  * scale — top-k without a global sort, filter pushdown to the parquet
+  * scan, broadcast joins for dims, column pruning, map-side partial
+  * aggregation — pinned so a refactor that silently de-optimizes a
+  * plan fails a test rather than a benchmark. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String = {
+    // other suites cache the same parquet; a cached scan would replace
+    // the FileScan (and its PushedFilters) with InMemoryTableScan
+    spark.catalog.clearCache()
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  test("knn: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("knn_cosine")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("knn: query-vector lookup is pushed to the scan and broadcast") {
+    val p = plan("knn_cosine")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("knn: scan is column-pruned to the two needed columns") {
+    val p = plan("knn_cosine")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+    assert(!p.contains("label") || p.contains("qe")) // label never read on the big side
+  }
+
+  test("q1: shipdate predicate reaches the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1: aggregation is two-phase (map-side partials before shuffle)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q5: all three dimension joins are broadcast hash joins") {
+    val p = plan("q5_region_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("point lookup: id equality is pushed down") {
+    val p = plan("point_lookup")
+    assert(p.contains("EqualTo(vec_id,42)"))
+  }
+
+  test("knn: hot path uses the native fused cosine, not the HOF chain") {
+    val p = plan("knn_cosine")
+    assert(p.contains("graft_cosine"))
+    assert(!p.contains("aggregate(zip_with"))
+  }
+
+  test("lineitem scans never read unused money columns for count queries") {
+    val p = plan("order_priority_count")
+    assert(p.contains("ReadSchema: struct<o_orderpriority:string>")
+      || !p.contains("o_totalprice"))
+  }
+}
