@@ -92,6 +92,24 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L) {
     Knn.topK(candidates, q, k, Knn.Cosine, idCol, vecCol)
   }
 
+  /** Multi-probe query: probe the query's bucket plus every 1-bit-flip
+    * neighbor bucket (numPlanes+1 buckets total) before considering the
+    * brute-force fallback. The standard recall/cost middle ground — at
+    * 100 TB each probed bucket is one pruned partition, so multi-probe
+    * reads (P+1)/2^P of the index instead of all of it, and the
+    * fallback (full scan) almost never fires. Fallback semantics stay
+    * reference-faithful: trigger on < k candidates. */
+  def queryMultiProbe(spark: SparkSession, indexDf: DataFrame, queryVec: Array[Float],
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val b = bucketOf(queryVec)
+    val probes = b +: (0 until numPlanes).map(i => b ^ (1L << i))
+    val bucketDf = indexDf.filter(col("bucket").isin(probes: _*))
+    val candidates = if (bucketDf.count() < k) indexDf else bucketDf
+    val q = Seq(Tuple1(queryVec)).toDF("qe")
+    Knn.topK(candidates, q, k, Knn.Cosine, idCol, vecCol)
+  }
+
   /** Bucket histogram — index health stats (deterministic given seed). */
   def bucketStats(indexDf: DataFrame): DataFrame =
     indexDf.groupBy(col("bucket")).agg(count(lit(1)).as("sz"))

@@ -34,6 +34,35 @@ object IndexQueries extends QueryRegistry {
       lsh.query(s, lsh.index(emb), firstVec(emb), 10)
     }),
 
+    // multi-probe: query bucket + all 1-bit flips; at this scale the
+    // probed buckets still under-fill, so the reference-faithful < k
+    // fallback fires and the result is exact (same oracle as brute).
+    "lsh_multiprobe_knn" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val lsh = new Lsh(numPlanes = 16, seed = 42L)
+      lsh.queryMultiProbe(s, lsh.index(emb), firstVec(emb), 10)
+    }),
+
+    // precision@10 of the euclidean top-10 against the cosine top-20
+    // (Metrics.precisionAtK, utils.rs:81-96)
+    "precision_euclid_in_cos20" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      def ids(metric: Knn.Metric, k: Int): DataFrame =
+        Knn.topKPerQuery(emb, qs, k, metric)
+          .groupBy(col("query_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("rank"), col("vec_id")))),
+            x => x.getField("vec_id")).as("ids"))
+      val cos = ids(Knn.Cosine, 20).withColumnRenamed("ids", "cos_ids")
+      val euc = ids(Knn.NegEuclidean, 10).withColumnRenamed("ids", "euc_ids")
+      cos.join(euc, Seq("query_id"))
+        .select(col("query_id"),
+          round(Metrics.precisionAtK(col("cos_ids"), col("euc_ids"), 10), 6).as("precision"))
+        .orderBy(col("query_id"))
+    }),
+
     "lsh_bucket_stats" -> ((s, dir) => {
       val lsh = new Lsh(numPlanes = 16, seed = 42L)
       lsh.bucketStats(lsh.index(embeddings(s, dir)))
@@ -136,6 +165,38 @@ object IndexQueries extends QueryRegistry {
          |FROM embeddings e, q
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
+
+    // multi-probe under-fills at this scale ⇒ fallback ⇒ exact.
+    "lsh_multiprobe_knn" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, round(${cosine("e.embedding", "q.qe")}, 6) + 0.0 AS score
+         |FROM embeddings e, q
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    "precision_euclid_in_cos20" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |cos_ranked AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY round(${cosine("e.embedding", "q.qe")}, 6) DESC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e, q),
+         |euc_ranked AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY round(${negEuclidean("e.embedding", "q.qe")}, 6) DESC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e, q),
+         |cos_lists AS (
+         |  SELECT query_id, list(vec_id ORDER BY rnk) AS cos_ids
+         |  FROM cos_ranked WHERE rnk <= 20 GROUP BY query_id),
+         |euc_lists AS (
+         |  SELECT query_id, list(vec_id ORDER BY rnk) AS euc_ids
+         |  FROM euc_ranked WHERE rnk <= 10 GROUP BY query_id)
+         |SELECT c.query_id,
+         |       round(CAST(len(list_intersect(e.euc_ids, c.cos_ids)) AS DOUBLE) / 10.0, 6) AS precision
+         |FROM cos_lists c JOIN euc_lists e ON c.query_id = e.query_id
+         |ORDER BY c.query_id""".stripMargin,
 
     "lsh_similarity_join" ->
       s"""WITH p AS (SELECT vec_id AS plane_id, embedding AS pe FROM embeddings WHERE vec_id < 16),

@@ -105,6 +105,20 @@ object RelationalQueries extends QueryRegistry {
         .orderBy(col("c_mktsegment"), col("rnk"))
     }),
 
+    // two-phase salted aggregation on a 6-value (maximally skewed) key:
+    // decimal partials make the salted merge exactly equal the direct
+    // groupBy, so the skew-safe plan shares the plain oracle
+    "salted_revenue" -> ((s, dir) =>
+      graft.operators.SkewTools.saltedAgg(
+        lineitem(s, dir).select(col("l_returnflag"), col("l_linestatus"),
+          revenue.as("rev")),
+        keys = Seq(col("l_returnflag"), col("l_linestatus")),
+        saltBuckets = 16,
+        partials = Seq(sum(col("rev")).as("s"), count(lit(1)).as("c")),
+        merge = Seq(sum(col("s")).cast("double").as("revenue"),
+          sum(col("c")).cast("long").as("n_items")))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
     // dim rollup: customer count + exact decimal balance sum per nation
     "nation_customer_rollup" -> ((s, dir) =>
       customer(s, dir)
@@ -175,6 +189,14 @@ object RelationalQueries extends QueryRegistry {
         |       CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal
         |FROM r WHERE rnk <= 3
         |ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "salted_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum((CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "nation_customer_rollup" ->
       """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers,

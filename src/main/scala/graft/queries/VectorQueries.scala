@@ -68,6 +68,18 @@ object VectorQueries extends QueryRegistry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("dim").asc)),
 
+    // metadata JSON-path predicate (the reference's demo filter,
+    // vector_db/examples/local_storage_demo.rs:115-130): wrap rows in
+    // collection-shaped JSON metadata, then filter on a JSON path
+    "metadata_filter" -> ((s, dir) =>
+      embeddings(s, dir)
+        .select(col("vec_id"),
+          to_json(struct(col("label"))).as("metadata"))
+        .filter(get_json_object(col("metadata"), "$.label") === "3")
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+        .limit(25)),
+
     // multi-query KNN: the similarity-join shape (top-3 for vec_id<5)
     "knn_multi" -> ((s, dir) => {
       val qs = embeddings(s, dir).filter(col("vec_id") < 5)
@@ -120,6 +132,11 @@ object VectorQueries extends QueryRegistry {
         |FROM embeddings
         |GROUP BY 1
         |ORDER BY dim ASC""".stripMargin,
+    "metadata_filter" ->
+      """SELECT vec_id FROM embeddings
+        |WHERE json_extract_string(to_json(struct_pack(label := label)), '$.label') = '3'
+        |ORDER BY vec_id LIMIT 25""".stripMargin,
+
     "knn_multi" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
