@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.KwiFormat
+
+/** DataSource V2 read path for .kwi: short-name registration, record
+  * fidelity, directory sharding, and column pruning. */
+class KwiDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeKwi(path: String, ids: Range): Unit = {
+    val df = ids.map(i =>
+      (s"id$i", Array(i.toFloat, i + 0.5f), if (i % 2 == 0) s"""{"k":$i}""" else null))
+      .toDF("id", "embedding", "metadata")
+    KwiFormat.write(df, path)
+  }
+
+  test("format(\"kwi\") round-trips records including null metadata") {
+    val dir = Files.createTempDirectory("kwi-ds").toString
+    writeKwi(s"$dir/a.kwi", 0 until 10)
+    val back = spark.read.format("kwi").load(s"$dir/a.kwi")
+      .orderBy(col("id")).collect()
+    assert(back.length == 10)
+    assert(back(0).getString(0) == "id0")
+    assert(back(0).getSeq[Float](1) == Seq(0f, 0.5f))
+    assert(back(0).getString(2) == """{"k":0}""")
+    assert(back(1).isNullAt(2)) // id1: null metadata
+  }
+
+  test("a directory of .kwi shards reads as one table, one partition per file") {
+    val dir = Files.createTempDirectory("kwi-shards").toString
+    writeKwi(s"$dir/p0.kwi", 0 until 5)
+    writeKwi(s"$dir/p1.kwi", 5 until 12)
+    val df = spark.read.format("kwi").load(dir)
+    assert(df.count() == 12)
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("required-column pushdown reaches the scan") {
+    val dir = Files.createTempDirectory("kwi-prune").toString
+    writeKwi(s"$dir/a.kwi", 0 until 4)
+    val q = spark.read.format("kwi").load(s"$dir/a.kwi").select(col("id"))
+    // DSv2 prints the pruned output list on the BatchScan node
+    val scanLine = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("[id#") && !scanLine.contains("embedding"))
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("id0", "id1", "id2", "id3"))
+  }
+
+  test("kwi scan joins back to parquet-backed queries") {
+    val dir = Files.createTempDirectory("kwi-join").toString
+    writeKwi(s"$dir/a.kwi", 0 until 8)
+    val kwi = spark.read.format("kwi").load(s"$dir/a.kwi")
+    val other = (0 until 8).map(i => (s"id$i", i * 10)).toDF("id", "x")
+    val j = kwi.join(other, "id").agg(sum(col("x"))).collect()(0).getLong(0)
+    assert(j == (0 until 8).map(_ * 10).sum)
+  }
+}
