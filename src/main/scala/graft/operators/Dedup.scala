@@ -103,6 +103,33 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Semantic dedup — the two-signal pipeline a real training-data run
+    * uses: MinHash bands generate candidates from TEXT, then each
+    * candidate pair is scored on BOTH exact shingle Jaccard and
+    * embedding cosine, combined 50/50 (cosine clamped at 0). Candidates
+    * stay band-bucketed (the only shuffle), so adding the embedding
+    * signal costs two broadcast-joinable lookups, not a second n² pass. */
+  def semanticNearDups(docs: DataFrame, emb: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val hashed = shingled(docs).cache()
+    val sigs = hashed.withColumn(
+      "sig", TextOps.minhashSignature(col("shh"), MinhashH))
+    val cand = candidatePairs(bandTable(sigs))
+    val shA = hashed.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val shB = hashed.select(col("doc_id").as("b"), col("sh").as("shb"))
+    val ea = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    cand.join(shA, "a").join(shB, "b").join(ea, "a").join(eb, "b")
+      .select(col("a"), col("b"),
+        round(TextOps.jaccard(col("sha"), col("shb")), 6).as("jaccard"),
+        (round(VectorOps.fastCosine(col("ea"), col("eb")), 6) + lit(0.0)).as("cos"))
+      .withColumn("combined",
+        round(col("jaccard") * 0.5 + greatest(col("cos"), lit(0.0)) * 0.5, 6))
+      .filter(col("combined") >= threshold)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Exact duplicate groups keyed on the 60-bit md5 content hash. */
   def exactDupGroups(docs: DataFrame): DataFrame =
     docs.groupBy(TextOps.md5Long(col("text")).as("content_hash"))

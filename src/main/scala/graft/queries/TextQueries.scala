@@ -17,6 +17,7 @@ import graft.operators.Dedup
   */
 object TextQueries extends QueryRegistry {
   import Tables._
+  import OracleFrag.cosine
 
   /** DuckDB fragments mirroring graft.functions.TextOps bit-for-bit. */
   private object F {
@@ -104,6 +105,11 @@ object TextQueries extends QueryRegistry {
     "minhash_near_dups" -> ((s, dir) =>
       Dedup.minhashNearDups(documents(s, dir), 0.3)),
 
+    // two-signal semantic dedup: MinHash text candidates scored on
+    // exact Jaccard AND embedding cosine (doc_id aligns with vec_id)
+    "semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticNearDups(documents(s, dir), embeddings(s, dir), 0.15)),
+
     // exact all-pairs n-gram Jaccard on a bounded subset
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
@@ -182,6 +188,32 @@ object TextQueries extends QueryRegistry {
          |j AS (SELECT c.a, c.b, round(${F.jac("x.sh", "y.sh")}, 6) AS jaccard
          |      FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id)
          |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY a, b""".stripMargin,
+
+    "semantic_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0, ${Dedup.MinhashH - 1}), i ->
+         |          coalesce(list_min(list_transform(shh, x -> ((i*2+1)*x + 7919*i) % ${F.P})), ${F.P})) AS sig
+         |        FROM hs),
+         |bnd AS (SELECT doc_id, b AS band,
+         |          list_reduce(list_prepend(0::BIGINT, sig[b*${Dedup.Rows}+1 : b*${Dedup.Rows}+${Dedup.Rows}]),
+         |                      (h, x) -> (h * 31 + x) % ${F.P}) AS band_hash
+         |        FROM sig, (SELECT unnest(generate_series(0, ${Dedup.Bands - 1})) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bnd x JOIN bnd y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |j AS (SELECT c.a, c.b,
+         |        round(${F.jac("sa.sh", "sb.sh")}, 6) AS jaccard,
+         |        round(${cosine("ex.embedding", "ey.embedding")}, 6) + 0.0 AS cos
+         |      FROM cand c
+         |      JOIN sh sa ON c.a = sa.doc_id JOIN sh sb ON c.b = sb.doc_id
+         |      JOIN embeddings ex ON c.a = ex.vec_id JOIN embeddings ey ON c.b = ey.vec_id)
+         |SELECT a, b, jaccard, cos,
+         |       round(jaccard * 0.5 + greatest(cos, 0.0) * 0.5, 6) AS combined
+         |FROM j
+         |WHERE round(jaccard * 0.5 + greatest(cos, 0.0) * 0.5, 6) >= 0.15
+         |ORDER BY a, b""".stripMargin,
 
     "ngram_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 150),

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{DedupStream, EventStreams}
+
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  test("streaming exact dedup drops repeats within and across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = EventStreams.toMemorySink(
+      DedupStream.dropExactDuplicates(in.toDF()), "dedup_test", OutputMode.Append())
+    try {
+      in.addData(
+        Doc(0, ts(1), "alpha beta gamma"),
+        Doc(1, ts(2), "alpha beta gamma"), // dup within trigger
+        Doc(2, ts(3), "different text"))
+      q.processAllAvailable()
+      in.addData(Doc(3, ts(4), "alpha beta gamma")) // dup across triggers
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(0L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming band emission matches the batch band table") {
+    implicit val sqlCtx = spark.sqlContext
+    val body = (1 to 30).map(i => "w" + ('a' + i % 26).toChar).mkString(" ")
+    val in = MemoryStream[Doc]
+    val q = EventStreams.toMemorySink(
+      DedupStream.bandStream(in.toDF()), "bands_test", OutputMode.Append())
+    try {
+      in.addData(Doc(0, ts(1), body))
+      q.processAllAvailable()
+      val streamed = spark.table("bands_test")
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).sorted.toSeq
+      val batch = graft.operators.Dedup.bandTable(
+        graft.operators.Dedup.signatures(Seq((0L, body)).toDF("doc_id", "text")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
