@@ -29,6 +29,13 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword count: alpha runs split into ≤4-char pieces plus
+    * digit runs — the cheap `ceil(chars/4)`-grade estimator a pipeline
+    * uses for token budgeting before real BPE. DuckDB mirror:
+    * len(regexp_extract_all(lower(t), '[a-z]{1,4}|[0-9]+')). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]+"), lit(0)))
+
   /** First 15 hex digits of md5 as a non-negative long (60 bits).
     * Portable: DuckDB CAST('0x'||substr(md5(s),1,15) AS BIGINT) yields
     * the identical value — this is the shared deterministic hash base

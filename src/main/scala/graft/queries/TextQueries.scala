@@ -61,6 +61,29 @@ object TextQueries extends QueryRegistry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-ish subword budgeting vs whitespace tokens
+    "bpe_token_stats" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact dedup with a constructed duplicate block: union the first
+    // 10 docs back in under shifted ids, dedup keep-min — the
+    // reference's keep-one semantics on a corpus that actually has dups
+    "exact_dedup_keep" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val dupes = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.exactDupGroups(docs.unionByName(dupes))
+        .filter(col("cnt") > 1)
+        .select(col("keep_id"), col("cnt").cast("long").as("group_size"))
+        .orderBy(col("keep_id"))
+    }),
+
     // corpus-level token aggregates
     "token_corpus_stats" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -135,6 +158,22 @@ object TextQueries extends QueryRegistry {
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
          |       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "bpe_token_stats" ->
+      s"""SELECT doc_id,
+         |       CAST(len(${F.toks("text")}) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+')) AS BIGINT) AS bpe_tokens
+         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "exact_dedup_keep" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 10),
+         |g AS (SELECT ${F.md5L("text")} AS ch, count(*) AS cnt, min(doc_id) AS keep_id
+         |      FROM u GROUP BY 1)
+         |SELECT keep_id, CAST(cnt AS BIGINT) AS group_size
+         |FROM g WHERE cnt > 1 ORDER BY keep_id""".stripMargin,
 
     "token_corpus_stats" ->
       s"""WITH t AS (SELECT len(${F.toks("text")}) AS n FROM documents)

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests over the kernels and metrics (SURVEY §7.4):
+  * invariants checked across generated inputs with fixed seeds (raw
+  * ScalaCheck generators; deterministic, no flaky sampling). */
+class PropertySpec extends SparkSpec {
+  import graft.functions.{Metrics, VectorOps}
+  import graft.operators.Knn
+
+  private val params = Gen.Parameters.default
+  private def cases[A](g: Gen[A], n: Int = 30): Seq[A] =
+    (0 until n).map(i => g.pureApply(params, Seed(i.toLong)))
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.choose(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100f, 100f)).map(_.toArray))
+
+  private def evalKernel(a: Array[Float], b: Array[Float],
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Double =
+    spark.range(1)
+      .select(f(typedLit(a.toSeq), typedLit(b.toSeq)).as("v"))
+      .collect()(0).getDouble(0)
+
+  test("cosine is symmetric and bounded; fast == HOF on every case") {
+    cases(vecGen).foreach { a =>
+      val b = a.map(x => x * 0.5f + 1.0f)
+      val ab = evalKernel(a, b, VectorOps.cosine)
+      val ba = evalKernel(b, a, VectorOps.cosine)
+      val fast = evalKernel(a, b, VectorOps.fastCosine)
+      assert(math.abs(ab - ba) < 1e-12, s"asymmetric for ${a.toSeq}")
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+      assert(ab == fast, s"fast != hof for ${a.toSeq}")
+    }
+  }
+
+  test("normalize is idempotent (unit-norm fixed point)") {
+    cases(vecGen.suchThat(_.exists(_ != 0f))).foreach { a =>
+      val m = spark.range(1)
+        .select(VectorOps.magnitude(VectorOps.normalize(typedLit(a.toSeq))).as("m"))
+        .collect()(0).getDouble(0)
+      assert(math.abs(m - 1.0) < 1e-6, s"norm $m for ${a.toSeq}")
+    }
+  }
+
+  test("recall@k and precision@k in [0,1]; recall(self,self)=1") {
+    // ranked id lists are duplicate-free by construction (and the
+    // set-intersection metric, like the reference's HashSet, assumes it)
+    val idsGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.pick(n, 0L to 20L).map(_.toList))
+    cases(Gen.zip(idsGen, idsGen)).foreach { case (e, a) =>
+      val row = spark.range(1).select(
+        Metrics.recallAtK(typedLit(e), typedLit(a), 5).as("r"),
+        Metrics.precisionAtK(typedLit(e), typedLit(a), 5).as("p"),
+        Metrics.recallAtK(typedLit(e), typedLit(e), 5).as("self"))
+        .collect()(0)
+      assert(row.getDouble(0) >= 0.0 && row.getDouble(0) <= 1.0)
+      assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0)
+      assert(row.getDouble(2) == 1.0)
+    }
+  }
+
+  test("topK returns min(k, n) rows with monotone non-increasing scores") {
+    import spark.implicits._
+    cases(Gen.zip(Gen.choose(1, 12), Gen.choose(1, 8)), n = 10).foreach { case (n, k) =>
+      val vecs = (0 until n).map(i => (i.toLong, Array(i.toFloat + 1, 1f, 0f)))
+        .toDF("vec_id", "embedding")
+      val q = Seq(Tuple1(Array(1f, 1f, 0f))).toDF("qe")
+      val rows = Knn.topK(vecs, q, k).collect()
+      assert(rows.length == math.min(k, n))
+      val scores = rows.map(_.getDouble(1))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}
