@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftEngine
 import graft.functions.VectorOps
 import graft.operators.Knn
 
@@ -68,6 +69,17 @@ object VectorQueries extends QueryRegistry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("dim").asc)),
 
+    // generate_random_vectors parity (utils.rs:26-39), seeded: the
+    // oracle pins the deterministic SHAPE contract (count, dim, range)
+    "random_vectors_profile" -> ((s, dir) =>
+      GraftEngine.generateRandomVectors(s, dim = 16, num = 100, seed = 42L)
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          min(size(col("embedding"))).cast("long").as("min_dim"),
+          max(size(col("embedding"))).cast("long").as("max_dim"),
+          min(array_min(col("embedding"))).geq(-1.0f).cast("long").as("all_ge_lo"),
+          max(array_max(col("embedding"))).lt(1.0f).cast("long").as("all_lt_hi"))),
+
     // metadata JSON-path predicate (the reference's demo filter,
     // vector_db/examples/local_storage_demo.rs:115-130): wrap rows in
     // collection-shaped JSON metadata, then filter on a JSON path
@@ -132,6 +144,11 @@ object VectorQueries extends QueryRegistry {
         |FROM embeddings
         |GROUP BY 1
         |ORDER BY dim ASC""".stripMargin,
+    "random_vectors_profile" ->
+      """SELECT CAST(100 AS BIGINT) AS n_vectors,
+        |       CAST(16 AS BIGINT) AS min_dim, CAST(16 AS BIGINT) AS max_dim,
+        |       CAST(1 AS BIGINT) AS all_ge_lo, CAST(1 AS BIGINT) AS all_lt_hi""".stripMargin,
+
     "metadata_filter" ->
       """SELECT vec_id FROM embeddings
         |WHERE json_extract_string(to_json(struct_pack(label := label)), '$.label') = '3'
