@@ -117,4 +117,40 @@ object Knn {
       .filter(col("rank") <= k)
       .orderBy(col(queryIdCol).asc, col("rank").asc)
   }
+
+  /** Multi-query KNN via the bounded-heap typed aggregate
+    * (TopKAggregate): identical results to `topKPerQuery`, but the
+    * shuffle carries (queries × k) rows instead of (queries × n) —
+    * map-side partial top-k, the plan you want at 100 TB. */
+  def topKPerQueryAgg(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: Metric = Cosine,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "qe"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val scored = vectors
+      .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
+      .select(
+        col(queryIdCol).as("qid"),
+        col(idCol).as("id"),
+        stableScore(metric.score(col(vecCol), col(queryVecCol))).as("score"))
+      .as[(Long, Long, Double)]
+    scored
+      .groupByKey(_._1)
+      .agg(TopKAggregate.topK[(Long, Long, Double)](k)(r => (r._2, r._3))
+        .toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid").as(queryIdCol),
+        posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(queryIdCol),
+        col("entry._1").as(idCol),
+        col("entry._2").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col(queryIdCol).asc, col("rank").asc)
+  }
 }

@@ -92,6 +92,16 @@ object VectorQueries extends QueryRegistry {
         .orderBy(col("vec_id"))
         .limit(25)),
 
+    // multi-query KNN via the bounded-heap typed aggregate: identical
+    // results to knn_multi (shared oracle), but the shuffle carries
+    // queries×k rows instead of queries×n
+    "knn_multi_agg" -> ((s, dir) => {
+      val qs = embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      Knn.topKPerQueryAgg(embeddings(s, dir), qs, 3)
+        .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+    }),
+
     // multi-query KNN: the similarity-join shape (top-3 for vec_id<5)
     "knn_multi" -> ((s, dir) => {
       val qs = embeddings(s, dir).filter(col("vec_id") < 5)
@@ -153,6 +163,21 @@ object VectorQueries extends QueryRegistry {
       """SELECT vec_id FROM embeddings
         |WHERE json_extract_string(to_json(struct_pack(label := label)), '$.label') = '3'
         |ORDER BY vec_id LIMIT 25""".stripMargin,
+
+    "knn_multi_agg" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         round(${cosine("e.embedding", "q.qe")}, 6) + 0.0 AS score
+         |  FROM embeddings e, q),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
 
     "knn_multi" ->
       s"""WITH q AS (

@@ -59,6 +59,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"))
   }
 
+  test("multi-query knn via typed aggregate: partial top-k before the shuffle, no window") {
+    val p = plan("knn_multi_agg")
+    assert(p.contains("partial_topk") || p.contains("partial_TopK")
+      || "partial".r.findFirstIn(p).isDefined) // map-side partial aggregation present
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "))
+  }
+
   test("lineitem scans never read unused money columns for count queries") {
     val p = plan("order_priority_count")
     assert(p.contains("ReadSchema: struct<o_orderpriority:string>")
