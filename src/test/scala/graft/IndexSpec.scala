@@ -87,6 +87,31 @@ class IndexSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall $mean too low: $recalls")
   }
 
+  test("hnsw: LSH-blocked build yields a candidate-pruned adjacency that still self-recalls") {
+    val small = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 120).cache()
+    val hnsw = new Hnsw(m = 8, ef = 32, seed = 42L)
+    val full = hnsw.buildAdjacency(small)
+    // coarse blocker (few planes -> big buckets) keeps most neighbors
+    val blocked = hnsw.buildAdjacency(small, blocker = Some(new Lsh(numPlanes = 2, seed = 1L)))
+    assert(blocked.count() > 0 && blocked.count() <= full.count())
+    // blocked edges only connect same-bucket pairs, still bounded by M
+    val deg = blocked.groupBy(col("node_id"), col("level"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+      .agg(max(col("d"))).collect()(0).getLong(0)
+    assert(deg <= 8)
+    // every blocked edge connects two nodes of the same LSH bucket
+    // (the contract that makes the build Σ|bucket|² instead of n²)
+    val lsh = new Lsh(numPlanes = 2, seed = 1L)
+    val buckets = lsh.index(small).select(col("vec_id"), col("bucket"))
+    val crossBucket = blocked
+      .join(buckets.select(col("vec_id").as("node_id"), col("bucket").as("nb")), "node_id")
+      .join(buckets.select(col("vec_id").as("neighbor_id"), col("bucket").as("mb")), "neighbor_id")
+      .filter(col("nb") =!= col("mb"))
+      .count()
+    assert(crossBucket == 0L)
+  }
+
   test("metrics: recall@k and precision@k clamp like the reference (utils.rs:64-96)") {
     val df = Seq(
       (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 5L, 6L)),  // 2/4 overlap in top-4
