@@ -119,6 +119,30 @@ object RelationalQueries extends QueryRegistry {
           sum(col("c")).cast("long").as("n_items")))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // ROLLUP hierarchy totals (subtotal + grand-total rows); NULLS FIRST
+    // ordering pinned explicitly since engines default differently
+    "rollup_revenue" -> ((s, dir) =>
+      lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // set operations: segment membership vs active-buyer membership
+    "customer_set_ops" -> ((s, dir) => {
+      val building = customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val buyers = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val inter = building.intersect(buyers).agg(count(lit(1)).as("n_building_buyers"))
+      val minus = building.except(buyers).agg(count(lit(1)).as("n_building_inactive"))
+      val uni = building.union(buyers).distinct().agg(count(lit(1)).as("n_either"))
+      inter.crossJoin(minus).crossJoin(uni)
+    }),
+
     // dim rollup: customer count + exact decimal balance sum per nation
     "nation_customer_rollup" -> ((s, dir) =>
       customer(s, dir)
@@ -197,6 +221,23 @@ object RelationalQueries extends QueryRegistry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum((CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "customer_set_ops" ->
+      """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT
+        |  CAST((SELECT count(*) FROM (SELECT * FROM building INTERSECT SELECT * FROM buyers)) AS BIGINT) AS n_building_buyers,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM building EXCEPT SELECT * FROM buyers)) AS BIGINT) AS n_building_inactive,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM building UNION SELECT * FROM buyers)) AS BIGINT) AS n_either""".stripMargin,
 
     "nation_customer_rollup" ->
       """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers,
