@@ -77,6 +77,17 @@ object TextOps {
   def fingerprint(toks: Column): Column =
     aggregate(toks, lit(0L), (h, t) => (h * 31 + tokenHashP(t)) % P)
 
+  /** Winnowing fingerprints (MOSS-style): the distinct set of
+    * per-window minima over the shingle-hash sequence, window size w.
+    * Guarantees any shared run of >= w+n-1 tokens between two docs
+    * shares at least one fingerprint — the robust containment detector
+    * (rolling `fingerprint` is whole-doc; this is local). */
+  def winnow(shHashes: Column, w: Int): Column =
+    when(size(shHashes) < w, array_distinct(shHashes))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(shHashes) - (w - 1)),
+        i => array_min(slice(shHashes, i, lit(w))))))
+
   /** 16-bit SimHash over token md5s: bit b set iff the ±1 vote sum of
     * that bit across tokens is > 0. Bit tests use modulo arithmetic
     * ((h mod 2^(b+1)) >= 2^b) instead of shifts so the bit index can be

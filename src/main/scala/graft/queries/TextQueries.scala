@@ -117,6 +117,32 @@ object TextQueries extends QueryRegistry {
           TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // winnowing: per-doc fingerprint-set profile (w=4 over 5-gram
+    // hashes); shared fingerprints between docs = containment signal
+    "winnow_fingerprints" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val shh = TextOps.shingleHashes(TextOps.shingles(toks, Dedup.ShingleN))
+      documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), TextOps.winnow(shh, 4).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fingerprints"),
+          array_min(col("fps")).as("min_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-source quality rollup (decimal-exact mean of rounded scores)
+    "source_quality_rollup" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("source"),
+          round(TextOps.qualityScore(col("text")), 6)
+            .cast("decimal(12,6)").as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          // cast the exact decimal sum to double BEFORE dividing —
+          // decimal-division scale rules differ between engines
+          round(sum(col("q")).cast("double") / count(lit(1)), 6).as("avg_quality"))
+        .orderBy(col("source"))),
+
     // exact dedup: content-hash group-size histogram
     "exact_dup_hist" -> ((s, dir) =>
       Dedup.exactDupGroups(documents(s, dir))
@@ -204,6 +230,30 @@ object TextQueries extends QueryRegistry {
          |              list_transform(toks, t -> ${F.md5L("t")} % ${F.P})),
          |            (h, x) -> (h * 31 + x) % ${F.P}) AS BIGINT) AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 50),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |win AS (SELECT doc_id,
+         |          CASE WHEN len(shh) < 4 THEN list_distinct(shh)
+         |               ELSE list_distinct(list_transform(generate_series(1, len(shh)-3),
+         |                      i -> list_min(shh[i:i+3]))) END AS fps
+         |        FROM hs)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+         |       CAST(list_min(fps) AS BIGINT) AS min_fp
+         |FROM win ORDER BY doc_id""".stripMargin,
+
+    "source_quality_rollup" ->
+      s"""WITH t AS (SELECT source, text, ${F.toks("text")} AS toks FROM documents),
+         |q AS (SELECT source,
+         |        CAST(round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |               + ${F.stopRatio} * 0.3
+         |               + (1.0 - ${F.punct}) * 0.3, 6) AS DECIMAL(12,6)) AS q
+         |      FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "exact_dup_hist" ->
       s"""WITH g AS (SELECT ${F.md5L("text")} AS ch, count(*) AS cnt FROM documents GROUP BY 1)

@@ -75,6 +75,26 @@ class TextSpec extends SparkSpec {
     assert(pairs(0).getDouble(2) == 1.0)
   }
 
+  test("winnowing: containment guarantee — shared long run shares a fingerprint") {
+    def w(i: Int) = "w" + ("a" + ('a' + i % 26).toChar.toString) * (i / 26 + 1)
+    val shared = (1 to 15).map(w).mkString(" ") // long shared run
+    val docs = Seq(
+      (0L, shared + " " + (20 to 40).map(w).mkString(" ")),
+      (1L, (50 to 70).map(w).mkString(" ") + " " + shared))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      TextOps.winnow(TextOps.shingleHashes(
+        TextOps.shingles(TextOps.tokens(col("text")), 5)), 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(0L).intersect(fps(1L)).nonEmpty)
+    // disjoint docs share nothing
+    val other = Seq((2L, (100 to 130).map(w).mkString(" "))).toDF("doc_id", "text")
+      .select(TextOps.winnow(TextOps.shingleHashes(
+        TextOps.shingles(TextOps.tokens(col("text")), 5)), 4))
+      .collect()(0).getSeq[Long](0).toSet
+    assert(fps(0L).intersect(other).isEmpty)
+  }
+
   test("language-ID and quality score are deterministic and bounded") {
     val df = Seq((0L, "the fast hash scan table table scan")).toDF("doc_id", "text")
     val r = df.select(TextOps.langId(col("text")), TextOps.qualityScore(col("text"))).collect()(0)
