@@ -82,6 +82,20 @@ object RelationalQueries extends QueryRegistry {
         .orderBy(col("total_qty").desc, col("p_type").asc)
         .limit(10)),
 
+    // TPC-H Q4 proper: orders WITH AT LEAST ONE late-shipped lineitem
+    // (EXISTS = left-semi join; at scale the semi join shuffles only
+    // orderkeys, never the payload)
+    "q4_priority_exists" -> ((s, dir) => {
+      val late = lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"))
+      orders(s, dir)
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // TPC-H Q4 shape: order priority histogram in a date window
     "order_priority_count" -> ((s, dir) =>
       orders(s, dir)
@@ -195,6 +209,15 @@ object RelationalQueries extends QueryRegistry {
         |GROUP BY p.p_type
         |ORDER BY total_qty DESC, p.p_type ASC
         |LIMIT 10""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > TIMESTAMP '1998-01-01')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "order_priority_count" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

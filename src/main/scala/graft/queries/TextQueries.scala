@@ -159,6 +159,29 @@ object TextQueries extends QueryRegistry {
     "semantic_dedup" -> ((s, dir) =>
       Dedup.semanticNearDups(documents(s, dir), embeddings(s, dir), 0.15)),
 
+    // end-to-end dedup APPLICATION: detect near-dup pairs, drop the
+    // higher doc_id of each pair via anti-join, count survivors — the
+    // corpus-purge step that follows detection in a real pipeline
+    "near_dup_purge" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val drops = Dedup.minhashNearDups(docs, 0.3)
+        .select(col("b").as("doc_id")).distinct()
+      val kept = docs.join(drops, Seq("doc_id"), "left_anti")
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val dropped = drops.agg(count(lit(1)).as("n_dropped"))
+      val surviving = kept.agg(count(lit(1)).as("n_kept"))
+      total.crossJoin(dropped).crossJoin(surviving)
+    }),
+
+    // distribution stats: exact interpolated quantiles of doc length
+    "lang_char_quantiles" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
+        .orderBy(col("lang"))),
+
     // exact all-pairs n-gram Jaccard on a bounded subset
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
@@ -303,6 +326,33 @@ object TextQueries extends QueryRegistry {
          |FROM j
          |WHERE round(jaccard * 0.5 + greatest(cos, 0.0) * 0.5, 6) >= 0.15
          |ORDER BY a, b""".stripMargin,
+
+    "near_dup_purge" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0, ${Dedup.MinhashH - 1}), i ->
+         |          coalesce(list_min(list_transform(shh, x -> ((i*2+1)*x + 7919*i) % ${F.P})), ${F.P})) AS sig
+         |        FROM hs),
+         |bnd AS (SELECT doc_id, b AS band,
+         |          list_reduce(list_prepend(0::BIGINT, sig[b*${Dedup.Rows}+1 : b*${Dedup.Rows}+${Dedup.Rows}]),
+         |                      (h, x) -> (h * 31 + x) % ${F.P}) AS band_hash
+         |        FROM sig, (SELECT unnest(generate_series(0, ${Dedup.Bands - 1})) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bnd x JOIN bnd y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT c.a, c.b FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
+         |          WHERE round(${F.jac("x.sh", "y.sh")}, 6) >= 0.3),
+         |drops AS (SELECT DISTINCT b AS doc_id FROM pairs)
+         |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_total,
+         |       CAST((SELECT count(*) FROM drops) AS BIGINT) AS n_dropped,
+         |       CAST((SELECT count(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)) AS BIGINT) AS n_kept""".stripMargin,
+
+    "lang_char_quantiles" ->
+      """SELECT lang,
+        |       round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+        |       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "ngram_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 150),
