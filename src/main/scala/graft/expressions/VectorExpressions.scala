@@ -141,3 +141,21 @@ object GraftFunctions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
   }
 }
+
+/** SparkSessionExtensions entry point — the config-driven route:
+  * `--conf spark.sql.extensions=graft.expressions.GraftExtensions`
+  * injects the native functions into every session of the cluster,
+  * no code call needed (the deployment story for a shared cluster;
+  * `GraftFunctions.register` stays for embedded/library use). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

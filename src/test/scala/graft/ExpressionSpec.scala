@@ -40,6 +40,17 @@ class ExpressionSpec extends SparkSpec {
     assert(r == 0.0)
   }
 
+  test("native functions are reachable from SQL text; extensions apply cleanly") {
+    // SQL route (what spark.sql.extensions enables cluster-wide; here
+    // registered via GraftFunctions on the shared test session — a
+    // fresh-session extensions test would need its own JVM)
+    val r = spark.sql("SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F))")
+      .collect()(0).getDouble(0)
+    assert(r == 1.0)
+    new graft.expressions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+  }
+
   test("interpreted eval path agrees with codegen path") {
     // force interpreted evaluation by turning codegen off in a local op
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
