@@ -60,6 +60,35 @@ object EventQueries extends QueryRegistry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("k_mod"))),
 
+    // session-window aggregation: events grouped into lag-gap sessions,
+    // value attributed per session (the batch twin of the streaming
+    // session state in graft.streaming.EventStreams)
+    "events_session_values" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > SessionGapMs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(Dec)).cast("double").as("session_value"))
+        .filter(col("user_id") < 3)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // pivot: event counts per user across the 5 fixed event types
+    "events_type_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
     // daily counts with a running cumulative window per user (first 5 users)
     "events_user_running" -> ((s, dir) => {
       val daily = events(s, dir)
@@ -104,6 +133,36 @@ object EventQueries extends QueryRegistry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "events_session_values" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM x),
+        |sid AS (
+        |  SELECT user_id, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |FROM sid WHERE user_id < 3
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "events_type_pivot" ->
+      """SELECT user_id,
+        |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_user_running" ->
       """WITH d AS (

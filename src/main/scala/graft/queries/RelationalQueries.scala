@@ -105,6 +105,15 @@ object RelationalQueries extends QueryRegistry {
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))),
 
+    // string predicates: LIKE pushdown + per-brand rollup of widget parts
+    "widget_parts" -> ((s, dir) =>
+      part(s, dir)
+        .filter(col("p_name").like("%widget%") && col("p_size") >= 20)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          max(col("p_retailprice").cast(Dec)).cast("double").as("max_price"))
+        .orderBy(col("p_brand"))),
+
     // ranking window: top-3 customers by account balance per segment
     "segment_top_customers" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -225,6 +234,14 @@ object RelationalQueries extends QueryRegistry {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "widget_parts" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(max(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price
+        |FROM part
+        |WHERE p_name LIKE '%widget%' AND p_size >= 20
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     "segment_top_customers" ->
       """WITH r AS (
