@@ -69,11 +69,13 @@ object Dedup {
     * times. At 100 TB the same role is played by materializing the
     * signature table to parquet between the two jobs. */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    // cache BEFORE the signature fold: minhashSignature embeds the
+    // materialize BEFORE the signature fold: minhashSignature embeds the
     // shingle-hash array once per hash function, so without a
     // materialization boundary projection collapse re-runs md5 over
-    // every shingle MinhashH times
-    val hashed = shingled(docs).cache()
+    // every shingle MinhashH times. localCheckpoint (not cache) so the
+    // blocks are reclaimed by the ContextCleaner once this pipeline's
+    // result is consumed — repeated invocations don't pin storage memory
+    val hashed = shingled(docs).localCheckpoint()
     val sigs = hashed.withColumn(
       "sig", TextOps.minhashSignature(col("shh"), MinhashH))
     val cand = candidatePairs(bandTable(sigs))
@@ -112,7 +114,8 @@ object Dedup {
   def semanticNearDups(docs: DataFrame, emb: DataFrame,
       threshold: Double): DataFrame = {
     import graft.functions.VectorOps
-    val hashed = shingled(docs).cache()
+    // localCheckpoint, not cache: see minhashNearDups
+    val hashed = shingled(docs).localCheckpoint()
     val sigs = hashed.withColumn(
       "sig", TextOps.minhashSignature(col("shh"), MinhashH))
     val cand = candidatePairs(bandTable(sigs))
@@ -177,9 +180,11 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     // materialize token hashes BEFORE the 16-bit fold: simhash embeds
     // the hash array once per bit, so an inlined md5 would run 16x per
-    // token; the cache boundary blocks projection collapse
+    // token; the boundary blocks projection collapse. localCheckpoint,
+    // not cache, so blocks free up after the result is consumed
     val hashed = docs.select(col("doc_id"),
-      transform(TextOps.tokens(col("text")), t => TextOps.md5Long(t)).as("th")).cache()
+      transform(TextOps.tokens(col("text")), t => TextOps.md5Long(t)).as("th"))
+      .localCheckpoint()
     val sh = hashed.select(col("doc_id"),
       TextOps.simhash16FromHashes(col("th")).as("simhash"))
     val a = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))

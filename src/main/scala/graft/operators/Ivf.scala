@@ -30,11 +30,15 @@ class Ivf(nlist: Int, iters: Int) {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (s, x) => s + x)
 
-  /** Deterministic init: stride the corpus by vec_id rank. */
+  /** Deterministic init: stride the corpus by vec_id rank. May yield
+    * fewer than nlist centroids when the corpus is small or stride
+    * seeds collide — downstream sizing must use the returned length,
+    * not nlist. */
   def initCentroids(vecs: DataFrame): Array[(Int, Array[Double])] = {
     val ids = vecs.select(col("vec_id")).orderBy(col("vec_id")).collect().map(_.getLong(0))
     val stride = math.max(ids.length / nlist, 1)
-    val seedIds = (0 until nlist).map(i => ids(math.min(i * stride, ids.length - 1)))
+    val seedIds = (0 until nlist)
+      .map(i => ids(math.min(i * stride, ids.length - 1))).distinct
     vecs.filter(col("vec_id").isin(seedIds: _*))
       .orderBy(col("vec_id")).collect().zipWithIndex
       .map { case (r, i) =>
@@ -50,7 +54,9 @@ class Ivf(nlist: Int, iters: Int) {
     * tiebreak, entirely inside WholeStageCodegen. */
   def assignExpr(emb: Column, cents: Array[(Int, Array[Double])]): Column = {
     val cl = centroidLit(cents)
-    array_min(transform(sequence(lit(0), lit(nlist - 1)),
+    // size the probe sequence from the actual centroid count: initCentroids
+    // can return < nlist, and probing past the array end yields null dists
+    array_min(transform(sequence(lit(0), lit(cents.length - 1)),
       i => struct(
         sqDist(VectorOps.toDouble(emb), element_at(cl, i + 1)).as("d"),
         i.as("c"))))

@@ -71,10 +71,12 @@ object IndexQueries extends QueryRegistry {
     "hnsw_self_recall" -> ((s, dir) => {
       val emb = embeddings(s, dir).filter(col("vec_id") < 300)
       val hnsw = new Hnsw(m = 16, ef = 32, seed = 42L)
-      // two consumers (collectIndex + entryPoint) — build once
+      // two consumers (collectIndex + entryPoint) — build once; both
+      // consume eagerly, so the cache can be dropped before returning
       val adjacency = hnsw.buildAdjacency(emb).cache()
       val (adj, vecs) = hnsw.collectIndex(adjacency, emb)
       val entry = hnsw.entryPoint(adjacency)
+      adjacency.unpersist(blocking = false)
       val hits = (0L until 5L).map { qid =>
         val top = hnsw.serveQuery(adj, vecs, entry, vecs(qid), 1)
         (qid, if (top.headOption.exists(_._1 == qid)) 1L else 0L)

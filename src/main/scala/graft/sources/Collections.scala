@@ -132,10 +132,18 @@ class CollectionManager(spark: SparkSession, basePath: String) {
       .collect().map(_.getInt(0)).toSeq
     if (badDims.nonEmpty) throw DimensionMismatchException(meta.dimension, badDims)
 
+    // Rebase incoming ingest_seq past the current max (as appendRows does):
+    // raw monotonically_increasing_id values would collide with existing
+    // seqs and could sort replaced rows before older ones, breaking the
+    // insertion-ordered allVectors contract (sqlite_storage.rs:122-138).
+    val base = scan(name)
+      .agg(coalesce(max(col("ingest_seq")), lit(-1L))).collect()(0).getLong(0)
+    val rebased = incoming
+      .withColumn("ingest_seq", col("ingest_seq") + lit(base + 1))
     val survivors = scan(name)
       .join(incoming.select("id"), Seq("id"), "left_anti")
       .select(schema.fieldNames.map(col): _*)
-    rewrite(name, survivors.unionByName(incoming), meta)
+    rewrite(name, survivors.unionByName(rebased), meta)
   }
 
   /** Strict delete: MissingId if the id is absent (src/storage.rs:42-47). */

@@ -102,7 +102,9 @@ class KwiReaderFactory(required: StructType) extends PartitionReaderFactory {
           case "metadata" => cur._3.map(UTF8String.fromString).orNull
           case other => throw new IllegalArgumentException(s"unknown column $other")
         }))
-      override def close(): Unit = ()
+      // release the underlying file handle even when the scan terminates
+      // early (limit pushdown, task cancellation)
+      override def close(): Unit = it.close()
     }
   }
 }

@@ -112,34 +112,42 @@ object KwiFormat {
     out.write(bb.array())
   }
 
-  private[sources] def readRecords(p: Path): Iterator[(String, Array[Float], Option[String])] = {
-    val declared = count(p.toString)
-    val in = new DataInputStream(
+  /** Closeable record iterator: drains to EOF normally, but callers that
+    * stop early (limit pushdown, task kill) must call `close()` or the
+    * file handle leaks — the DSv2 PartitionReader wires this into its
+    * own close(). */
+  final class RecordIterator(p: Path)
+      extends Iterator[(String, Array[Float], Option[String])]
+      with AutoCloseable {
+    private val declared = KwiFormat.count(p.toString)
+    private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(p.toFile)))
     in.skipNBytes(HeaderSize)
-    new Iterator[(String, Array[Float], Option[String])] {
-      private var remaining = declared
-      def hasNext: Boolean = {
-        if (remaining <= 0) { in.close(); false } else true
-      }
-      def next(): (String, Array[Float], Option[String]) = {
-        try {
-          val id = new String(readLenPrefixed(in), "UTF-8")
-          val dim = readIntLE(in)
-          val data = new Array[Float](dim)
-          val buf = new Array[Byte](dim * 4)
-          in.readFully(buf)
-          val fb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-          var i = 0
-          while (i < dim) { data(i) = fb.getFloat(); i += 1 }
-          val metaBytes = readLenPrefixed(in)
-          val meta = if (metaBytes.isEmpty) None else Some(new String(metaBytes, "UTF-8"))
-          remaining -= 1
-          (id, data, meta)
-        } catch { case e: EOFException => in.close(); throw e }
-      }
+    private var remaining = declared
+    private var closed = false
+    def close(): Unit = if (!closed) { closed = true; in.close() }
+    def hasNext: Boolean = {
+      if (remaining <= 0) { close(); false } else true
+    }
+    def next(): (String, Array[Float], Option[String]) = {
+      try {
+        val id = new String(readLenPrefixed(in), "UTF-8")
+        val dim = readIntLE(in)
+        val data = new Array[Float](dim)
+        val buf = new Array[Byte](dim * 4)
+        in.readFully(buf)
+        val fb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < dim) { data(i) = fb.getFloat(); i += 1 }
+        val metaBytes = readLenPrefixed(in)
+        val meta = if (metaBytes.isEmpty) None else Some(new String(metaBytes, "UTF-8"))
+        remaining -= 1
+        (id, data, meta)
+      } catch { case e: EOFException => close(); throw e }
     }
   }
+
+  private[sources] def readRecords(p: Path): RecordIterator = new RecordIterator(p)
 
   private def readIntLE(in: DataInputStream): Int = {
     val b = new Array[Byte](4)

@@ -58,21 +58,31 @@ object EventStreams {
       .mapGroupsWithState[SessionState, SessionUpdate](
         GroupStateTimeout.EventTimeTimeout) {
         case (userId, batch, state: GroupState[SessionState]) =>
-          val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-          // events within one trigger arrive unordered: sort by event time
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var s = prev
-          sorted.foreach { e =>
-            val ms = e.ts.getTime
-            s =
-              if (s.lastSeenMs == Long.MinValue || ms - s.lastSeenMs > SessionGapMs)
-                SessionState(s.sessionCount + 1, ms, 1L)
-              else
-                SessionState(s.sessionCount, ms, s.eventsInSession + 1L)
+          if (state.hasTimedOut) {
+            // Timeout fire: the session is closed by silence. Emit its final
+            // shape and drop the state — re-arming a timeout here would use a
+            // timestamp at/below the watermark (Spark rejects it), and keeping
+            // the state would break the bounded-state guarantee.
+            val s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            state.remove()
+            SessionUpdate(userId, s.sessionCount, s.eventsInSession)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            // events within one trigger arrive unordered: sort by event time
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = prev
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              s =
+                if (s.lastSeenMs == Long.MinValue || ms - s.lastSeenMs > SessionGapMs)
+                  SessionState(s.sessionCount + 1, ms, 1L)
+                else
+                  SessionState(s.sessionCount, ms, s.eventsInSession + 1L)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastSeenMs + SessionGapMs)
+            SessionUpdate(userId, s.sessionCount, s.eventsInSession)
           }
-          state.update(s)
-          state.setTimeoutTimestamp(s.lastSeenMs + SessionGapMs)
-          SessionUpdate(userId, s.sessionCount, s.eventsInSession)
       }
   }
 

@@ -89,6 +89,20 @@ class StorageSpec extends SparkSpec {
     assert(got("a") === v3b.toSeq)
   }
 
+  test("upsert rebases ingest_seq: replaced rows sort after survivors") {
+    val cm = new CollectionManager(spark, freshBase())
+    cm.createCollection("c", 3)
+    cm.insert("c", rows("a" -> v3a, "b" -> v3b))
+    cm.upsert("c", rows("a" -> v3b, "z" -> v3a))
+    // INSERT OR REPLACE re-inserts: survivors keep their position, the
+    // upserted batch lands after them in batch order — and no two rows
+    // may share a seq (the raw monotonic ids collided before the fix)
+    assert(cm.allVectors("c").select("id").as[String].collect()
+      === Array("b", "a", "z"))
+    val seqs = cm.scan("c").select("ingest_seq").as[Long].collect()
+    assert(seqs.distinct.length === seqs.length)
+  }
+
   test("insertion-order scan + sidecar stats + optimize") {
     val cm = new CollectionManager(spark, freshBase())
     cm.createCollection("c", 3)

@@ -52,6 +52,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize survives event-time timeouts: closes the session, drops state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventIn]
+    val q = EventStreams.toMemorySink(
+      EventStreams.sessionize(in.toDS()).toDF(), "sessions_timeout_test",
+      OutputMode.Update())
+    try {
+      // user 7's session: events at t=0 and t=10min
+      in.addData(EventIn(1, ts(0), 7, "click", 0), EventIn(2, ts(10), 7, "view", 0))
+      q.processAllAvailable()
+      // another user far in the future pushes the watermark (delay 2h)
+      // past user 7's timeout (lastSeen + 30min)
+      in.addData(EventIn(3, ts(300), 8, "click", 0))
+      q.processAllAvailable()
+      // the next trigger fires user 7's timeout: before the hasTimedOut
+      // branch existed this threw (setTimeoutTimestamp below watermark)
+      // and killed the query
+      in.addData(EventIn(4, ts(310), 8, "view", 0))
+      q.processAllAvailable()
+      assert(q.isActive, q.exception.map(_.toString).getOrElse(""))
+      val user7 = spark.table("sessions_timeout_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 == 7L)
+      // timeout emission repeats the final session shape (1 session, 2 events)
+      assert(user7.nonEmpty && user7.forall(_ == ((7L, 1L, 2L))))
+    } finally q.stop()
+  }
+
   test("streaming type aggregate equals the batch groupBy on same data") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
