@@ -76,9 +76,23 @@ object Dedup {
     // blocks are reclaimed by the ContextCleaner once this pipeline's
     // result is consumed — repeated invocations don't pin storage memory
     val hashed = shingled(docs).localCheckpoint()
+    minhashNearDupsFrom(hashed, candidatesFrom(hashed), threshold)
+  }
+
+  /** Band-bucket candidate pairs from a materialized shingle table —
+    * the build phase of the dedup index (callers may persist and reuse
+    * it across queries, the same build/probe split as Index::build,
+    * kowari src/index.rs:124-156). */
+  def candidatesFrom(hashed: DataFrame): DataFrame = {
     val sigs = hashed.withColumn(
       "sig", TextOps.minhashSignature(col("shh"), MinhashH))
-    val cand = candidatePairs(bandTable(sigs))
+    candidatePairs(bandTable(sigs))
+  }
+
+  /** Probe phase: exact-Jaccard rerank of candidate pairs against the
+    * materialized shingle table. */
+  def minhashNearDupsFrom(hashed: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
     // select-based aliases (not withColumnRenamed) so the three branches
     // of this self-join get distinct attribute ids and resolve correctly
     val shA = hashed.select(col("doc_id").as("a"), col("sh").as("sha"))
@@ -113,12 +127,16 @@ object Dedup {
     * signal costs two broadcast-joinable lookups, not a second n² pass. */
   def semanticNearDups(docs: DataFrame, emb: DataFrame,
       threshold: Double): DataFrame = {
-    import graft.functions.VectorOps
     // localCheckpoint, not cache: see minhashNearDups
     val hashed = shingled(docs).localCheckpoint()
-    val sigs = hashed.withColumn(
-      "sig", TextOps.minhashSignature(col("shh"), MinhashH))
-    val cand = candidatePairs(bandTable(sigs))
+    semanticNearDupsFrom(hashed, candidatesFrom(hashed), emb, threshold)
+  }
+
+  /** Probe phase of semantic dedup over a prebuilt shingle table +
+    * candidate set. */
+  def semanticNearDupsFrom(hashed: DataFrame, cand: DataFrame,
+      emb: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
     val shA = hashed.select(col("doc_id").as("a"), col("sh").as("sha"))
     val shB = hashed.select(col("doc_id").as("b"), col("sh").as("shb"))
     val ea = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))

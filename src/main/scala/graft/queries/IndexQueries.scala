@@ -27,11 +27,30 @@ object IndexQueries extends QueryRegistry {
     df.filter(col("vec_id") === 0).select(col("embedding"))
       .collect()(0).getSeq[Float](0).toArray
 
+  // build-once/query-many artifacts shared across the declared queries
+  // that probe them (SharedBuilds scaladoc)
+  private def lshIndex(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "lsh16") {
+      new Lsh(numPlanes = 16, seed = 42L)
+        .index(embeddings(s, dir)).localCheckpoint()
+    }
+  private def hnswAdjacency(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "hnsw300") {
+      new Hnsw(m = 16, ef = 32, seed = 42L)
+        .buildAdjacency(embeddings(s, dir).filter(col("vec_id") < 300))
+        .localCheckpoint()
+    }
+  private def ivfIndex(s: SparkSession, dir: String): (Array[(Int, Array[Double])], DataFrame) =
+    SharedBuilds.of(s, dir, "ivf8x2") {
+      val (cents, assigned) = new Ivf(nlist = 8, iters = 2).build(embeddings(s, dir))
+      (cents, assigned.localCheckpoint())
+    }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lsh_knn" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val lsh = new Lsh(numPlanes = 16, seed = 42L)
-      lsh.query(s, lsh.index(emb), firstVec(emb), 10)
+      lsh.query(s, lshIndex(s, dir), firstVec(emb), 10)
     }),
 
     // multi-probe: query bucket + all 1-bit flips; at this scale the
@@ -40,7 +59,7 @@ object IndexQueries extends QueryRegistry {
     "lsh_multiprobe_knn" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val lsh = new Lsh(numPlanes = 16, seed = 42L)
-      lsh.queryMultiProbe(s, lsh.index(emb), firstVec(emb), 10)
+      lsh.queryMultiProbe(s, lshIndex(s, dir), firstVec(emb), 10)
     }),
 
     // precision@10 of the euclidean top-10 against the cosine top-20
@@ -65,18 +84,15 @@ object IndexQueries extends QueryRegistry {
 
     "lsh_bucket_stats" -> ((s, dir) => {
       val lsh = new Lsh(numPlanes = 16, seed = 42L)
-      lsh.bucketStats(lsh.index(embeddings(s, dir)))
+      lsh.bucketStats(lshIndex(s, dir))
     }),
 
     "hnsw_self_recall" -> ((s, dir) => {
       val emb = embeddings(s, dir).filter(col("vec_id") < 300)
       val hnsw = new Hnsw(m = 16, ef = 32, seed = 42L)
-      // two consumers (collectIndex + entryPoint) — build once; both
-      // consume eagerly, so the cache can be dropped before returning
-      val adjacency = hnsw.buildAdjacency(emb).cache()
+      val adjacency = hnswAdjacency(s, dir)
       val (adj, vecs) = hnsw.collectIndex(adjacency, emb)
       val entry = hnsw.entryPoint(adjacency)
-      adjacency.unpersist(blocking = false)
       val hits = (0L until 5L).map { qid =>
         val top = hnsw.serveQuery(adj, vecs, entry, vecs(qid), 1)
         (qid, if (top.headOption.exists(_._1 == qid)) 1L else 0L)
@@ -86,9 +102,7 @@ object IndexQueries extends QueryRegistry {
     }),
 
     "hnsw_degree_stats" -> ((s, dir) => {
-      val emb = embeddings(s, dir).filter(col("vec_id") < 300)
-      val hnsw = new Hnsw(m = 16, ef = 32, seed = 42L)
-      hnsw.buildAdjacency(emb)
+      hnswAdjacency(s, dir)
         .groupBy(col("node_id"), col("level"))
         .agg(count(lit(1)).as("degree"))
         .groupBy(col("level"))
@@ -104,14 +118,13 @@ object IndexQueries extends QueryRegistry {
     "ivf_knn" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val ivf = new Ivf(nlist = 8, iters = 2)
-      val (cents, assigned) = ivf.build(emb)
+      val (cents, assigned) = ivfIndex(s, dir)
       ivf.query(assigned, cents, firstVec(emb), 10, nprobe = 8)
     }),
 
     // IVF cell-size profile (rows-only gate: k-means isn't SQL)
     "ivf_cell_sizes" -> ((s, dir) => {
-      val ivf = new Ivf(nlist = 8, iters = 2)
-      val (_, assigned) = ivf.build(embeddings(s, dir))
+      val (_, assigned) = ivfIndex(s, dir)
       assigned.groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_vectors"))
         .orderBy(col("cluster"))

@@ -12,8 +12,22 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
-  def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  /** documents/embeddings feed per-row-HEAVY pipelines (tokenize +
+    * md5-shingle, higher-order vector math) that Spark evaluates in
+    * interpreted mode (HOFs have no codegen). The testdata parquet is a
+    * single row group, so the scan yields ONE partition and that work
+    * would serialize onto one core of 32. A round-robin repartition
+    * costs a sub-MB shuffle here and buys full map-side parallelism —
+    * the same move a 100 TB pipeline makes when a source arrives as few
+    * large unsplittable files. Filters still push through Repartition
+    * to the parquet scan, so pruned reads stay pruned. Relational
+    * tables (lineitem etc.) are NOT repartitioned: their scan+agg paths
+    * are whole-stage-codegen'd and measure faster without the extra
+    * exchange. */
+  private def spread(df: DataFrame, s: SparkSession): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, dir: String): DataFrame = spread(t(s, dir, "embeddings"), s)
+  def documents(s: SparkSession, dir: String): DataFrame = spread(t(s, dir, "documents"), s)
 
   /** `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark only
     * reads with spark.sql.legacy.parquet.nanosAsLong=true (set in every
@@ -35,6 +49,23 @@ object Tables {
   def supplier(s: SparkSession, dir: String): DataFrame = t(s, dir, "supplier")
   def nation(s: SparkSession, dir: String): DataFrame = t(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = t(s, dir, "region")
+}
+
+/** Session-scoped memo for built index artifacts (LSH buckets, HNSW
+  * adjacency, IVF assignment, MinHash signature/candidate tables) shared
+  * across the declared queries that probe them — the reference's
+  * build-once/query-many Index contract (kowari src/index.rs:8-12)
+  * materialized. Keyed by (session identity, data dir, artifact name);
+  * entries are localCheckpoint-backed DataFrames (or small driver-side
+  * structures), so a session's artifacts are reclaimed with the session.
+  * At 100 TB the same role is played by index parquet written once and
+  * scanned by every probe job. */
+object SharedBuilds {
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]
+  def of[T <: AnyRef](s: SparkSession, dir: String, key: String)(build: => T): T =
+    m.computeIfAbsent((System.identityHashCode(s), dir, key),
+      _ => build).asInstanceOf[T]
 }
 
 /** A named query + (optionally) its DuckDB oracle SQL. Registries of

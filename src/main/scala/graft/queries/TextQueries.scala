@@ -49,6 +49,19 @@ object TextQueries extends QueryRegistry {
       "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / length(text) END)"
   }
 
+  /** Shared dedup-index build: the three minhash-family queries
+    * (minhash_near_dups, semantic_dedup, near_dup_purge) probe the SAME
+    * shingle + candidate tables, so the build runs once per
+    * (session, data dir) and is materialized via localCheckpoint — the
+    * batch analogue of the reference's build-once/query-many Index
+    * contract (kowari src/index.rs:8-12). At 100 TB this is a signature
+    * table persisted to parquet between pipeline stages. */
+  private def sharedDedupIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    SharedBuilds.of(s, dir, "minhash-dedup") {
+      val hashed = Dedup.shingled(documents(s, dir)).localCheckpoint()
+      (hashed, Dedup.candidatesFrom(hashed).localCheckpoint())
+    }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tokenization stats (token counting op)
     "token_stats" -> ((s, dir) => {
@@ -122,8 +135,14 @@ object TextQueries extends QueryRegistry {
     "winnow_fingerprints" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
       val shh = TextOps.shingleHashes(TextOps.shingles(toks, Dedup.ShingleN))
-      documents(s, dir).filter(col("doc_id") < 50)
-        .select(col("doc_id"), TextOps.winnow(shh, 4).as("fps"))
+      // materialize the shingle hashes before winnowing: winnow embeds
+      // its input 4x and `fps` is consumed twice more, so the inlined
+      // tree grows to ~8 copies of the tokenize→shingle→md5 pipeline —
+      // the optimizer alone then costs seconds per planning pass
+      val hashed = documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), shh.as("shh")).localCheckpoint()
+      hashed
+        .select(col("doc_id"), TextOps.winnow(col("shh"), 4).as("fps"))
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fingerprints"),
           array_min(col("fps")).as("min_fp"))
@@ -151,21 +170,29 @@ object TextQueries extends QueryRegistry {
         .orderBy(col("group_size"))),
 
     // MinHash+LSH near-dup pipeline, exact-Jaccard reranked
-    "minhash_near_dups" -> ((s, dir) =>
-      Dedup.minhashNearDups(documents(s, dir), 0.3)),
+    "minhash_near_dups" -> ((s, dir) => {
+      val (hashed, cand) = sharedDedupIndex(s, dir)
+      Dedup.minhashNearDupsFrom(hashed, cand, 0.3)
+    }),
 
     // two-signal semantic dedup: MinHash text candidates scored on
     // exact Jaccard AND embedding cosine (doc_id aligns with vec_id)
-    "semantic_dedup" -> ((s, dir) =>
-      Dedup.semanticNearDups(documents(s, dir), embeddings(s, dir), 0.15)),
+    "semantic_dedup" -> ((s, dir) => {
+      val (hashed, cand) = sharedDedupIndex(s, dir)
+      Dedup.semanticNearDupsFrom(hashed, cand, embeddings(s, dir), 0.15)
+    }),
 
     // end-to-end dedup APPLICATION: detect near-dup pairs, drop the
     // higher doc_id of each pair via anti-join, count survivors — the
     // corpus-purge step that follows detection in a real pipeline
     "near_dup_purge" -> ((s, dir) => {
       val docs = documents(s, dir)
-      val drops = Dedup.minhashNearDups(docs, 0.3)
-        .select(col("b").as("doc_id")).distinct()
+      val (hashed, cand) = sharedDedupIndex(s, dir)
+      // materialize the drop set: three consumers below (dropped count,
+      // anti-join, survivor count) would otherwise re-run the whole
+      // MinHash pipeline per consumer
+      val drops = Dedup.minhashNearDupsFrom(hashed, cand, 0.3)
+        .select(col("b").as("doc_id")).distinct().localCheckpoint()
       val kept = docs.join(drops, Seq("doc_id"), "left_anti")
       val total = docs.agg(count(lit(1)).as("n_total"))
       val dropped = drops.agg(count(lit(1)).as("n_dropped"))
