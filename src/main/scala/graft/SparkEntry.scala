@@ -20,6 +20,8 @@ object SparkEntry {
     RelationalQueries,
     EventQueries,
     MultimodalQueries,
+    JoinQueries,
+    PipelineQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Corpus-level training-data pipeline operators: TF-IDF term scoring,
+  * deterministic stratified sampling, and per-label embedding centroid
+  * profiles. Each is a shape a 100 TB data-curation run needs —
+  * corpus-wide statistics joined back to per-document rows, hash-based
+  * reproducible sampling, and label-space geometry summaries.
+  *
+  * Cross-engine float determinism: every double reduction either sums
+  * exact integers/decimals or folds a deterministically-ORDERED list
+  * (collect_list → array_sort → aggregate on the Spark side, mirrored
+  * by list(x ORDER BY k) → list_reduce in DuckDB), so partial-agg
+  * ordering can never flake the oracle hash. IDF uses a plain N/df
+  * ratio (not log) — IEEE division is bit-identical across engines,
+  * libm log is not guaranteed to be.
+  */
+object PipelineQueries extends QueryRegistry {
+  import Tables._
+
+  /** Fold an array of doubles in a deterministic (pre-sorted) order. */
+  private def orderedSum(sortKey: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      transform(
+        array_sort(collect_list(struct(sortKey.as("k"), value.as("x")))),
+        e => e.getField("x")),
+      lit(0.0), (a, x) => a + x)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TF-IDF-style term scoring: corpus df + per-doc tf, top-3 terms
+    // per document for the first 10 docs. Two shuffles total: one
+    // keyed on (doc, term), one on term — never on raw text.
+    "tfidf_top_terms" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(dfreq, "term").crossJoin(n)
+        .filter(col("doc_id") < 10)
+        .withColumn("score",
+          round(col("tf") * (col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // deterministic hash-based 10% sample, stratified stats per lang —
+    // the reproducible-sampling op a curation pipeline uses instead of
+    // rand() (same rows on every engine, every run, any partitioning)
+    "stratified_sample_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .filter(TextOps.md5Long(
+          concat(lit("sample:"), col("doc_id").cast("string"))) % 10 === 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy(col("lang"))),
+
+    // per-label embedding centroid profile: positional mean vector per
+    // label (posexplode + (label, pos) aggregation — the same shape as
+    // the IVF Lloyd step), reduced to its L2 norm
+    "label_centroid_profile" -> ((s, dir) => {
+      val per = embeddings(s, dir).select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val dimMeans = per.groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          orderedSum(col("vec_id"), col("v").cast("double")).as("s"))
+        .withColumn("m", col("s") / col("n"))
+      dimMeans.groupBy(col("label"))
+        .agg(max(col("n")).cast("long").as("n_vectors"),
+          round(sqrt(orderedSum(col("pos"), col("m") * col("m"))), 6)
+            .as("centroid_norm"))
+        .orderBy(col("label"))
+    }),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "tfidf_top_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         round(tf.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score
+         |  FROM tf JOIN dfreq USING (term), n
+         |  WHERE tf.doc_id < 10),
+         |r AS (SELECT doc_id, term, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+         |      FROM scored)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "stratified_sample_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       round(avg(n_chars), 6) AS avg_chars
+        |FROM documents
+        |WHERE CAST(('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "label_centroid_profile" ->
+      """WITH per AS (
+        |  SELECT label, vec_id,
+        |         unnest(range(1, len(embedding)+1)) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |dm AS (
+        |  SELECT label, pos, count(*) AS n,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY vec_id)), (a, x) -> a + x) AS s
+        |  FROM per GROUP BY label, pos),
+        |m AS (SELECT label, pos, n, s / n AS m FROM dm)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+        |       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(m * m ORDER BY pos)), (a, x) -> a + x)), 6) AS centroid_norm
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+  )
+}
