@@ -79,15 +79,19 @@ object Dedup {
     minhashNearDupsFrom(hashed, candidatesFrom(hashed), threshold)
   }
 
+  /** (doc_id, band, band_hash) bucket table from a materialized shingle
+    * table — the probe-able dedup index surface (also the static side
+    * of the streaming rerank, graft.streaming.DedupStream). */
+  def candidateBands(hashed: DataFrame): DataFrame =
+    bandTable(hashed.withColumn(
+      "sig", TextOps.minhashSignature(col("shh"), MinhashH)))
+
   /** Band-bucket candidate pairs from a materialized shingle table —
     * the build phase of the dedup index (callers may persist and reuse
     * it across queries, the same build/probe split as Index::build,
     * kowari src/index.rs:124-156). */
-  def candidatesFrom(hashed: DataFrame): DataFrame = {
-    val sigs = hashed.withColumn(
-      "sig", TextOps.minhashSignature(col("shh"), MinhashH))
-    candidatePairs(bandTable(sigs))
-  }
+  def candidatesFrom(hashed: DataFrame): DataFrame =
+    candidatePairs(candidateBands(hashed))
 
   /** Probe phase: exact-Jaccard rerank of candidate pairs against the
     * materialized shingle table. */

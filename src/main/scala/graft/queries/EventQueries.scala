@@ -89,6 +89,31 @@ object EventQueries extends QueryRegistry {
         .na.fill(0L)
         .orderBy(col("user_id"))),
 
+    // exact distinct cardinality per type (shuffles the distinct pairs,
+    // the exact twin of the sketch query below)
+    "events_distinct_users" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))),
+
+    // sketch ops: HLL++ distinct + t-digest quantiles — the single-pass
+    // mergeable-summary shapes a 100 TB profile job uses instead of
+    // exact distinct/percentile (no oracle: sketch internals are
+    // implementation-defined, so the driver records a rows-only check;
+    // `events_distinct_users` and `lang_char_quantiles` pin the exact
+    // versions of both statistics)
+    "events_value_sketches" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          round(element_at(
+            expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)"), 1), 6)
+            .as("p50_value"))
+        .orderBy(col("event_type"))),
+
     // daily counts with a running cumulative window per user (first 5 users)
     "events_user_running" -> ((s, dir) => {
       val daily = events(s, dir)
@@ -163,6 +188,11 @@ object EventQueries extends QueryRegistry {
         |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_distinct_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_user_running" ->
       """WITH d AS (

@@ -128,6 +128,22 @@ object RelationalQueries extends QueryRegistry {
         .orderBy(col("c_mktsegment"), col("rnk"))
     }),
 
+    // ntile decile window: customers bucketed into 10 balance deciles
+    // (total order via the custkey tiebreak keeps the bucketing
+    // engine-identical), then per-decile rollup
+    "customer_balance_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      customer(s, dir)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(Dec)).cast("double").as("total_balance"))
+        .orderBy(col("decile"))
+        .select(col("decile").cast("long").as("decile"),
+          col("n_customers"), col("total_balance"))
+    }),
+
     // two-phase salted aggregation on a 6-value (maximally skewed) key:
     // decimal partials make the salted merge exactly equal the direct
     // groupBy, so the skew-safe plan shares the plain oracle
@@ -253,6 +269,16 @@ object RelationalQueries extends QueryRegistry {
         |       CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal
         |FROM r WHERE rnk <= 3
         |ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "customer_balance_deciles" ->
+      """WITH d AS (
+        |  SELECT c_acctbal,
+        |         ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS decile
+        |  FROM customer)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
 
     "salted_revenue" ->
       """SELECT l_returnflag, l_linestatus,

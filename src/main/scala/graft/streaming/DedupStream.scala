@@ -43,4 +43,46 @@ object DedupStream {
       .select(col("doc_id"), col("ts"), col("band"),
         TextOps.bandHash(col("sig"), col("band"), Rows).as("band_hash"))
   }
+
+  /** Streaming near-dup rerank against a STATIC corpus index: each
+    * incoming doc's band buckets probe the corpus band table (built
+    * offline, `Dedup.shingled` + `Dedup.candidatesFrom` family), and
+    * band matches are exact-Jaccard reranked against the corpus shingle
+    * table, emitting (doc_id, ts, corpus_doc_id, jaccard) pairs at or
+    * above the threshold.
+    *
+    * Scale shape: stream-static inner joins are STATELESS in Spark —
+    * no watermark state accumulates — and the static side is an index
+    * DataFrame (band-bucketed parquet at 100 TB), so each micro-batch
+    * costs Σ|matched bucket| rerank work, never a corpus scan. A doc
+    * matching a corpus doc in several bands emits that pair once per
+    * matching band; the downstream sink dedupes idempotently by
+    * (doc_id, corpus_doc_id) — a distinct here would force stateful
+    * aggregation for no semantic gain.
+    *
+    * @param corpusHashed static (doc_id, sh, shh) from Dedup.shingled */
+  def nearDupAgainstCorpus(docs: DataFrame, corpusHashed: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.operators.Dedup.{Bands, MinhashH, Rows, ShingleN}
+    val toks = TextOps.tokens(col("text"))
+    val streamSide = docs.select(col("doc_id"), col("ts"),
+      TextOps.shingles(toks, ShingleN).as("sh"))
+      .withColumn("sig",
+        TextOps.minhashSignature(TextOps.shingleHashes(col("sh")), MinhashH))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("ts"), col("sh"), col("band"),
+        TextOps.bandHash(col("sig"), col("band"), Rows).as("band_hash"))
+    val corpusBands = graft.operators.Dedup.candidateBands(corpusHashed)
+      .select(col("doc_id").as("corpus_doc_id"), col("band"), col("band_hash"))
+    val corpusSh = corpusHashed
+      .select(col("doc_id").as("corpus_doc_id"), col("sh").as("corpus_sh"))
+    streamSide
+      .join(corpusBands, Seq("band", "band_hash"))
+      .filter(col("doc_id") =!= col("corpus_doc_id"))
+      .join(corpusSh, "corpus_doc_id")
+      .select(col("doc_id"), col("ts"), col("corpus_doc_id"),
+        round(TextOps.jaccard(col("sh"), col("corpus_sh")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

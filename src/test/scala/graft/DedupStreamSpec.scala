@@ -46,4 +46,27 @@ class DedupStreamSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("stream-static near-dup rerank flags docs similar to the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val shared = (1 to 40).map(i => "tok" + ('a' + i % 26).toChar + (i % 7)).mkString(" ")
+    val corpus = Seq((100L, shared), (101L, "entirely different content " +
+      (1 to 40).map(i => "zz" + i).mkString(" "))).toDF("doc_id", "text")
+    val corpusHashed = graft.operators.Dedup.shingled(corpus).localCheckpoint()
+    val in = MemoryStream[Doc]
+    val q = EventStreams.toMemorySink(
+      DedupStream.nearDupAgainstCorpus(in.toDF(), corpusHashed, threshold = 0.5),
+      "rerank_test", OutputMode.Append())
+    try {
+      // doc 7 repeats the shared corpus text (near-dup of 100, not 101);
+      // doc 8 is novel
+      in.addData(Doc(7, ts(1), shared), Doc(8, ts(2), "totally novel words here " +
+        (1 to 40).map(i => "qq" + i).mkString(" ")))
+      q.processAllAvailable()
+      val pairs = spark.table("rerank_test").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).distinct.toSeq
+      assert(pairs.map(p => (p._1, p._2)) == Seq((7L, 100L)))
+      assert(pairs.head._3 == 1.0) // identical text -> Jaccard 1
+    } finally q.stop()
+  }
 }
