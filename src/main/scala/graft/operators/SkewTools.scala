@@ -40,4 +40,23 @@ object SkewTools {
       .groupBy(keys: _*)
       .agg(merge.head, merge.tail: _*)
   }
+
+  /** Salted equi-join for skewed keys when the small side is too large
+    * to broadcast: every big-side row gets a deterministic salt, the
+    * small side replicates once per salt bucket, and the join runs on
+    * (keys, salt) — each hot key's rows spread across `saltBuckets`
+    * reducers instead of funneling into one. Result equals the plain
+    * join (each big row matches exactly the replica carrying its salt).
+    * When the small side DOES fit in memory, prefer broadcast(small) —
+    * AQE's skew-join handles residual sort-merge skew at runtime, but
+    * salting is the planning-time answer for the pathological keys AQE
+    * splits can't fix (one key >> one partition). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltBuckets.toLong)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    saltedBig.join(replicated, keys :+ "_salt").drop("_salt")
+  }
 }

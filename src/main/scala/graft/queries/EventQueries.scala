@@ -114,6 +114,42 @@ object EventQueries extends QueryRegistry {
             .as("p50_value"))
         .orderBy(col("event_type"))),
 
+    // salted join on the maximally-skewed event_type key (5 values):
+    // the small side replicates per salt bucket, each hot key spreads
+    // across reducers; result equals the plain join the oracle runs
+    "salted_type_join" -> ((s, dir) => {
+      import s.implicits._
+      val weights = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+        ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+      graft.operators.SkewTools.saltedJoin(
+        events(s, dir).select(col("event_type"), col("value")),
+        weights, Seq("event_type"), saltBuckets = 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          // decimal-first: cast the INPUTS, multiply exactly (scale
+          // 4+1), never cast a double product (engines disagree on
+          // half-way cases — see graft-oracle-portability)
+          sum(col("value").cast(Dec) * col("weight").cast("decimal(4,1)"))
+            .cast("double").as("weighted_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // RANGE-frame moving average: corpus-wide daily counts smoothed
+    // over a 4-day [day-3, day] window keyed on a numeric day index
+    // (RANGE, not ROWS: calendar gaps widen the frame correctly)
+    "events_moving_avg" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("day_idx"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.orderBy(col("day_idx")).rangeBetween(-3, 0)
+      daily
+        .withColumn("avg_4d", round(avg(col("n_events")).over(w), 6))
+        .select(col("day_idx").cast("long").as("day_idx"),
+          col("n_events"), col("avg_4d"))
+        .orderBy(col("day_idx"))
+    }),
+
     // daily counts with a running cumulative window per user (first 5 users)
     "events_user_running" -> ((s, dir) => {
       val daily = events(s, dir)
@@ -193,6 +229,25 @@ object EventQueries extends QueryRegistry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "salted_type_join" ->
+      """WITH w(event_type, weight) AS (VALUES
+        |  ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+        |  ('signup', 5.0), ('error', 0.0))
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,4)) * CAST(w.weight AS DECIMAL(4,1))) AS DOUBLE) AS weighted_value
+        |FROM events e JOIN w ON e.event_type = w.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "events_moving_avg" ->
+      """WITH d AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(day_idx AS BIGINT) AS day_idx, n_events,
+        |       round(avg(n_events) OVER (ORDER BY day_idx
+        |         RANGE BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS avg_4d
+        |FROM d ORDER BY day_idx""".stripMargin,
 
     "events_user_running" ->
       """WITH d AS (

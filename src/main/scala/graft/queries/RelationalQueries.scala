@@ -168,6 +168,16 @@ object RelationalQueries extends QueryRegistry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // CUBE: all four grouping combinations in one pass (rollup's
+    // lattice sibling; Spark expands to an expanded-union aggregate)
+    "cube_revenue" -> ((s, dir) =>
+      lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // set operations: segment membership vs active-buyer membership
     "customer_set_ops" -> ((s, dir) => {
       val building = customer(s, dir)
@@ -294,6 +304,14 @@ object RelationalQueries extends QueryRegistry {
         |       CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum((CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "customer_set_ops" ->

@@ -71,4 +71,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<o_orderpriority:string>")
       || !p.contains("o_totalprice"))
   }
+
+  /** Full (untruncated) PushedFilters of every parquet scan in the
+    * query — plan.toString elides long filter lists with "...". */
+  private def pushedFilters(q: String): String = {
+    spark.catalog.clearCache()
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString(";")
+  }
+
+  test("q6: all three predicates reach the parquet scan") {
+    val f = pushedFilters("q6_forecast_revenue")
+    assert(f.contains("GreaterThanOrEqual(l_shipdate"), f)
+    assert(f.contains("GreaterThanOrEqual(l_discount,0.05)"), f)
+    assert(f.contains("LessThan(l_quantity,24.0)"), f)
+  }
+
+  test("documents filter pushes below the loader's repartition exchange") {
+    // the doc_id < 50 filter must reach the FileScan, not sit above the
+    // round-robin exchange (which would shuffle the whole corpus)
+    val f = pushedFilters("token_stats")
+    assert(f.contains("LessThan(doc_id,50)"), f)
+  }
+
+  test("range join plans as broadcast hash join, never nested-loop") {
+    val p = plan("price_band_rollup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("cube expands in one aggregate pass (Expand node, single scan)") {
+    val p = plan("cube_revenue")
+    assert(p.contains("Expand"))
+    assert("FileScan".r.findAllIn(p).size == 1)
+  }
 }

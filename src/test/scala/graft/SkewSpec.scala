@@ -22,6 +22,20 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted join equals the plain join exactly") {
+    import spark.implicits._
+    val big = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity"))
+    val dim = Seq(("A", 2L), ("N", 3L), ("R", 5L)).toDF("l_returnflag", "mult")
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity") * col("mult")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val plain = summarize(big.join(dim, "l_returnflag"))
+    val salted = summarize(SkewTools.saltedJoin(big, dim, Seq("l_returnflag"), 16))
+    assert(salted == plain)
+  }
+
   test("multi-probe LSH recall >= single-probe recall, both self-recall rank 1") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 7).select(col("embedding"))

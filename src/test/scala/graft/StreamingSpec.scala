@@ -80,6 +80,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late events: a row behind the watermark never lands") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventIn]
+    // Append mode: a window only emits once finalized by the watermark,
+    // and late rows behind it are discarded
+    val q = EventStreams.toMemorySink(
+      EventStreams.hourlyAggregate(in.toDF()), "late_test", OutputMode.Append())
+    try {
+      in.addData(EventIn(1, ts(10), 1, "click", 1.0), EventIn(2, ts(20), 1, "view", 2.0))
+      q.processAllAvailable()
+      // advance event time to 05:00 -> watermark 03:00 -> hour-0 window final
+      in.addData(EventIn(3, ts(300), 2, "click", 3.0))
+      q.processAllAvailable()
+      val afterFinal = spark.table("late_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+      assert(afterFinal == Seq(("2024-01-01 00:00:00.0", 2L)))
+      // this event is in hour 0, far behind the 03:00 watermark -> dropped
+      in.addData(EventIn(4, ts(30), 1, "late", 9.0))
+      q.processAllAvailable()
+      val afterLate = spark.table("late_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+      assert(afterLate == afterFinal) // unchanged: the late row was discarded
+    } finally q.stop()
+  }
+
   test("streaming type aggregate equals the batch groupBy on same data") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
