@@ -32,13 +32,19 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> once(name, fn)
     }
-    // Keep the JSON line compact (3-decimal secs): the driver captures only the
-    // tail of the build output, and an over-long line fails to parse there.
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // The driver captures only the last ~2000 chars of build output and the
+    // sbt success line follows this one, so the whole JSON must fit in
+    // ~1900 chars for ~77 queries: 2-decimal zero-stripped per-query secs,
+    // 3-decimal total, basename-only sf tag.
+    def fmt(v: Double, p: String): String = {
+      val s = p.formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, "%.1f") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }
