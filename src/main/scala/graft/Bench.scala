@@ -40,8 +40,24 @@ object Bench {
       val s = p.formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, "%.1f") }
-      .mkString("{", ",", "}")
+    // If the full per-query map would overflow the window, fold the
+    // fastest queries into one "other" bucket (slowest entries carry
+    // the signal the perf grade needs).
+    def mapJson(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v, "%.1f") }
+        .mkString("{", ",", "}")
+    val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
+    var keep = bySlowest.length
+    def assemble(n: Int): String = {
+      val kept = bySlowest.take(n)
+      val rest = bySlowest.drop(n)
+      val withOther =
+        if (rest.isEmpty) kept
+        else kept :+ ("other" -> rest.map(_._2).sum)
+      mapJson(withOther.sortBy(_._1))
+    }
+    var qs = assemble(keep)
+    while (qs.length > 1600 && keep > 1) { keep -= 8; qs = assemble(keep) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     println(s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
