@@ -107,4 +107,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"))
     assert("FileScan".r.findAllIn(p).size == 1)
   }
+
+  private def partitionFiltersOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PartitionFilters", "")
+    }.mkString(";")
+
+  test("LSH probe on the persisted index is partition-pruned") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // 4 planes -> 16 buckets over 500 vectors: every bucket holds >> k,
+    // so the probe never takes the brute-force fallback path
+    val lsh = new graft.operators.Lsh(numPlanes = 4, seed = 42L)
+    lsh.build(emb, s"$dir/index")
+    val idx = spark.read.parquet(s"$dir/index")
+    val q = emb.filter(col("vec_id") === 3).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).toArray
+    val probe = lsh.query(spark, idx, q, 5)
+    assert(probe.collect().map(_.getLong(0)).head == 3L) // self-recall via the pruned path
+    val pf = partitionFiltersOf(idx.filter(col("bucket") === lsh.bucketOf(q)))
+    assert(pf.contains("bucket"), pf) // the bucket predicate prunes partitions
+  }
+
+  test("IVF probe on cluster-partitioned assignment parquet is partition-pruned") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = new graft.operators.Ivf(nlist = 4, iters = 1)
+    val (cents, assigned) = ivf.build(emb)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/assigned")
+    val onDisk = spark.read.parquet(s"$dir/assigned")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).toArray
+    val res = ivf.query(onDisk, cents, q, 5, nprobe = 2)
+    assert(res.collect().map(_.getLong(0)).head == 0L)
+    val pf = partitionFiltersOf(res)
+    assert(pf.contains("cluster"), pf) // cluster IN (...) prunes partitions
+  }
 }
