@@ -172,6 +172,62 @@ object RelationalQueries extends QueryRegistry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // TPC-H Q7 shape: bilateral trade volume — the same nation dim
+    // joined in TWO roles (supplier side and customer side), so the
+    // alias discipline matters; revenue by nation pair and ship year
+    "q7_nation_volume" -> ((s, dir) => {
+      val n1 = nation(s, dir).select(col("n_nationkey").as("s_nkey"),
+        col("n_name").as("supp_nation"))
+      val n2 = nation(s, dir).select(col("n_nationkey").as("c_nkey"),
+        col("n_name").as("cust_nation"))
+      lineitem(s, dir)
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
+          (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+    }),
+
+    // anti join: segments' customers with NO order in the window
+    // (NOT EXISTS; the semi-join twin of q4_priority_exists — at scale
+    // both shuffle only keys, never payloads)
+    "inactive_customers" -> ((s, dir) => {
+      val buyers = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      customer(s, dir)
+        .join(buyers, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // full outer join: reconcile the customer dim against distinct
+    // 1996 buyers — matched / dim-only / fact-only counts in one pass
+    "customer_order_coverage" -> ((s, dir) => {
+      val buyers = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      customer(s, dir).select(col("c_custkey"))
+        .join(buyers, col("c_custkey") === col("o_custkey"), "full_outer")
+        .agg(
+          sum(when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, 1)
+            .otherwise(0)).cast("long").as("n_matched"),
+          sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("long")
+            .as("n_customer_only"),
+          sum(when(col("c_custkey").isNull, 1).otherwise(0)).cast("long")
+            .as("n_order_only"))
+    }),
+
     // CUBE: all four grouping combinations in one pass (rollup's
     // lattice sibling; Spark expands to an expanded-union aggregate)
     "cube_revenue" -> ((s, dir) =>
@@ -315,6 +371,43 @@ object RelationalQueries extends QueryRegistry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+        |       CAST(sum((CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+        |GROUP BY supp_nation, cust_nation, ship_year
+        |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+
+    "inactive_customers" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_inactive
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "customer_order_coverage" ->
+      """WITH buyers AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT
+        |  CAST(sum(CASE WHEN c.c_custkey IS NOT NULL AND b.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN b.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_only,
+        |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_order_only
+        |FROM customer c FULL OUTER JOIN buyers b ON c.c_custkey = b.o_custkey""".stripMargin,
 
     "cube_revenue" ->
       """SELECT l_returnflag, l_linestatus,
