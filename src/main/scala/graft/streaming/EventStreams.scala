@@ -86,6 +86,30 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks within the preceding 30 minutes — the online twin of the
+    * batch as-of/funnel pipeline (graft.operators.AsofJoin). Both sides
+    * carry watermarks and the join condition bounds the time range in
+    * BOTH directions, which is what lets Spark expire buffered rows on
+    * each side instead of holding unbounded join state — the
+    * stream-stream shape that survives at production scale. Emits every
+    * qualifying (click, purchase) pair as soon as both sides arrive. */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p, expr(
+      """user_id = p_user_id AND
+        |click_ts < purchase_ts AND
+        |click_ts >= purchase_ts - INTERVAL 30 MINUTES""".stripMargin))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+          .as("gap_ms"))
+  }
+
   /** Wire any streaming DataFrame to an in-memory sink (tests/demos). */
   def toMemorySink(df: DataFrame, queryName: String, mode: OutputMode) =
     df.writeStream.format("memory").queryName(queryName).outputMode(mode).start()

@@ -105,6 +105,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventIn]
+    val purchases = MemoryStream[EventIn]
+    val q = EventStreams.toMemorySink(
+      EventStreams.clickToPurchaseJoin(clicks.toDF(), purchases.toDF()),
+      "ssjoin_test", OutputMode.Append())
+    try {
+      clicks.addData(EventIn(1, ts(0), 7, "click", 0))
+      purchases.addData(
+        EventIn(2, ts(10), 7, "purchase", 0), // 10 min after the click: pairs
+        EventIn(3, ts(50), 7, "purchase", 0), // 50 min after: outside window
+        EventIn(4, ts(10), 8, "purchase", 0)) // other user: no click at all
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(rows == Seq((7L, 2L, 1L, 600000L)))
+    } finally q.stop()
+  }
+
   test("streaming type aggregate equals the batch groupBy on same data") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
