@@ -21,17 +21,23 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       (System.nanoTime() - t0) / 1e9
     }
-    // Criterion-style warmup pass (untimed): a fresh JVM spends ~60 s
-    // JIT-compiling Spark's interpreted expression evaluators and
-    // generated code, which otherwise lands arbitrarily on whichever
-    // queries happen to run first. The timed pass below measures
-    // steady-state throughput — the regime a long-running cluster job
-    // actually operates in. (The reference's own bench dependency,
-    // criterion, uses the same warmup-then-measure protocol.)
-    SparkEntry.queries.foreach { case (name, fn) => once(name, fn) }
+    // Two passes, BOTH reported (round-2 reported only the second,
+    // which made round-over-round totals methodology-confounded):
+    //  - cold pass: first execution in a fresh JVM — includes JIT of
+    //    the interpreted expression evaluators, codegen compilation,
+    //    AND every shared index build (SharedBuilds materializes
+    //    LSH/HNSW/IVF/minhash artifacts on first touch). This is the
+    //    end-to-end single-run cost.
+    //  - steady pass: re-execution against warm JIT + built indexes —
+    //    the regime a long-running cluster job operates in (criterion's
+    //    warmup-then-measure protocol). Per-query numbers come from
+    //    this pass; the cold total is carried alongside so consumers
+    //    can see both and the protocol is explicit in the JSON.
+    val cold = SparkEntry.queries.map { case (name, fn) => name -> once(name, fn) }
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> once(name, fn)
     }
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     // The driver captures only the last ~2000 chars of build output and the
     // sbt success line follows this one, so the whole JSON must fit in
     // ~1900 chars for ~77 queries: 2-decimal zero-stripped per-query secs,
@@ -60,7 +66,7 @@ object Bench {
     while (qs.length > 1600 && keep > 1) { keep -= 8; qs = assemble(keep) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","mode":"steady-state","cold_total_sec":${fmt(coldTotal, "%.3f")},"queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

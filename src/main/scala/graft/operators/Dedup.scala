@@ -174,16 +174,28 @@ object Dedup {
   def lshEmbeddingPairs(emb: DataFrame, nPlanes: Int, bandBits: Int,
       threshold: Double): DataFrame = {
     import graft.functions.VectorOps
-    val pw = typedLit((0 until bandBits).map(1L << _).toArray)
-    val planeVecs = emb.filter(col("vec_id") < nPlanes)
-      .select(col("vec_id").as("plane_id"), col("embedding").as("pe"))
-    val keys = emb.crossJoin(broadcast(planeVecs))
-      .select(col("vec_id"), col("plane_id"),
-        when(VectorOps.fastDot(col("embedding"), col("pe")) >= 0.0, 1L)
-          .otherwise(0L).as("bit"))
-      .groupBy(col("vec_id"), (col("plane_id") / bandBits).cast("int").as("band"))
-      .agg(sum(col("bit") * element_at(pw, (col("plane_id") % bandBits).cast("int") + 1))
-        .as("key"))
+    // The plane set is nPlanes ROWS — collect it once and inline it as
+    // literals, so every band key is one map-only codegen'd expression
+    // per row (exactly Lsh.bucketCol's shape). The round-2 version
+    // crossJoined the planes (a 16× row blowup) and then SHUFFLED the
+    // blown-up rows on (vec_id, band) to regroup bits — n×P rows through
+    // an exchange that this formulation never creates.
+    val planes: Array[Array[Double]] = emb.filter(col("vec_id") < nPlanes)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val nBands = (nPlanes + bandBits - 1) / bandBits
+    val bandKeys = (0 until nBands).map { b =>
+      val bits = (0 until bandBits).filter(j => b * bandBits + j < nPlanes)
+      val key = bits.map { j =>
+        when(VectorOps.fastDot(col("embedding"),
+          typedLit(planes(b * bandBits + j).toSeq)) >= 0.0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).cast("int").as("band"), key.as("key"))
+    }
+    val keys = emb
+      .select(col("vec_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val ka = keys.select(col("vec_id").as("a"), col("band"), col("key"))
     val kb = keys.select(col("vec_id").as("b"), col("band"), col("key"))
     val cand = ka.join(kb, Seq("band", "key")).filter(col("a") < col("b"))
@@ -197,8 +209,56 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Scale-safe SimHash pair generation via pigeonhole banding: split
+    * the 16 sketch bits into maxDist+1 disjoint bands — two sketches
+    * within Hamming distance maxDist differ in at most maxDist bands,
+    * so they must agree EXACTLY on at least one band. An equi-join per
+    * band therefore finds every qualifying pair (no recall loss), with
+    * one shuffle keyed on (band, band bits) — the same Σ|bucket|² shape
+    * as the MinHash path — followed by the exact Hamming rerank.
+    * Result-identical to the all-pairs `simhashPairs` baseline below,
+    * without its O(n²) crossJoin. */
+  def simhashPairsBanded(docs: DataFrame, maxDist: Int): DataFrame = {
+    val nBands = maxDist + 1
+    require(nBands >= 1 && nBands <= 16, "need 1..16 bands over 16 bits")
+    // same materialization reasoning as simhashPairs below
+    val hashed = docs.select(col("doc_id"),
+      transform(TextOps.tokens(col("text")), t => TextOps.md5Long(t)).as("th"))
+      .localCheckpoint()
+    val sh = hashed.select(col("doc_id"),
+      TextOps.simhash16FromHashes(col("th")).as("simhash"))
+    // nearly-even bit ranges: band b covers [offset, offset+width)
+    val base = 16 / nBands
+    val rem = 16 % nBands
+    val ranges = (0 until nBands).map { b =>
+      val width = base + (if (b < rem) 1 else 0)
+      val offset = b * base + math.min(b, rem)
+      (b, offset, width)
+    }
+    val bandCols = ranges.map { case (b, offset, width) =>
+      // simhash16 is non-negative, so shift+mod extracts the band bits
+      struct(lit(b).cast("int").as("band"),
+        (shiftright(col("simhash"), offset) % lit(1 << width)).as("key"))
+    }
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("doc_id").as("a"), col("simhash").as("ha"),
+      col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("b"), col("simhash").as("hb"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        TextOps.hamming16(col("ha"), col("hb")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct() // a pair agreeing on several bands appears once
+      .orderBy(col("a"), col("b"))
+  }
+
   /** SimHash near-dup pairs over a bounded subset: hamming(simhash16)
-    * <= maxDist. */
+    * <= maxDist. All-pairs crossJoin — the bounded correctness baseline
+    * for `simhashPairsBanded`; never run this on an unbounded corpus. */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     // materialize token hashes BEFORE the 16-bit fold: simhash embeds
     // the hash array once per bit, so an inlined md5 would run 16x per

@@ -67,10 +67,24 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
       case None =>
         left.join(right, Seq("level")).filter(col("src") =!= col("dst"))
       case Some(lsh) =>
-        // LSH-blocked candidate generation: only same-level pairs sharing
-        // a bucket. The 100-TB path — turns O(n²) into Σ|bucket|².
+        // LSH-blocked candidate generation: same-level pairs whose sign
+        // buckets differ by AT MOST ONE BIT. The 100-TB path — turns
+        // O(n²) into Σ|expanded bucket|·|bucket| — but with multi-probe
+        // expansion on the build side (each node also lands in every
+        // 1-bit-flip bucket, the same probe set queryMultiProbe uses):
+        // bucket-ONLY blocking makes the graph's connected components
+        // exactly the buckets, and a serve walk can never cross from
+        // the entry point's island to the query's. One-bit expansion
+        // links every pair of Hamming-adjacent buckets, so the bucket
+        // graph is a hypercube — connected whenever buckets are
+        // non-empty — while the blowup stays (numPlanes+1)× on one
+        // side only.
         val dim = vectors.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
-        val lb = left.withColumn("bucket", lsh.bucketCol(col("src_vec"), dim))
+        val probes = (b: Column) =>
+          array(b +: (0 until lsh.numPlanes)
+            .map(i => b.bitwiseXOR(lit(1L << i))): _*)
+        val lb = left
+          .withColumn("bucket", explode(probes(lsh.bucketCol(col("src_vec"), dim))))
         val rb = right.withColumn("bucket", lsh.bucketCol(col("dst_vec"), dim))
         lb.join(rb, Seq("level", "bucket")).filter(col("src") =!= col("dst"))
           .drop("bucket")
@@ -97,10 +111,17 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
     (r.getLong(0), r.getInt(1))
   }
 
-  /** Serve-time search (src/index.rs:314-355): greedy descent on levels
-    * max..1, ef-bounded BFS at level 0, exact cosine rerank of the
-    * visited set. Runs on the driver over collected maps — the serving
-    * set is the (small) index head, not the corpus.
+  /** Serve-time search: greedy descent on levels max..1
+    * (src/index.rs:321-324), ef-bounded BEST-FIRST expansion at level 0,
+    * exact cosine rerank of the visited set (src/index.rs:345-354).
+    * Runs on the driver over collected maps — the serving set is the
+    * (small) index head, not the corpus.
+    *
+    * Deviation by design: the reference expands level 0 with a plain
+    * FIFO BFS (src/index.rs:326-343); we expand closest-first (the
+    * standard HNSW ef-beam). Same visited-set bound, same rerank —
+    * strictly better recall per visited node, which matters once the
+    * graph is LSH-blocked and mediocre edges exist.
     */
   def serveQuery(
       adjacency: Map[(Long, Int), Seq[Long]],
@@ -124,15 +145,17 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
       }
       level -= 1
     }
-    // ef-bounded BFS at level 0 (src/index.rs:326-343)
-    val visited = mutable.LinkedHashSet[Long](current)
-    val queue = mutable.Queue[Long](current)
-    while (queue.nonEmpty && visited.size < ef) {
-      val u = queue.dequeue()
+    // ef-bounded best-first expansion at level 0: always expand the
+    // closest unexpanded node (max-heap on negated distance)
+    val visited = mutable.Set[Long](current)
+    val cand = mutable.PriorityQueue[(Double, Long)](
+      (-dist(current), current))(Ordering.by(_._1))
+    while (cand.nonEmpty && visited.size < ef) {
+      val (_, u) = cand.dequeue()
       for (n <- adjacency.getOrElse((u, 0), Seq.empty)
            if vecs.contains(n) && !visited.contains(n) && visited.size < ef) {
         visited += n
-        queue.enqueue(n)
+        cand.enqueue((-dist(n), n))
       }
     }
     // exact rerank (src/index.rs:345-354)

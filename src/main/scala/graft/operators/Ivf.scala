@@ -33,14 +33,20 @@ class Ivf(nlist: Int, iters: Int) {
   /** Deterministic init: stride the corpus by vec_id rank. May yield
     * fewer than nlist centroids when the corpus is small or stride
     * seeds collide — downstream sizing must use the returned length,
-    * not nlist. */
+    * not nlist.
+    *
+    * Scale shape: the driver sees exactly nlist rows. A count() sizes
+    * the stride and a map-only `vec_id % stride` filter selects the
+    * seed rows distributed — never a collect of the corpus id column
+    * (a full-column collect is a driver OOM long before 100 TB), and
+    * no global window either (a no-partition rank would funnel the
+    * corpus through one reducer). */
   def initCentroids(vecs: DataFrame): Array[(Int, Array[Double])] = {
-    val ids = vecs.select(col("vec_id")).orderBy(col("vec_id")).collect().map(_.getLong(0))
-    val stride = math.max(ids.length / nlist, 1)
-    val seedIds = (0 until nlist)
-      .map(i => ids(math.min(i * stride, ids.length - 1))).distinct
-    vecs.filter(col("vec_id").isin(seedIds: _*))
-      .orderBy(col("vec_id")).collect().zipWithIndex
+    val n = vecs.count()
+    val stride = math.max(n / nlist, 1L)
+    vecs.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nlist)
+      .orderBy(col("vec_id")).limit(nlist).collect().zipWithIndex
       .map { case (r, i) =>
         (i, r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
       }

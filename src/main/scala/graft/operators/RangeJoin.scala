@@ -25,9 +25,18 @@ object RangeJoin {
 
   /** Join `points` to `intervals` ([loCol, hiCol) half-open) via
     * fixed-width bucketing. All interval columns are carried; the exact
-    * range predicate is re-applied after the bucket equi-join. */
+    * range predicate is re-applied after the bucket equi-join.
+    *
+    * @param broadcastIntervals hint the exploded interval table as the
+    *   broadcast build side (default). Set false when the interval
+    *   count × explode factor ((hi-lo)/bucketWidth) is too large to
+    *   broadcast — the join then falls back to a plain shuffle hash
+    *   join on __bucket, which is still an equi-join (never a nested
+    *   loop); an unconditional broadcast of an arbitrarily exploded
+    *   table is a driver OOM waiting to happen. */
   def bandJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
-      loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+      loCol: String, hiCol: String, bucketWidth: Double,
+      broadcastIntervals: Boolean = true): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val banded = intervals.withColumn("__bucket",
       explode(sequence(
@@ -35,9 +44,10 @@ object RangeJoin {
         // hi is exclusive but a partial last bucket still overlaps;
         // the post-join predicate drops any overshoot
         floor(col(hiCol) / bucketWidth).cast("long"))))
+    val build = if (broadcastIntervals) broadcast(banded) else banded
     points
       .withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
-      .join(broadcast(banded), Seq("__bucket"))
+      .join(build, Seq("__bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }

@@ -30,10 +30,14 @@ object SkewTools {
       saltBuckets: Int,
       partials: Seq[Column],
       merge: Seq[Column]): DataFrame = {
-    // deterministic salt: hash of the whole row's partition offset is
-    // NOT reproducible, so derive salt from a stable row hash instead
+    // salt must be independent of row CONTENT: pathological skew is
+    // usually many identical rows, and a content hash would send them
+    // all to one salt bucket — exactly the case salting exists for.
+    // monotonically_increasing_id mixes partition id + offset, so equal
+    // rows spread evenly; the merge phase is algebraic, so results
+    // don't depend on which salt a row drew.
     val salted = df.withColumn(
-      "_salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltBuckets)))
+      "_salt", pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     salted
       .groupBy(keys :+ col("_salt"): _*)
       .agg(partials.head, partials.tail: _*)
@@ -53,8 +57,10 @@ object SkewTools {
     * splits can't fix (one key >> one partition). */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltBuckets: Int): DataFrame = {
+    // content-independent salt — see saltedAgg: duplicate rows (the
+    // common skew shape) must NOT share a salt bucket
     val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltBuckets.toLong)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     saltedBig.join(replicated, keys :+ "_salt").drop("_salt")

@@ -52,10 +52,16 @@ object EventQueries extends QueryRegistry {
         .orderBy(col("user_id"))
     }),
 
-    // JSON props extraction: histogram of k mod 10
+    // JSON props extraction: histogram of k mod 10. One from_json with
+    // an explicit schema — get_json_object re-parses the document on
+    // every access, so a query touching p fields pays p parses per row;
+    // from_json parses once into a struct that whole-stage codegen then
+    // field-accesses for free
     "events_props_hist" -> ((s, dir) =>
       events(s, dir)
-        .select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+        .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).as("p"))
+        .select((col("p.k") % 10).as("k_mod"))
         .groupBy(col("k_mod"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("k_mod"))),

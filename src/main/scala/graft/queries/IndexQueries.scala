@@ -34,11 +34,22 @@ object IndexQueries extends QueryRegistry {
       new Lsh(numPlanes = 16, seed = 42L)
         .index(embeddings(s, dir)).localCheckpoint()
     }
+  /** Declared HNSW build: FULL corpus (round 2 capped it at
+    * vec_id &lt; 300), LSH-blocked candidate pairs (multi-probe 1-bit
+    * expansion keeps the graph connected — see Hnsw.buildAdjacency).
+    * 3 planes → 8 buckets: coarse enough that the blocked graph keeps
+    * good edges near every node (self-recall stays perfect with the
+    * ef=64 best-first serve), fine enough that the blocked join is
+    * Σ|bucket|², not n² — the knob tightens with corpus size.
+    * Package-visible so PlanSpec can pin that the built plan joins on
+    * the bucket key (no unblocked per-level self-join). */
+  private[graft] def declaredHnsw = new Hnsw(m = 16, ef = 64, seed = 42L)
+  private[graft] def hnswBuildPlan(s: SparkSession, dir: String): DataFrame =
+    declaredHnsw.buildAdjacency(embeddings(s, dir),
+      blocker = Some(new Lsh(numPlanes = 3, seed = 42L)))
   private def hnswAdjacency(s: SparkSession, dir: String): DataFrame =
-    SharedBuilds.of(s, dir, "hnsw300") {
-      new Hnsw(m = 16, ef = 32, seed = 42L)
-        .buildAdjacency(embeddings(s, dir).filter(col("vec_id") < 300))
-        .localCheckpoint()
+    SharedBuilds.of(s, dir, "hnsw-lsh3") {
+      hnswBuildPlan(s, dir).localCheckpoint()
     }
   private def ivfIndex(s: SparkSession, dir: String): (Array[(Int, Array[Double])], DataFrame) =
     SharedBuilds.of(s, dir, "ivf8x2") {
@@ -88,8 +99,8 @@ object IndexQueries extends QueryRegistry {
     }),
 
     "hnsw_self_recall" -> ((s, dir) => {
-      val emb = embeddings(s, dir).filter(col("vec_id") < 300)
-      val hnsw = new Hnsw(m = 16, ef = 32, seed = 42L)
+      val emb = embeddings(s, dir)
+      val hnsw = declaredHnsw
       val adjacency = hnswAdjacency(s, dir)
       val (adj, vecs) = hnsw.collectIndex(adjacency, emb)
       val entry = hnsw.entryPoint(adjacency)

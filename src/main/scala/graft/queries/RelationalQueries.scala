@@ -186,8 +186,11 @@ object RelationalQueries extends QueryRegistry {
         .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
-        .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
-          (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+        // nation names that EXIST in the testdata (NATION_0..24) — the
+        // classic TPC-H FRANCE/GERMANY literals select zero rows here
+        // and would exercise the dual-role join vacuously
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("ship_year"))
         .agg(sum(revenue).cast("double").as("revenue"),
@@ -383,8 +386,8 @@ object RelationalQueries extends QueryRegistry {
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-        |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
         |GROUP BY supp_nation, cust_nation, ship_year
         |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
 

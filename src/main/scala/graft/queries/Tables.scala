@@ -12,21 +12,28 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** documents/embeddings feed per-row-HEAVY pipelines (tokenize +
-    * md5-shingle, higher-order vector math) that Spark evaluates in
-    * interpreted mode (HOFs have no codegen). The testdata parquet is a
-    * single row group, so the scan yields ONE partition and that work
-    * would serialize onto one core of 32. A round-robin repartition
-    * costs a sub-MB shuffle here and buys full map-side parallelism —
-    * the same move a 100 TB pipeline makes when a source arrives as few
-    * large unsplittable files. Filters still push through Repartition
-    * to the parquet scan, so pruned reads stay pruned. Relational
-    * tables (lineitem etc.) are NOT repartitioned: their scan+agg paths
-    * are whole-stage-codegen'd and measure faster without the extra
-    * exchange. */
+  /** documents feeds per-row-HEAVY pipelines (tokenize + md5-shingle)
+    * that Spark evaluates in interpreted mode (HOFs have no codegen).
+    * The testdata parquet is a single row group, so the scan yields ONE
+    * partition and that work would serialize onto one core of 32. A
+    * round-robin repartition costs a sub-MB shuffle here and buys full
+    * map-side parallelism — the same move a 100 TB pipeline makes when
+    * a source arrives as few large unsplittable files. Filters still
+    * push through Repartition to the parquet scan, so pruned reads stay
+    * pruned (pinned in PlanSpec).
+    *
+    * embeddings is NOT spread (changed in round 3): its hot consumers
+    * (knn family, LSH band keys, point lookups) run on the codegen'd
+    * native expressions, where the per-load exchange cost more than the
+    * parallelism bought — blanket-spreading it regressed search_join_back
+    * 7× in round 2 (two exchanges + a rebuilt broadcast per query).
+    * Relational tables (lineitem etc.) are likewise left alone: their
+    * scan+agg paths are whole-stage-codegen'd and measure faster without
+    * the extra exchange. Pipelines that genuinely need parallelism for
+    * interpreted work over embeddings opt in at the call site. */
   private def spread(df: DataFrame, s: SparkSession): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
-  def embeddings(s: SparkSession, dir: String): DataFrame = spread(t(s, dir, "embeddings"), s)
+  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
   def documents(s: SparkSession, dir: String): DataFrame = spread(t(s, dir, "documents"), s)
 
   /** `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark only
@@ -61,11 +68,25 @@ object Tables {
   * At 100 TB the same role is played by index parquet written once and
   * scanned by every probe job. */
 object SharedBuilds {
+  // Weak keys on the SparkSession itself (not its identityHashCode):
+  // a stopped-and-collected session releases its artifacts, and an
+  // identity-hash reuse can never hand a new session a DataFrame bound
+  // to a dead one. Values are per-session maps, so the strong refs live
+  // only as long as the session key does.
   private val m =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]
-  def of[T <: AnyRef](s: SparkSession, dir: String, key: String)(build: => T): T =
-    m.computeIfAbsent((System.identityHashCode(s), dir, key),
-      _ => build).asInstanceOf[T]
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]]
+  def of[T <: AnyRef](s: SparkSession, dir: String, key: String)(build: => T): T = {
+    val perSession = m.synchronized {
+      var inner = m.get(s)
+      if (inner == null) {
+        inner = new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]
+        m.put(s, inner)
+      }
+      inner
+    }
+    perSession.computeIfAbsent((dir, key), _ => build).asInstanceOf[T]
+  }
 }
 
 /** A named query + (optionally) its DuckDB oracle SQL. Registries of

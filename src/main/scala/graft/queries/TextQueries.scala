@@ -226,6 +226,15 @@ object TextQueries extends QueryRegistry {
       Dedup.simhashPairs(
         documents(s, dir).filter(col("doc_id") < 150), 3)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
+
+    // the same pairs through the scale path: pigeonhole banding (4
+    // disjoint 4-bit bands, equi-join per band, exact Hamming rerank)
+    // instead of the all-pairs crossJoin — hash-matched against the
+    // identical oracle, so the banding is verified lossless
+    "simhash_pairs_banded" -> ((s, dir) =>
+      Dedup.simhashPairsBanded(
+        documents(s, dir).filter(col("doc_id") < 150), 3)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -401,6 +410,23 @@ object TextQueries extends QueryRegistry {
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 150),
+         |h AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |th AS (SELECT doc_id, ${F.md5L("tok")} AS th FROM h),
+         |bits AS (SELECT doc_id, b,
+         |           CASE WHEN sum(CASE WHEN (th % (2*(1::BIGINT<<b))) >= (1::BIGINT<<b)
+         |                              THEN 1 ELSE -1 END) > 0
+         |                THEN (1::BIGINT<<b) ELSE 0 END AS bit
+         |         FROM th, (SELECT unnest(generate_series(0,15)) AS b) GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
+    // banding is recall-lossless, so the oracle is the same all-pairs SQL
+    "simhash_pairs_banded" ->
       s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 150),
          |h AS (SELECT doc_id, unnest(toks) AS tok FROM t),
          |th AS (SELECT doc_id, ${F.md5L("tok")} AS th FROM h),

@@ -25,14 +25,30 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * A `.kwi` file is single-file by design (it is the reference's
   * interchange artifact, not our scale path — parquet is). Write runs on
   * the driver via `toLocalIterator` (constant memory); read parses
-  * sequentially and returns a DataFrame. Tombstone-free: delete is a
-  * compacting rewrite, matching `LocalStorage::delete_vector`
-  * (local_storage.rs:363-375).
+  * sequentially and returns a DataFrame.
+  *
+  * Deletes follow `BinaryIndex`'s tombstone + compaction split
+  * (binary_index.rs:197-212 delete drops only the entry-table row, the
+  * data bytes stay; :239-257 `optimize` rewrites compacted via temp +
+  * rename): `appendTombstone` appends a marker record (`data_len` slot
+  * = -1, no payload) and decrements the header's LIVE count;
+  * `optimize` streams the survivors into a fresh file and atomically
+  * swaps it in. Readers honor tombstones with two streaming passes —
+  * a cheap marker scan (memory O(#tombstoned ids), the analogue of the
+  * reference's in-memory entry table) and then the record stream with
+  * the dead occurrences dropped. `LocalStorage::delete_vector`'s
+  * immediate compacting rewrite (local_storage.rs:363-375) is exactly
+  * `appendTombstone` + `optimize` back to back. The tombstone +
+  * deferred-compaction split is also the pattern a big parquet
+  * pipeline uses (delete markers + a compaction job), so the `.kwi`
+  * semantics and the scale path agree.
   */
 object KwiFormat {
   val Magic: Array[Byte] = Array('K'.toByte, 'W'.toByte, 'I'.toByte, 0.toByte)
   val Version = 1
   val HeaderSize = 20
+  /** Sentinel in the data_len slot marking a tombstone record. */
+  val TombstoneLen: Int = -1
 
   /** Write rows (id STRING, embedding ARRAY&lt;FLOAT&gt;, metadata STRING?) to
     * `path`. Returns the record count. */
@@ -68,8 +84,53 @@ object KwiFormat {
       CollectionManager.schema.copy(fields = CollectionManager.schema.fields.take(3)))
   }
 
-  /** Header-declared record count without scanning the body
-    * (local_storage.rs:350-361 `get_vector_count`). */
+  /** Tombstone-delete (binary_index.rs:197-212): append a marker record
+    * and decrement the header's live count. The record's data bytes
+    * remain in the file until `optimize`. Strict contract: throws
+    * IllegalArgumentException when the id is not live (the reference's
+    * delete errors on an entry-table miss). */
+  def appendTombstone(path: String, id: String): Unit = {
+    val p = Paths.get(path)
+    val live = {
+      val it = readRecords(p)
+      try it.exists(_._1 == id) finally it.close()
+    }
+    require(live, s"no live record with id $id in $path")
+    val idBytes = id.getBytes("UTF-8")
+    val bb = ByteBuffer.allocate(4 + idBytes.length + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(idBytes.length).put(idBytes).putInt(TombstoneLen)
+    val out = new FileOutputStream(p.toFile, true)
+    try out.write(bb.array()) finally out.close()
+    patchCount(p, count(path) - 1)
+  }
+
+  /** Compaction (binary_index.rs:239-257 `optimize`): stream the live
+    * records into a fresh file — tombstones and their dead data bytes
+    * drop out — then atomically swap it in. Returns the live count. */
+  def optimize(path: String): Long = {
+    val p = Paths.get(path)
+    val tmp = Paths.get(path + ".compact.tmp")
+    val it = readRecords(p)
+    val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
+    var n = 0L
+    try {
+      out.write(header(0L))
+      while (it.hasNext) {
+        val (id, data, meta) = it.next()
+        writeRecordBytes(out, id.getBytes("UTF-8"), data,
+          meta.map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray))
+        n += 1
+      }
+    } finally { out.close(); it.close() }
+    patchCount(tmp, n)
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+    n
+  }
+
+  /** Header-declared LIVE record count without scanning the body
+    * (local_storage.rs:350-361 `get_vector_count`; tombstone-deletes
+    * decrement it the way the reference's entry-table count shrinks). */
   def count(path: String): Long = {
     val bytes = readN(Paths.get(path), HeaderSize)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -97,11 +158,13 @@ object KwiFormat {
     } finally ch.close()
   }
 
-  private def writeRecord(out: java.io.OutputStream, r: Row, hasMeta: Boolean): Unit = {
-    val id = r.getString(0).getBytes("UTF-8")
-    val vec = r.getSeq[Float](1)
-    val meta = if (hasMeta && !r.isNullAt(2)) r.getString(2).getBytes("UTF-8")
-               else Array.emptyByteArray
+  private def writeRecord(out: java.io.OutputStream, r: Row, hasMeta: Boolean): Unit =
+    writeRecordBytes(out, r.getString(0).getBytes("UTF-8"), r.getSeq[Float](1),
+      if (hasMeta && !r.isNullAt(2)) r.getString(2).getBytes("UTF-8")
+      else Array.emptyByteArray)
+
+  private def writeRecordBytes(out: java.io.OutputStream, id: Array[Byte],
+      vec: Seq[Float], meta: Array[Byte]): Unit = {
     val bb = ByteBuffer
       .allocate(4 + id.length + 4 + vec.length * 4 + 4 + meta.length)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -112,38 +175,92 @@ object KwiFormat {
     out.write(bb.array())
   }
 
-  /** Closeable record iterator: drains to EOF normally, but callers that
-    * stop early (limit pushdown, task kill) must call `close()` or the
-    * file handle leaks — the DSv2 PartitionReader wires this into its
-    * own close(). */
-  final class RecordIterator(p: Path)
-      extends Iterator[(String, Array[Float], Option[String])]
-      with AutoCloseable {
-    private val declared = KwiFormat.count(p.toString)
+  /** One physical record; `data == null` marks a tombstone. */
+  private final case class Raw(id: String, data: Array[Float], meta: Option[String]) {
+    def tombstone: Boolean = data == null
+  }
+
+  /** EOF-driven iterator over physical records incl. tombstone markers.
+    * Callers that stop early must close() or the handle leaks. */
+  private final class RawIterator(p: Path)
+      extends Iterator[Raw] with AutoCloseable {
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(p.toFile)))
     in.skipNBytes(HeaderSize)
-    private var remaining = declared
     private var closed = false
+    private var pending: Raw = _
     def close(): Unit = if (!closed) { closed = true; in.close() }
-    def hasNext: Boolean = {
-      if (remaining <= 0) { close(); false } else true
-    }
-    def next(): (String, Array[Float], Option[String]) = {
-      try {
-        val id = new String(readLenPrefixed(in), "UTF-8")
+    private def readOne(): Raw = {
+      val first = if (closed) -1 else in.read()
+      if (first < 0) { close(); null }
+      else {
+        val rest = new Array[Byte](3)
+        in.readFully(rest)
+        val idLen = ByteBuffer.wrap(Array(first.toByte) ++ rest)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        val idBytes = new Array[Byte](idLen)
+        in.readFully(idBytes)
+        val id = new String(idBytes, "UTF-8")
         val dim = readIntLE(in)
-        val data = new Array[Float](dim)
-        val buf = new Array[Byte](dim * 4)
-        in.readFully(buf)
-        val fb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-        var i = 0
-        while (i < dim) { data(i) = fb.getFloat(); i += 1 }
-        val metaBytes = readLenPrefixed(in)
-        val meta = if (metaBytes.isEmpty) None else Some(new String(metaBytes, "UTF-8"))
-        remaining -= 1
-        (id, data, meta)
-      } catch { case e: EOFException => close(); throw e }
+        if (dim == TombstoneLen) Raw(id, null, None)
+        else {
+          val data = new Array[Float](dim)
+          val buf = new Array[Byte](dim * 4)
+          in.readFully(buf)
+          val fb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < dim) { data(i) = fb.getFloat(); i += 1 }
+          val metaBytes = readLenPrefixed(in)
+          Raw(id, data,
+            if (metaBytes.isEmpty) None else Some(new String(metaBytes, "UTF-8")))
+        }
+      }
+    }
+    def hasNext: Boolean = {
+      if (pending == null && !closed) pending = readOne()
+      pending != null
+    }
+    def next(): Raw = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = pending; pending = null; r
+    }
+  }
+
+  /** Closeable LIVE-record iterator: pass 1 scans the tombstone markers
+    * (memory O(#tombstoned ids) — the analogue of the reference's
+    * in-memory entry table, binary_index.rs:14-26), pass 2 streams the
+    * records with each id's first `tombstones(id)` occurrences dropped
+    * (a marker always follows the occurrence it kills, so the oldest
+    * occurrences are exactly the dead ones). Callers that stop early
+    * (limit pushdown, task kill) must call `close()` or the file handle
+    * leaks — the DSv2 PartitionReader wires this into its own close(). */
+  final class RecordIterator(p: Path)
+      extends Iterator[(String, Array[Float], Option[String])]
+      with AutoCloseable {
+    private val tombs = scala.collection.mutable.Map.empty[String, Int]
+    locally {
+      val scan = new RawIterator(p)
+      try scan.foreach(r =>
+        if (r.tombstone) tombs(r.id) = tombs.getOrElse(r.id, 0) + 1)
+      finally scan.close()
+    }
+    private val raw = new RawIterator(p)
+    private var pending: Raw = _
+    def close(): Unit = raw.close()
+    private def advance(): Unit =
+      while (pending == null && raw.hasNext) {
+        val r = raw.next()
+        if (!r.tombstone) {
+          val dead = tombs.getOrElse(r.id, 0)
+          if (dead > 0) tombs(r.id) = dead - 1
+          else pending = r
+        }
+      }
+    def hasNext: Boolean = { advance(); pending != null }
+    def next(): (String, Array[Float], Option[String]) = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = pending; pending = null
+      (r.id, r.data, r.meta)
     }
   }
 

@@ -46,10 +46,20 @@ object EventStreams {
   val SessionGapMs: Long = 30L * 60 * 1000
 
   /** Stateful sessionization: a >30-min silence starts a new session.
-    * State is one small record per user in the state store; the
-    * event-time timeout closes idle sessions so state cannot grow
-    * unboundedly. Batch-equivalent semantics: the lag-gap window in
-    * `events_user_sessions`. */
+    * State is one compact record per user in the state store.
+    *
+    * Timeout contract: when the event-time timeout fires, the session
+    * is closed by silence — the final SessionUpdate is re-emitted (a
+    * downstream consumer in Update mode sees the last shape twice;
+    * that is the "session closed" record) and the state is KEPT, shrunk
+    * to {sessionCount, lastSeenMs, 0}. Keeping it is what makes
+    * `n_sessions` cumulative across a user's lifetime — dropping state
+    * here would silently restart the count at 1 when the user returns.
+    * State size is therefore bounded by distinct-user cardinality (one
+    * small record each), not by time; that matches the batch twin
+    * (`events_user_sessions` counts sessions over all history). No new
+    * timeout is armed for the closed session — the record is inert
+    * until the user's next event. */
   def sessionize(events: Dataset[EventIn]): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
@@ -59,12 +69,10 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout) {
         case (userId, batch, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // Timeout fire: the session is closed by silence. Emit its final
-            // shape and drop the state — re-arming a timeout here would use a
-            // timestamp at/below the watermark (Spark rejects it), and keeping
-            // the state would break the bounded-state guarantee.
             val s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-            state.remove()
+            // shrink, don't remove: lastSeenMs survives so the gap test
+            // (and the cumulative sessionCount) works on the next event
+            state.update(SessionState(s.sessionCount, s.lastSeenMs, 0L))
             SessionUpdate(userId, s.sessionCount, s.eventsInSession)
           } else {
             val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))

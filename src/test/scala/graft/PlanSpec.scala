@@ -114,6 +114,17 @@ class PlanSpec extends SparkSpec {
         s.metadata.getOrElse("PartitionFilters", "")
     }.mkString(";")
 
+  test("declared HNSW build is LSH-blocked: joins on the bucket key, no unblocked self-join") {
+    val built = graft.queries.IndexQueries.hnswBuildPlan(spark, sfDir)
+    val p = built.queryExecution.optimizedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-level self-join must carry the bucket equi-key; a join on
+    // `level` alone is the O(n²)-per-level shape this pin forbids
+    val joinLines = p.linesIterator.filter(_.contains("Join Inner")).toSeq
+    assert(joinLines.nonEmpty, p)
+    assert(joinLines.forall(_.contains("bucket")), joinLines.mkString("\n"))
+  }
+
   test("LSH probe on the persisted index is partition-pruned") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString

@@ -149,6 +149,60 @@ class StorageSpec extends SparkSpec {
     assert(KwiFormat.read(spark, path).select("id").as[String].collect() === Array("b"))
   }
 
+  test("kwi: tombstone delete skips the record; optimize compacts it away") {
+    val base = freshBase()
+    val path = s"$base/vectors.kwi"
+    val df = Seq(
+      ("a", v3a, """{"k":1}"""),
+      ("b", v3b, null.asInstanceOf[String]),
+      ("c", Array(7.0f, 8.0f, 9.0f), """{"k":3}"""))
+      .toDF("id", "embedding", "metadata")
+    KwiFormat.write(df, path)
+    val sizeBefore = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+
+    // delete = tombstone append: live count drops, reads skip the dead
+    // record, the data bytes REMAIN (file only grows)
+    KwiFormat.appendTombstone(path, "b")
+    assert(KwiFormat.count(path) === 2L)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(path)) > sizeBefore)
+    assert(KwiFormat.read(spark, path).select("id").as[String].collect().sorted
+      === Array("a", "c"))
+    // strict contract: a dead or unknown id cannot be deleted again
+    intercept[IllegalArgumentException](KwiFormat.appendTombstone(path, "b"))
+    intercept[IllegalArgumentException](KwiFormat.appendTombstone(path, "nope"))
+
+    // optimize = compaction: survivors + metadata round-trip intact,
+    // tombstone and dead bytes gone (file shrinks below the original)
+    assert(KwiFormat.optimize(path) === 2L)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(path)) < sizeBefore)
+    assert(KwiFormat.count(path) === 2L)
+    val back = KwiFormat.read(spark, path).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1), Option(r.getString(2))))
+      .sortBy(_._1)
+    assert(back.map(_._1).toSeq === Seq("a", "c"))
+    assert(back(0)._2 === v3a.toSeq)
+    assert(back(0)._3 === Some("""{"k":1}"""))
+
+    // delete → re-insert → delete: only the OLDEST occurrence dies per
+    // tombstone, so the re-inserted record survives the first marker
+    KwiFormat.appendTombstone(path, "a")
+    val out = new java.io.FileOutputStream(path, true)
+    try {
+      val again = Seq(("a", Array(9f, 9f, 9f), """{"k":9}"""))
+        .toDF("id", "embedding", "metadata")
+      // append via a tmp file + byte concat (KwiFormat.write replaces)
+      val tmp = s"$base/again.kwi"
+      KwiFormat.write(again, tmp)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tmp))
+      out.write(bytes, KwiFormat.HeaderSize, bytes.length - KwiFormat.HeaderSize)
+    } finally out.close()
+    // header count: 2 - 1 deleted + 1 appended (patch it like an appender would)
+    val ids = KwiFormat.read(spark, path).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(ids.map(_._1).toSeq === Seq("a", "c"))
+    assert(ids(0)._2 === Seq(9f, 9f, 9f)) // the NEW "a", not the tombstoned one
+  }
+
   test("json store: save/load/append/clear round-trip (persistence.rs parity)") {
     val base = freshBase()
     val path = s"$base/store"

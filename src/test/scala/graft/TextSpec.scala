@@ -4,6 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.operators.Dedup
+import graft.queries.Tables
 
 /** Text-analysis + dedup operator contracts. */
 class TextSpec extends SparkSpec {
@@ -52,6 +53,21 @@ class TextSpec extends SparkSpec {
     assert(h1 == h2 && h1 >= 0 && h1 < (1L << 16))
     assert(one(TextOps.hamming16(lit(h1), lit(h1))).getLong(0) == 0L)
     assert(one(TextOps.hamming16(lit(0L), lit(65535L))).getLong(0) == 16L)
+  }
+
+  test("banded simhash pairs equal the all-pairs baseline (pigeonhole is lossless)") {
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 80)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    for (maxDist <- Seq(1, 3)) {
+      val brute = norm(Dedup.simhashPairs(docs, maxDist)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming")))
+      val banded = norm(Dedup.simhashPairsBanded(docs, maxDist)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming")))
+      assert(banded == brute, s"maxDist=$maxDist")
+      assert(brute.nonEmpty, "vacuous comparison — widen the doc subset")
+    }
   }
 
   test("exact dedup groups duplicates by content hash") {
