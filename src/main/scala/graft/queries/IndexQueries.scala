@@ -148,6 +148,32 @@ object IndexQueries extends QueryRegistry {
       graft.operators.Dedup.lshEmbeddingPairs(
         embeddings(s, dir), nPlanes = 16, bandBits = 4, threshold = 0.3)),
 
+    // approximate similarity JOIN via IVF cell co-membership: cells
+    // from DATA-DEPENDENT centroids (the first 8 embeddings, no Lloyd
+    // rounds — so the whole pipeline is SQL-replayable), assignment is
+    // the codegen'd argmin expression (map-only against a broadcast
+    // centroid literal), candidates are same-cell pairs (ONE shuffle
+    // keyed on cell — Σ|cell|², not n²), exact cosine rerank after.
+    // The cell-partitioned sibling of lsh_similarity_join; with the
+    // assignment parquet partitioned by cell the candidate join is
+    // shuffle-free at 100 TB.
+    "ivf_cell_join" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val ivf = new Ivf(nlist = 8, iters = 0)
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+      val assigned = emb.select(col("vec_id"), col("embedding"),
+        ivf.assignExpr(col("embedding"), cents).as("cell"))
+      val a = assigned.select(col("vec_id").as("a"), col("embedding").as("ea"), col("cell"))
+      val b = assigned.select(col("vec_id").as("b"), col("embedding").as("eb"), col("cell"))
+      a.join(b, "cell").filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (round(graft.functions.VectorOps.fastCosine(col("ea"), col("eb")), 6) + lit(0.0)).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // embedding-cosine near-dup: top-20 most-similar distinct pairs —
     // brute-force baseline for the dedup family (the LSH-bucketed scale
     // path is `lsh_knn`); plans as a range self-join + TakeOrdered.
@@ -249,6 +275,25 @@ object IndexQueries extends QueryRegistry {
          |FROM embeddings e, q
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
+
+    // cells replayed in SQL: argmin by (squared distance, centroid id)
+    // — the exact tiebreak of Ivf.assignExpr's (d, c) struct min
+    "ivf_cell_join" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        list_sum(list_transform(list_zip(e.embedding, c.ce),
+         |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+         |      FROM embeddings e CROSS JOIN c),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM d) WHERE rn = 1),
+         |cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |         FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+         |SELECT cn.a, cn.b, round(${cosine("ex.embedding", "ey.embedding")}, 6) + 0.0 AS cos
+         |FROM cand cn JOIN embeddings ex ON cn.a = ex.vec_id JOIN embeddings ey ON cn.b = ey.vec_id
+         |WHERE round(${cosine("ex.embedding", "ey.embedding")}, 6) + 0.0 >= 0.3
+         |ORDER BY a, b""".stripMargin,
 
     "embedding_near_dup" ->
       s"""SELECT x.vec_id AS a, y.vec_id AS b,

@@ -247,6 +247,22 @@ object RelationalQueries extends QueryRegistry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // explicit GROUPING SETS: exactly the two single-dimension subtotal
+    // sets — the lattice-slice operator between rollup (prefix sets) and
+    // cube (all sets); one Expand pass, no self-union of scans
+    "grouping_sets_revenue" -> ((s, dir) =>
+      lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice"), col("l_discount"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // set operations: segment membership vs active-buyer membership
     "customer_set_ops" -> ((s, dir) => {
       val building = customer(s, dir)
@@ -418,6 +434,14 @@ object RelationalQueries extends QueryRegistry {
         |       CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "grouping_sets_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum((CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "customer_set_ops" ->

@@ -43,6 +43,14 @@ class CollectionManager(spark: SparkSession, basePath: String) {
   private def metaPath(name: String): Path = dir(name).resolve("_meta.json")
 
   Files.createDirectories(Paths.get(basePath))
+  // the managed store hides itself from version control, exactly like
+  // the reference's `.vector_storage/.gitignore` containing "*"
+  // (local_storage.rs:35-41)
+  locally {
+    val gi = Paths.get(basePath, ".gitignore")
+    if (!Files.exists(gi))
+      Files.write(gi, "*\n".getBytes(StandardCharsets.UTF_8))
+  }
 
   // --- catalog ops (collection_manager.rs:44-140) ---
 

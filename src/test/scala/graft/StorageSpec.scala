@@ -20,7 +20,11 @@ class StorageSpec extends SparkSpec {
   private val v3b = Array(4.0f, 5.0f, 6.0f)
 
   test("create/list/info/delete collection with _meta.json sidecar") {
-    val cm = new CollectionManager(spark, freshBase())
+    val base = freshBase()
+    val cm = new CollectionManager(spark, base)
+    // managed dir hides itself from git (local_storage.rs:35-41 parity)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(base, ".gitignore"))) === "*\n")
     cm.createCollection("docs", 3)
     cm.createCollection("embs", 64)
     assert(cm.listCollections() === Seq("docs", "embs"))
