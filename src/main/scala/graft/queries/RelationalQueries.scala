@@ -176,19 +176,24 @@ object RelationalQueries extends QueryRegistry {
     // joined in TWO roles (supplier side and customer side), so the
     // alias discipline matters; revenue by nation pair and ship year
     "q7_nation_volume" -> ((s, dir) => {
-      val n1 = nation(s, dir).select(col("n_nationkey").as("s_nkey"),
-        col("n_name").as("supp_nation"))
-      val n2 = nation(s, dir).select(col("n_nationkey").as("c_nkey"),
-        col("n_name").as("cust_nation"))
+      // nation names that EXIST in the testdata (NATION_0..24) — the
+      // classic TPC-H FRANCE/GERMANY literals select zero rows here
+      // and would exercise the dual-role join vacuously
+      val pair = Seq("NATION_3", "NATION_7")
+      // pre-filter each nation ROLE to the two names before joining:
+      // the dims then act as semi-join reducers on supplier/customer
+      // rows (2/25 of the fact volume survives each side) instead of
+      // filtering after the full join tree — the classic Q7 plan
+      val n1 = nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
       lineitem(s, dir)
         .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
         .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
-        // nation names that EXIST in the testdata (NATION_0..24) — the
-        // classic TPC-H FRANCE/GERMANY literals select zero rows here
-        // and would exercise the dual-role join vacuously
         .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
           (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
         .groupBy(col("supp_nation"), col("cust_nation"),

@@ -52,7 +52,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionize survives event-time timeouts: closes the session, drops state") {
+  test("sessionize survives event-time timeouts and keeps counts cumulative") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventIn]
     val q = EventStreams.toMemorySink(
@@ -77,6 +77,14 @@ class StreamingSpec extends SparkSpec {
         .filter(_._1 == 7L)
       // timeout emission repeats the final session shape (1 session, 2 events)
       assert(user7.nonEmpty && user7.forall(_ == ((7L, 1L, 2L))))
+      // user 7 RETURNS after the timeout: the compact kept state makes
+      // the session count cumulative — 2 sessions, not a reset to 1
+      in.addData(EventIn(5, ts(320), 7, "click", 0))
+      q.processAllAvailable()
+      val back = spark.table("sessions_timeout_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 == 7L).last
+      assert(back == ((7L, 2L, 1L)))
     } finally q.stop()
   }
 
