@@ -125,6 +125,41 @@ class PlanSpec extends SparkSpec {
     assert(joinLines.forall(_.contains("bucket")), joinLines.mkString("\n"))
   }
 
+  test("bucketed tables co-locate the fact join: no exchange, no sort before the merge join") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // bucketBy(orderkey) + sortBy on BOTH fact tables = the co-located
+      // layout a 100 TB pipeline writes once so every downstream orderkey
+      // join is exchange-free and sort-free
+      graft.queries.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").mode("overwrite").saveAsTable("li_bucketed")
+      graft.queries.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/oi").mode("overwrite").saveAsTable("oi_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("oi_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.sparkPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("Exchange"), p) // bucket layout replaces the shuffle
+      // correctness: same row count as the plain join
+      val plain = graft.queries.Tables.lineitem(spark, sfDir)
+        .join(graft.queries.Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() === plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS oi_bucketed")
+    }
+  }
+
   test("LSH probe on the persisted index is partition-pruned") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
