@@ -47,6 +47,20 @@ object MultimodalQueries extends QueryRegistry {
           col("height").cast("long").as("height"))
         .orderBy(col("media_id"))
     }),
+
+    // frame-sample pass ("video" decimation): keep every 2nd 8-byte
+    // frame block; the byte_sum checksum verifies the KEPT bytes are
+    // exactly the right ones, not just the right count
+    "media_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(
+        documents(s, dir).filter(col("doc_id") < 30))
+      Multimodal.frameSample(media, frameBytes = 8, stride = 2)
+        .map(r => (r.media_id, r.n_frames.toLong, r.payload.length.toLong,
+          r.payload.map(b => (b.toInt & 0xff).toLong).sum))
+        .toDF("media_id", "n_frames_kept", "n_bytes_kept", "byte_sum")
+        .orderBy(col("media_id"))
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -84,5 +98,21 @@ object MultimodalQueries extends QueryRegistry {
         |       CAST(greatest((doc_id % 64 + 16) // 4, 1) AS BIGINT) AS width,
         |       CAST(greatest((doc_id % 48 + 9) // 4, 1) AS BIGINT) AS height
         |FROM documents WHERE doc_id < 20 ORDER BY media_id""".stripMargin,
+
+    // frames replayed as 8-char substrings of the ascii text; kept
+    // frames are the even indices, checksummed char-by-char
+    "media_frame_sample" ->
+      """WITH t AS (SELECT doc_id AS media_id, text, length(text) AS len
+        |           FROM documents WHERE doc_id < 30),
+        |idx AS (SELECT media_id, text,
+        |               unnest(range(1, CAST(ceil(len / 8.0) AS BIGINT) + 1)) AS i
+        |        FROM t),
+        |fr AS (SELECT media_id, substr(text, CAST(1 + (i-1)*8 AS INT), 8) AS frame
+        |       FROM idx WHERE (i-1) % 2 = 0)
+        |SELECT media_id,
+        |       CAST(count(*) AS BIGINT) AS n_frames_kept,
+        |       CAST(sum(length(frame)) AS BIGINT) AS n_bytes_kept,
+        |       CAST(sum(list_sum(list_transform(string_split(frame, ''), c -> ord(c)))) AS BIGINT) AS byte_sum
+        |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin,
   )
 }
