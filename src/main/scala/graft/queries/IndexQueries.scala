@@ -163,8 +163,12 @@ object IndexQueries extends QueryRegistry {
       val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
         .select(col("embedding")).collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
-      val assigned = emb.select(col("vec_id"), col("embedding"),
-        ivf.assignExpr(col("embedding"), cents).as("cell"))
+      // spread before assigning: argmin over 8 centroids is an
+      // interpreted HOF fold, and the single-row-group scan would run
+      // it on one core of 32
+      val assigned = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"),
+          ivf.assignExpr(col("embedding"), cents).as("cell"))
       val a = assigned.select(col("vec_id").as("a"), col("embedding").as("ea"), col("cell"))
       val b = assigned.select(col("vec_id").as("b"), col("embedding").as("eb"), col("cell"))
       a.join(b, "cell").filter(col("a") < col("b"))
@@ -179,7 +183,11 @@ object IndexQueries extends QueryRegistry {
     // path is `lsh_knn`); plans as a range self-join + TakeOrdered.
     "embedding_near_dup" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      // the n² baseline is the one embeddings consumer that wants the
+      // stream side spread across cores (single-row-group scan = one
+      // partition otherwise); the indexed paths don't pay this exchange
+      val a = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("a"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
       a.crossJoin(b).filter(col("a") < col("b"))
         .select(col("a"), col("b"),
