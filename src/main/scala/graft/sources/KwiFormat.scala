@@ -84,6 +84,25 @@ object KwiFormat {
       CollectionManager.schema.copy(fields = CollectionManager.schema.fields.take(3)))
   }
 
+  /** Append records to an existing file and bump the header's live
+    * count — `LocalStorage::add_vector` semantics, batched
+    * (local_storage.rs:103-124: append + header count bump). Returns
+    * the number appended. */
+  def append(df: DataFrame, path: String): Long = {
+    val p = Paths.get(path)
+    val hasMeta = df.columns.contains("metadata")
+    val cols = if (hasMeta) df.select("id", "embedding", "metadata")
+               else df.select("id", "embedding")
+    val out = new BufferedOutputStream(new FileOutputStream(p.toFile, true))
+    var n = 0L
+    try {
+      val it = cols.toLocalIterator()
+      while (it.hasNext) { writeRecord(out, it.next(), hasMeta); n += 1 }
+    } finally out.close()
+    patchCount(p, count(path) + n)
+    n
+  }
+
   /** Tombstone-delete (binary_index.rs:197-212): append a marker record
     * and decrement the header's live count. The record's data bytes
     * remain in the file until `optimize`. Strict contract: throws

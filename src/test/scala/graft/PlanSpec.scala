@@ -108,6 +108,13 @@ class PlanSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(p).size == 1)
   }
 
+  test("grouping sets expand in one aggregate pass, not a union of scans") {
+    val p = plan("grouping_sets_revenue")
+    assert(p.contains("Expand"))
+    assert("FileScan".r.findAllIn(p).size == 1)
+    assert(!p.contains("Union"))
+  }
+
   private def partitionFiltersOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>

@@ -63,6 +63,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kwi tombstone lifecycle matches a Map model over random op sequences") {
+    import graft.sources.KwiFormat
+    import spark.implicits._
+    // model: insert-then-maybe-delete cycles per id; the file replays the
+    // same ops via write + tombstone appends (+ optional optimize) and
+    // must always read back exactly the model's surviving entries
+    sealed trait Op
+    case class Ins(id: String, v: Float) extends Op
+    case class Del(id: String) extends Op
+    val idGen = Gen.oneOf("a", "b", "c", "d")
+    val opGen: Gen[Op] = Gen.frequency(
+      (3, Gen.zip(idGen, Gen.choose(0f, 9f)).map { case (i, v) => Ins(i, v) }),
+      (2, idGen.map(Del.apply)))
+    cases(Gen.listOfN(12, opGen), n = 12).zipWithIndex.foreach { case (ops, ix) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"kwiprop$ix")
+      val path = s"$dir/v.kwi"
+      KwiFormat.write(Seq.empty[(String, Array[Float])].toDF("id", "embedding"), path)
+      val model = scala.collection.mutable.Map.empty[String, Float]
+      ops.foreach {
+        case Ins(id, v) if !model.contains(id) =>
+          KwiFormat.append(Seq((id, Array(v))).toDF("id", "embedding"), path)
+          model(id) = v
+        case Ins(_, _) => () // strict store: duplicate insert skipped
+        case Del(id) if model.contains(id) =>
+          KwiFormat.appendTombstone(path, id); model.remove(id)
+        case Del(_) => ()
+      }
+      def survivors() = KwiFormat.read(spark, path).collect()
+        .map(r => r.getString(0) -> r.getSeq[Float](1).head).toMap
+      assert(survivors() == model.toMap, s"ops=$ops (pre-optimize)")
+      KwiFormat.optimize(path)
+      assert(survivors() == model.toMap, s"ops=$ops (post-optimize)")
+      assert(KwiFormat.count(path) == model.size.toLong)
+    }
+  }
+
   test("topK returns min(k, n) rows with monotone non-increasing scores") {
     import spark.implicits._
     cases(Gen.zip(Gen.choose(1, 12), Gen.choose(1, 8)), n = 10).foreach { case (n, k) =>

@@ -190,17 +190,10 @@ class StorageSpec extends SparkSpec {
     // delete → re-insert → delete: only the OLDEST occurrence dies per
     // tombstone, so the re-inserted record survives the first marker
     KwiFormat.appendTombstone(path, "a")
-    val out = new java.io.FileOutputStream(path, true)
-    try {
-      val again = Seq(("a", Array(9f, 9f, 9f), """{"k":9}"""))
-        .toDF("id", "embedding", "metadata")
-      // append via a tmp file + byte concat (KwiFormat.write replaces)
-      val tmp = s"$base/again.kwi"
-      KwiFormat.write(again, tmp)
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tmp))
-      out.write(bytes, KwiFormat.HeaderSize, bytes.length - KwiFormat.HeaderSize)
-    } finally out.close()
-    // header count: 2 - 1 deleted + 1 appended (patch it like an appender would)
+    KwiFormat.append(
+      Seq(("a", Array(9f, 9f, 9f), """{"k":9}""")).toDF("id", "embedding", "metadata"),
+      path)
+    assert(KwiFormat.count(path) === 2L) // 2 live - 1 deleted + 1 appended
     val ids = KwiFormat.read(spark, path).collect()
       .map(r => (r.getString(0), r.getSeq[Float](1))).sortBy(_._1)
     assert(ids.map(_._1).toSeq === Seq("a", "c"))
