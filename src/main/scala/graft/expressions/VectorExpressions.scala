@@ -125,20 +125,131 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Euclidean distance ‖a−b‖₂ in one primitive loop — bit-identical to
+  * the HOF `sqrt(aggregate(zip_with(...)))` chain (left-to-right double
+  * accumulation of squared diffs, then one sqrt), so oracle-checked
+  * results are unchanged when the fast path is swapped in. Reference
+  * semantics: kowari src/utils.rs:16-19. */
+case class EuclideanDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_euclidean"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"graft_euclidean expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val fa = elemIsFloat(left); val fb = elemIsFloat(right)
+    val n = math.min(xa.numElements(), xb.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
+      val y = if (fb) xb.getFloat(i).toDouble else xb.getDouble(i)
+      val diff = x - y
+      s += diff * diff
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val diff = ctx.freshName("diff")
+      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $diff = ($getA) - ($getB);
+         |  $s += $diff * $diff;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EuclideanDist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Manhattan distance Σ|aᵢ−bᵢ| in one primitive loop — bit-identical
+  * to the HOF chain (kowari src/utils.rs:21-24 semantics). */
+case class ManhattanDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_manhattan"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"graft_manhattan expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val fa = elemIsFloat(left); val fb = elemIsFloat(right)
+    val n = math.min(xa.numElements(), xb.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
+      val y = if (fb) xb.getFloat(i).toDouble else xb.getDouble(i)
+      s += math.abs(x - y)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Math.abs(($getA) - ($getB));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ManhattanDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration (idempotent): makes the expressions reachable
   * as SQL functions and via functions.call_function — the supported
   * route to a custom Expression without private Column constructors. */
 object GraftFunctions {
+  private val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> (c => CosineSim(c(0), c(1))),
+    "graft_dot" -> (c => DotProduct(c(0), c(1))),
+    "graft_euclidean" -> (c => EuclideanDist(c(0), c(1))),
+    "graft_manhattan" -> (c => ManhattanDist(c(0), c(1))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
-    reg.registerFunction(
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    all.foreach { case (name, builder) =>
+      reg.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSim].getName, name),
+        builder)
+    }
   }
 }
 
@@ -157,5 +268,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_euclidean"),
+      new ExpressionInfo(classOf[EuclideanDist].getName, "graft_euclidean"),
+      (children: Seq[Expression]) => EuclideanDist(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_manhattan"),
+      new ExpressionInfo(classOf[ManhattanDist].getName, "graft_manhattan"),
+      (children: Seq[Expression]) => ManhattanDist(children(0), children(1))))
   }
 }

@@ -87,4 +87,14 @@ object VectorOps {
   /** Fused dot product (graft.expressions.DotProduct). */
   def fastDot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
+
+  /** Fused euclidean distance (graft.expressions.EuclideanDist) —
+    * bit-identical to `euclidean`, one primitive loop. */
+  def fastEuclidean(a: Column, b: Column): Column =
+    call_function("graft_euclidean", a, b)
+
+  /** Fused manhattan distance (graft.expressions.ManhattanDist) —
+    * bit-identical to `manhattan`, one primitive loop. */
+  def fastManhattan(a: Column, b: Column): Column =
+    call_function("graft_manhattan", a, b)
 }

@@ -41,13 +41,15 @@ object Knn {
   case object Cosine extends Metric {
     def score(a: Column, b: Column): Column = VectorOps.fastCosine(a, b)
   }
-  /** negated euclidean distance, higher = closer (src/index.rs:36-38). */
+  /** negated euclidean distance, higher = closer (src/index.rs:36-38) —
+    * native fused expression on the hot scan. */
   case object NegEuclidean extends Metric {
-    def score(a: Column, b: Column): Column = -VectorOps.euclidean(a, b)
+    def score(a: Column, b: Column): Column = -VectorOps.fastEuclidean(a, b)
   }
-  /** negated manhattan distance, higher = closer. */
+  /** negated manhattan distance, higher = closer — native fused
+    * expression on the hot scan. */
   case object NegManhattan extends Metric {
-    def score(a: Column, b: Column): Column = -VectorOps.manhattan(a, b)
+    def score(a: Column, b: Column): Column = -VectorOps.fastManhattan(a, b)
   }
 
   /** Top-k over `vectors` for a single query vector supplied as a one-row

@@ -59,6 +59,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"))
   }
 
+  test("knn euclidean/manhattan hot paths use the native fused kernels") {
+    val pe = plan("knn_euclidean")
+    assert(pe.contains("graft_euclidean"), pe)
+    assert(!pe.contains("aggregate(zip_with"), pe)
+    val pm = plan("knn_manhattan")
+    assert(pm.contains("graft_manhattan"), pm)
+    assert(!pm.contains("aggregate(zip_with"), pm)
+  }
+
   test("multi-query knn via typed aggregate: partial top-k before the shuffle, no window") {
     val p = plan("knn_multi_agg")
     assert(p.contains("partial_topk") || p.contains("partial_TopK")

@@ -37,6 +37,16 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("euclidean/manhattan: fast native == HOF bit-for-bit on every case") {
+    cases(vecGen).foreach { a =>
+      val b = a.map(x => x * -0.3f + 2.0f)
+      assert(evalKernel(a, b, VectorOps.euclidean) ==
+        evalKernel(a, b, VectorOps.fastEuclidean), s"euclid ${a.toSeq}")
+      assert(evalKernel(a, b, VectorOps.manhattan) ==
+        evalKernel(a, b, VectorOps.fastManhattan), s"manhattan ${a.toSeq}")
+    }
+  }
+
   test("normalize is idempotent (unit-norm fixed point)") {
     cases(vecGen.suchThat(_.exists(_ != 0f))).foreach { a =>
       val m = spark.range(1)
