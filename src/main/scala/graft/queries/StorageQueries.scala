@@ -36,11 +36,20 @@ object StorageQueries extends QueryRegistry {
       val nMetaOk = back
         .filter(get_json_object(col("metadata"), "$.label").isNotNull)
         .count()
+
+      // tombstone-delete ten records (BinaryIndex delete semantics:
+      // markers appended, data bytes remain), then compact — reads must
+      // agree with the live count at every stage
+      (0 until 10).foreach(i => KwiFormat.appendTombstone(kwiPath, i.toString))
+      val nAfterDelete = KwiFormat.read(s, kwiPath).count()
+      KwiFormat.optimize(kwiPath)
+      val nAfterOptimize = KwiFormat.count(kwiPath)
       CollectionManager.deleteRecursively(java.nio.file.Paths.get(base))
 
       import s.implicits._
-      Seq((nCollection, nKwi, nMetaOk))
-        .toDF("n_collection", "n_kwi", "n_meta_ok")
+      Seq((nCollection, nKwi, nMetaOk, nAfterDelete, nAfterOptimize))
+        .toDF("n_collection", "n_kwi", "n_meta_ok",
+          "n_after_delete", "n_after_optimize")
     }),
   )
 
@@ -48,7 +57,9 @@ object StorageQueries extends QueryRegistry {
     "storage_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_collection,
         |       CAST(count(*) AS BIGINT) AS n_kwi,
-        |       CAST(count(*) AS BIGINT) AS n_meta_ok
+        |       CAST(count(*) AS BIGINT) AS n_meta_ok,
+        |       CAST(count(*) - 10 AS BIGINT) AS n_after_delete,
+        |       CAST(count(*) - 10 AS BIGINT) AS n_after_optimize
         |FROM embeddings""".stripMargin,
   )
 }
