@@ -99,10 +99,20 @@ object TextOps {
     * 16 times (once per bit), so callers on a hot path should
     * materialize it first (cache / parquet) — inlined, each bit would
     * re-run md5 over every token. */
-  def simhash16FromHashes(hashes: Column): Column = {
-    val pw = typedLit((0 to 16).map(i => 1L << i).toArray)
+  def simhash16FromHashes(hashes: Column): Column =
+    simhashFromHashes(hashes, 16)
+
+  /** Width-parameterized SimHash from pre-hashed tokens. `bits` ≤ 60
+    * (md5Long carries 60 hash bits); wider sketches mean finer
+    * pigeonhole bands — at 60 bits a maxDist=3 banding yields 2^15
+    * buckets per band instead of 2^4, which is what keeps Σ|bucket|²
+    * sub-quadratic on a large corpus. Same materialize-first caveat as
+    * the 16-bit version (hash array embedded `bits` times). */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 60, "simhash width must be 1..60")
+    val pw = typedLit((0 until bits).map(1L << _).toArray)
     aggregate(
-      transform(sequence(lit(0), lit(15)), b => {
+      transform(sequence(lit(0), lit(bits - 1)), b => {
         val p = element_at(pw, b + 1)
         val votes = aggregate(hashes, lit(0L),
           (s, h) => s + when((h % (p * 2)) >= p, 1L).otherwise(-1L))
@@ -113,10 +123,14 @@ object TextOps {
 
   /** Hamming distance between two small non-negative longs (≤ 16 bits),
     * expression-only (bit_count(xor) on the DuckDB side). */
-  def hamming16(a: Column, b: Column): Column = {
-    val pw = typedLit((0 to 16).map(i => 1L << i).toArray)
+  def hamming16(a: Column, b: Column): Column = hammingBits(a, b, 16)
+
+  /** Width-parameterized Hamming distance over non-negative longs. */
+  def hammingBits(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, "hamming width must be 1..62")
+    val pw = typedLit((0 until bits).map(1L << _).toArray)
     aggregate(
-      transform(sequence(lit(0), lit(15)), i => {
+      transform(sequence(lit(0), lit(bits - 1)), i => {
         val p = element_at(pw, i + 1)
         when(((a % (p * 2)) >= p) =!= ((b % (p * 2)) >= p), 1L).otherwise(0L)
       }),

@@ -218,27 +218,28 @@ object Dedup {
     * as the MinHash path — followed by the exact Hamming rerank.
     * Result-identical to the all-pairs `simhashPairs` baseline below,
     * without its O(n²) crossJoin. */
-  def simhashPairsBanded(docs: DataFrame, maxDist: Int): DataFrame = {
+  def simhashPairsBanded(docs: DataFrame, maxDist: Int,
+      bits: Int = 16): DataFrame = {
     val nBands = maxDist + 1
-    require(nBands >= 1 && nBands <= 16, "need 1..16 bands over 16 bits")
+    require(nBands >= 1 && nBands <= bits, s"need 1..$bits bands over $bits bits")
     // same materialization reasoning as simhashPairs below
     val hashed = docs.select(col("doc_id"),
       transform(TextOps.tokens(col("text")), t => TextOps.md5Long(t)).as("th"))
       .localCheckpoint()
     val sh = hashed.select(col("doc_id"),
-      TextOps.simhash16FromHashes(col("th")).as("simhash"))
+      TextOps.simhashFromHashes(col("th"), bits).as("simhash"))
     // nearly-even bit ranges: band b covers [offset, offset+width)
-    val base = 16 / nBands
-    val rem = 16 % nBands
+    val base = bits / nBands
+    val rem = bits % nBands
     val ranges = (0 until nBands).map { b =>
       val width = base + (if (b < rem) 1 else 0)
       val offset = b * base + math.min(b, rem)
       (b, offset, width)
     }
     val bandCols = ranges.map { case (b, offset, width) =>
-      // simhash16 is non-negative, so shift+mod extracts the band bits
+      // the sketch is non-negative, so shift+mod extracts the band bits
       struct(lit(b).cast("int").as("band"),
-        (shiftright(col("simhash"), offset) % lit(1 << width)).as("key"))
+        (shiftright(col("simhash"), offset) % lit(1L << width)).as("key"))
     }
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bk"))
@@ -250,7 +251,7 @@ object Dedup {
       col("band"), col("key"))
     a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        TextOps.hamming16(col("ha"), col("hb")).as("hamming"))
+        TextOps.hammingBits(col("ha"), col("hb"), bits).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct() // a pair agreeing on several bands appears once
       .orderBy(col("a"), col("b"))
@@ -259,21 +260,22 @@ object Dedup {
   /** SimHash near-dup pairs over a bounded subset: hamming(simhash16)
     * <= maxDist. All-pairs crossJoin — the bounded correctness baseline
     * for `simhashPairsBanded`; never run this on an unbounded corpus. */
-  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    // materialize token hashes BEFORE the 16-bit fold: simhash embeds
-    // the hash array once per bit, so an inlined md5 would run 16x per
-    // token; the boundary blocks projection collapse. localCheckpoint,
-    // not cache, so blocks free up after the result is consumed
+  def simhashPairs(docs: DataFrame, maxDist: Int, bits: Int = 16): DataFrame = {
+    // materialize token hashes BEFORE the per-bit fold: simhash embeds
+    // the hash array once per bit, so an inlined md5 would run `bits`
+    // times per token; the boundary blocks projection collapse.
+    // localCheckpoint, not cache, so blocks free up after the result is
+    // consumed
     val hashed = docs.select(col("doc_id"),
       transform(TextOps.tokens(col("text")), t => TextOps.md5Long(t)).as("th"))
       .localCheckpoint()
     val sh = hashed.select(col("doc_id"),
-      TextOps.simhash16FromHashes(col("th")).as("simhash"))
+      TextOps.simhashFromHashes(col("th"), bits).as("simhash"))
     val a = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
     val b = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
     a.crossJoin(b).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        TextOps.hamming16(col("ha"), col("hb")).as("hamming"))
+        TextOps.hammingBits(col("ha"), col("hb"), bits).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .orderBy(col("a"), col("b"))
   }

@@ -60,13 +60,14 @@ class TextSpec extends SparkSpec {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select("a", "b", "hamming").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
-    for (maxDist <- Seq(1, 3)) {
-      val brute = norm(Dedup.simhashPairs(docs, maxDist)
+    for ((maxDist, bits) <- Seq((1, 16), (3, 16), (9, 60))) {
+      val brute = norm(Dedup.simhashPairs(docs, maxDist, bits)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming")))
-      val banded = norm(Dedup.simhashPairsBanded(docs, maxDist)
+      val banded = norm(Dedup.simhashPairsBanded(docs, maxDist, bits)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming")))
-      assert(banded == brute, s"maxDist=$maxDist")
-      assert(brute.nonEmpty, "vacuous comparison — widen the doc subset")
+      assert(banded == brute, s"maxDist=$maxDist bits=$bits")
+      if (bits == 16)
+        assert(brute.nonEmpty, "vacuous comparison — widen the doc subset")
     }
   }
 
