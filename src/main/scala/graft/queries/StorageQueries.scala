@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{CollectionManager, KwiFormat}
+import graft.sources.{CollectionManager, JsonStore, KwiFormat}
 
 /** End-to-end storage parity exercised as a declared query: build a
   * collection from the `embeddings` table, export to `.kwi`, read it
@@ -51,6 +51,33 @@ object StorageQueries extends QueryRegistry {
         .toDF("n_collection", "n_kwi", "n_meta_ok",
           "n_after_delete", "n_after_optimize")
     }),
+
+    // PersistentStorage parity as a declared query: JSONL save + O(1)
+    // append + load; counts AND a float value survive the JSON
+    // round-trip (shortest-round-trip repr both directions), which is
+    // what the e0_first probe pins against the parquet source
+    "json_store_roundtrip" -> ((s, dir) => {
+      val base = Files.createTempDirectory("graft-verify-json").toString
+      val path = s"$base/store"
+      val all = embeddings(s, dir)
+      def shaped(df: DataFrame): DataFrame = df.select(
+        col("vec_id").cast("string").as("id"),
+        col("embedding"),
+        to_json(struct(col("label"))).as("metadata"))
+      JsonStore.save(shaped(all.filter(col("vec_id") < 100)), path)
+      JsonStore.append(
+        shaped(all.filter(col("vec_id") >= 100 && col("vec_id") < 150)), path)
+      val back = JsonStore.load(s, path)
+      val nRows = back.count()
+      val nMetaOk = back
+        .filter(get_json_object(col("metadata"), "$.label").isNotNull).count()
+      val e0 = back.filter(col("id") === "0")
+        .select(round(element_at(col("embedding"), 1).cast("double"), 6))
+        .collect()(0).getDouble(0)
+      CollectionManager.deleteRecursively(java.nio.file.Paths.get(base))
+      import s.implicits._
+      Seq((nRows, nMetaOk, e0)).toDF("n_rows", "n_meta_ok", "e0_first")
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -61,5 +88,11 @@ object StorageQueries extends QueryRegistry {
         |       CAST(count(*) - 10 AS BIGINT) AS n_after_delete,
         |       CAST(count(*) - 10 AS BIGINT) AS n_after_optimize
         |FROM embeddings""".stripMargin,
+
+    "json_store_roundtrip" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 150) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 150) AS BIGINT) AS n_meta_ok,
+        |  (SELECT round(CAST(embedding[1] AS DOUBLE), 6) FROM embeddings WHERE vec_id = 0) AS e0_first""".stripMargin,
   )
 }
