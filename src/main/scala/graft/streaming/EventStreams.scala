@@ -102,7 +102,13 @@ object EventStreams {
     * each side instead of holding unbounded join state — the
     * stream-stream shape that survives at production scale. Emits every
     * qualifying (click, purchase) pair as soon as both sides arrive. */
-  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  /** @param joinType "inner" emits only matched pairs; "left_outer"
+    *   additionally emits every click that found NO purchase in its
+    *   window, with null purchase columns — but only once the watermark
+    *   passes the point where a match became impossible (that delayed
+    *   null emission is exactly what the two-sided time bound buys). */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -112,7 +118,7 @@ object EventStreams {
     c.join(p, expr(
       """user_id = p_user_id AND
         |click_ts < purchase_ts AND
-        |click_ts >= purchase_ts - INTERVAL 30 MINUTES""".stripMargin))
+        |click_ts >= purchase_ts - INTERVAL 30 MINUTES""".stripMargin), joinType)
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
           .as("gap_ms"))

@@ -130,6 +130,24 @@ class PlanSpec extends SparkSpec {
         s.metadata.getOrElse("PartitionFilters", "")
     }.mkString(";")
 
+  test("knn plans carry no loader round-robin exchange (round-2 regression pin)") {
+    // round 2 blanket-repartitioned embeddings in the loader; the extra
+    // exchange per scan regressed search_join_back 7×. The knn family
+    // reads the parquet directly — pin the absence of the exchange.
+    for (q <- Seq("knn_cosine", "knn_manhattan", "search_join_back")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange roundrobinpartitioning"), s"$q:\n$p")
+    }
+  }
+
+  test("lsh_similarity_join band keys are map-only: no shuffle keyed on vec_id") {
+    // the round-2 formulation crossJoined the plane rows and regrouped
+    // bits with groupBy(vec_id, band) — an n×P-row shuffle. Map-only
+    // band keys leave only the candidate join's (band, key) exchange.
+    val p = plan("lsh_similarity_join")
+    assert(!p.toLowerCase.contains("exchange hashpartitioning(vec_id"), p)
+  }
+
   test("declared HNSW build is LSH-blocked: joins on the bucket key, no unblocked self-join") {
     val built = graft.queries.IndexQueries.hnswBuildPlan(spark, sfDir)
     val p = built.queryExecution.optimizedPlan.toString

@@ -133,6 +133,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched clicks with nulls after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventIn]
+    val purchases = MemoryStream[EventIn]
+    val q = EventStreams.toMemorySink(
+      EventStreams.clickToPurchaseJoin(clicks.toDF(), purchases.toDF(), "left_outer"),
+      "ssleft_test", OutputMode.Append())
+    try {
+      clicks.addData(
+        EventIn(1, ts(0), 7, "click", 0),   // will match
+        EventIn(2, ts(0), 9, "click", 0))   // never matches
+      purchases.addData(EventIn(3, ts(10), 7, "purchase", 0))
+      q.processAllAvailable()
+      // matched row may emit immediately; the unmatched click must NOT
+      // have a null row yet (its window is still open)
+      val early = spark.table("ssleft_test").collect()
+        .map(r => (r.getLong(0), r.isNullAt(1)))
+      assert(!early.exists { case (u, isNull) => u == 9L && isNull })
+      // advance BOTH watermarks far past click+30min → the join state
+      // for user 9's click expires and the null row flushes
+      clicks.addData(EventIn(4, ts(600), 1, "click", 0))
+      purchases.addData(EventIn(5, ts(600), 1, "purchase", 0))
+      q.processAllAvailable()
+      clicks.addData(EventIn(6, ts(610), 1, "click", 0))
+      purchases.addData(EventIn(7, ts(610), 1, "purchase", 0))
+      q.processAllAvailable()
+      val rows = spark.table("ssleft_test").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(rows.contains((7L, 3L)), rows.mkString(",")) // matched pair
+      assert(rows.contains((9L, -1L)), rows.mkString(",")) // unmatched → nulls
+    } finally q.stop()
+  }
+
   test("streaming type aggregate equals the batch groupBy on same data") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
