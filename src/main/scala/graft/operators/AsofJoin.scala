@@ -46,11 +46,16 @@ object AsofJoin {
     * @param payload   right columns to carry (include rightTs if the
     *                  caller needs the matched time, e.g. for gaps)
     * @param tiebreak  right column ordering same-(key, ts) right rows;
-    *                  the greatest matches last and wins
+    *                  backward: the greatest wins; forward: the least
+    * @param forward   false (default): match the LATEST right row
+    *                  strictly BEFORE the left row. true: match the
+    *                  EARLIEST right row strictly AFTER it ("next
+    *                  restock after the order") — same single window
+    *                  pass with the scan direction reversed.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
-      tiebreak: Option[String] = None): DataFrame = {
+      tiebreak: Option[String] = None, forward: Boolean = false): DataFrame = {
     val leftExtra = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
 
     val rSel = right.select(
@@ -72,8 +77,19 @@ object AsofJoin {
     val all = lSel.withColumn("__is_r", lit(false))
       .unionByName(rAligned.withColumn("__is_r", lit(true)))
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__is_r").asc, col("__tb").asc)
+    // backward: scan ts ASC; the last right payload strictly before the
+    //   current row is the match (right rows at the SAME ts sort after
+    //   the left row via __is_r, so strictness holds; greatest tiebreak
+    //   is seen last and wins).
+    // forward: identical frame over the REVERSED scan (ts DESC); the
+    //   last right payload seen is the nearest ts above; __tb DESC makes
+    //   the least tiebreak win among equal-ts right rows.
+    val w = (if (forward)
+      Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__ts").desc, col("__is_r").asc, col("__tb").desc)
+    else
+      Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__ts").asc, col("__is_r").asc, col("__tb").asc))
       .rowsBetween(Window.unboundedPreceding, -1)
 
     all

@@ -46,6 +46,24 @@ object JoinQueries extends QueryRegistry {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of join: for each click (first 20 users), the same
+    // user's earliest strictly-later purchase — "time to conversion"
+    // per click; the reversed-scan twin of asof_last_click
+    "asof_next_purchase" -> ((s, dir) => {
+      val ev = evMs(s, dir)
+      val clicks = ev
+        .filter(col("event_type") === "click" && col("user_id") < 20)
+        .select(col("event_id"), col("user_id"), col("ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms"), col("event_id").as("p_id"))
+      AsofJoin.asofJoin(clicks, purchases, Seq("user_id"), "ms", "ms",
+        payload = Seq("ms", "p_id"), tiebreak = Some("p_id"), forward = true)
+        .select(col("event_id"), col("user_id"),
+          col("matched.p_id").cast("long").as("purchase_id"),
+          (col("matched.ms") - col("ms")).cast("long").as("gap_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // funnel: users whose purchase followed a click within 30 min;
     // per-user best (minimum) click→purchase gap, then corpus rollup —
     // the as-of join composed into a conversion metric
@@ -101,6 +119,22 @@ object JoinQueries extends QueryRegistry {
         |SELECT p.event_id, p.user_id, CAST(p.ms - c.ms AS BIGINT) AS gap_ms
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms > c.ms
         |ORDER BY p.event_id""".stripMargin,
+
+    // DuckDB ASOF is backward-only; the forward join replays as an
+    // inequality join + row_number (fine for an oracle, which never
+    // needs to scale)
+    "asof_next_purchase" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+        |           WHERE event_type = 'click' AND user_id < 20),
+        |p AS (SELECT event_id AS p_id, user_id, epoch_ms(ts) AS ms FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id, c.user_id, p.p_id, p.ms - c.ms AS gap_ms,
+        |        row_number() OVER (PARTITION BY c.event_id
+        |                           ORDER BY p.ms ASC, p.p_id ASC) AS rn
+        |      FROM c JOIN p ON c.user_id = p.user_id AND p.ms > c.ms)
+        |SELECT event_id, user_id, CAST(p_id AS BIGINT) AS purchase_id,
+        |       CAST(gap_ms AS BIGINT) AS gap_ms
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "funnel_conversion" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events

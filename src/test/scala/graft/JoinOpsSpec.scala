@@ -32,6 +32,23 @@ class JoinOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("second")) // greatest tiebreak wins
   }
 
+  test("forward asof join matches the least strictly-later right row per key") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 500L, "p3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, "c-tie"), (1L, 150L, "c1"), (1L, 150L, "c1b"),
+      (1L, 400L, "c2"), (2L, 450L, "c3")).toDF("k", "ts", "label")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "ts", "ts",
+      payload = Seq("ts", "label"), tiebreak = Some("label"), forward = true)
+      .select($"k", $"ts", $"tag", $"matched.label".as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // p1@100: c-tie@100 is NOT strictly later; ties at 150 break toward
+    //   the LEAST tiebreak ("c1") in forward mode
+    // p2@200: next later right row is c2@400
+    // p3@500: no later right row -> dropped (inner semantics)
+    assert(out.toSeq == Seq((1L, 100L, "p1", "c1"), (1L, 200L, "p2", "c2")))
+  }
+
   test("range join assigns points to half-open bands, equi-join plan (no NLJ)") {
     val points = Seq(0.5, 10.0, 99.9, 100.0, 250.0).toDF("x")
     val bands = Seq((0.0, 100.0, "low"), (100.0, 200.0, "high")).toDF("lo", "hi", "band")
