@@ -68,6 +68,29 @@ object PipelineQueries extends QueryRegistry {
           round(avg(col("n_chars")), 6).as("avg_chars"))
         .orderBy(col("lang"))),
 
+    // token-budget shard packing: within each source, docs in doc_id
+    // order accumulate into ~500-token shards (shard id = budget
+    // boundaries crossed BEFORE the doc, so a doc straddling a boundary
+    // opens the next shard). The sequence-packing step that turns a
+    // curated corpus into training-sized chunks; partitioning by source
+    // keeps the window shuffle keyed (never a global single-partition
+    // sort), which is the scale-correct layout — a real run packs
+    // within whatever partition unit it shards by.
+    "token_shard_packing" -> ((s, dir) => {
+      val budget = 500L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("shard", ((col("cum") - col("n_tokens")) / budget).cast("long"))
+        .groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"))
+        .filter(col("shard") < 3) // bound output; early shards pin the math
+        .orderBy(col("source"), col("shard"))
+    }),
+
     // per-label embedding centroid profile: positional mean vector per
     // label (posexplode + (label, pos) aggregation — the same shape as
     // the IVF Lloyd step), reduced to its L2 norm
@@ -112,6 +135,22 @@ object PipelineQueries extends QueryRegistry {
         |FROM documents
         |WHERE CAST(('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "token_shard_packing" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |         len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t),
+         |sh AS (SELECT source, (cum - n_tokens) // 500 AS shard, n_tokens FROM c)
+         |SELECT source, CAST(shard AS BIGINT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |FROM sh WHERE shard < 3
+         |GROUP BY source, shard ORDER BY source, shard""".stripMargin,
 
     "label_centroid_profile" ->
       """WITH per AS (
