@@ -88,6 +88,20 @@ object VectorOps {
   def fastDot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** Symmetric per-vector int8 quantization: scale = max|xᵢ|/127,
+    * qᵢ = round(xᵢ/scale) ∈ [-127, 127], emitted as ARRAY<DOUBLE> of
+    * integer values (the storage form would be ARRAY<TINYINT> + the
+    * scale — 4× smaller than float32, the standard embedding-store
+    * compression at corpus scale). Cosine is invariant to the
+    * per-vector scale, so quantized similarity search needs only the
+    * integer arrays; recall loss is the quantization error alone.
+    * All-zero vectors quantize to all zeros. */
+  def int8Quantize(v: Column): Column = {
+    val s = array_max(transform(v, x => abs(d(x)))) / 127.0
+    when(s === 0.0, transform(v, x => d(x) * 0.0))
+      .otherwise(transform(v, x => round(d(x) / s, 0)))
+  }
+
   /** Fused euclidean distance (graft.expressions.EuclideanDist) —
     * bit-identical to `euclidean`, one primitive loop. */
   def fastEuclidean(a: Column, b: Column): Column =

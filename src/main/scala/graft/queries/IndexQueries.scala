@@ -196,6 +196,31 @@ object IndexQueries extends QueryRegistry {
         .limit(20)
     }),
 
+    // int8-quantized search recall: the corpus quantized to per-vector
+    // int8 (4× smaller storage), rankings vs the exact float corpus,
+    // recall@10 per query — quantization is the first lever a 100 TB
+    // embedding store pulls, and this pins its error end-to-end
+    "int8_quant_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val qdb = emb.select(col("vec_id"),
+        graft.functions.VectorOps.int8Quantize(col("embedding")).as("embedding"))
+      def ids(db: DataFrame): DataFrame =
+        Knn.topKPerQuery(db, qs, 10, Knn.Cosine)
+          .groupBy(col("query_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("rank"), col("vec_id")))),
+            x => x.getField("vec_id")).as("ids"))
+      val exact = ids(emb).withColumnRenamed("ids", "exact_ids")
+      val quant = ids(qdb).withColumnRenamed("ids", "quant_ids")
+      exact.join(quant, Seq("query_id"))
+        .select(col("query_id"),
+          round(Metrics.recallAtK(col("exact_ids"), col("quant_ids"), 10), 6)
+            .as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // recall@10 between the euclidean and cosine rankings, per query —
     // Metrics.recallAtK (src/utils.rs:64-79) over SQL-derivable lists.
     "recall_euclid_vs_cosine" -> ((s, dir) => {
@@ -314,6 +339,39 @@ object IndexQueries extends QueryRegistry {
     "hnsw_self_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(1 AS BIGINT) AS hit
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "int8_quant_recall" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |qdb AS (
+         |  SELECT vec_id,
+         |         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0.0
+         |              THEN list_transform(embedding, x -> 0.0)
+         |              ELSE list_transform(embedding, x ->
+         |                round(CAST(x AS DOUBLE) /
+         |                  (list_max(list_transform(embedding, x2 -> abs(CAST(x2 AS DOUBLE)))) / 127.0)))
+         |         END AS qv
+         |  FROM embeddings),
+         |exact_ranked AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY round(${cosine("e.embedding", "q.qe")}, 6) DESC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e, q),
+         |quant_ranked AS (
+         |  SELECT q.query_id, d.vec_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY round(${cosine("d.qv", "q.qe")}, 6) DESC, d.vec_id ASC) AS rnk
+         |  FROM qdb d, q),
+         |exact_lists AS (
+         |  SELECT query_id, list(vec_id ORDER BY rnk) AS exact_ids
+         |  FROM exact_ranked WHERE rnk <= 10 GROUP BY query_id),
+         |quant_lists AS (
+         |  SELECT query_id, list(vec_id ORDER BY rnk) AS quant_ids
+         |  FROM quant_ranked WHERE rnk <= 10 GROUP BY query_id)
+         |SELECT x.query_id,
+         |       round(CAST(len(list_intersect(x.exact_ids, n.quant_ids)) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM exact_lists x JOIN quant_lists n ON x.query_id = n.query_id
+         |ORDER BY x.query_id""".stripMargin,
 
     "recall_euclid_vs_cosine" ->
       s"""WITH q AS (
