@@ -196,6 +196,23 @@ object IndexQueries extends QueryRegistry {
         .limit(20)
     }),
 
+    // progressive (dim-prefix) search: rank by the FIRST 16 dims only
+    // (reads 16/d of the vector bytes — with a column-sliced storage
+    // layout that is a physically smaller scan), keep top-50, exact
+    // rerank on full vectors. The two-phase cost-shaping every large
+    // embedding store uses; the oracle replays both phases exactly.
+    "dim_prefix_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val q = firstVec(emb)
+      val prefixDb = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val pre = Knn.topK(prefixDb,
+        Seq(Tuple1(q.take(16))).toDF("qe"), 50, Knn.Cosine)
+      val cand = emb.join(broadcast(pre.select(col("vec_id"))), "vec_id")
+      Knn.topK(cand, Seq(Tuple1(q)).toDF("qe"), 10, Knn.Cosine)
+    }),
+
     // int8-quantized search recall: the corpus quantized to per-vector
     // int8 (4× smaller storage), rankings vs the exact float corpus,
     // recall@10 per query — quantization is the first lever a 100 TB
@@ -339,6 +356,20 @@ object IndexQueries extends QueryRegistry {
     "hnsw_self_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(1 AS BIGINT) AS hit
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "dim_prefix_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pre AS (
+         |  SELECT e.vec_id,
+         |         row_number() OVER (
+         |           ORDER BY round(${cosine("e.embedding[1:16]", "q.qe[1:16]")}, 6) DESC,
+         |                    e.vec_id ASC) AS rnk
+         |  FROM embeddings e, q),
+         |cand AS (SELECT vec_id FROM pre WHERE rnk <= 50)
+         |SELECT e.vec_id, round(${cosine("e.embedding", "q.qe")}, 6) + 0.0 AS score
+         |FROM embeddings e JOIN cand USING (vec_id), q
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
 
     "int8_quant_recall" ->
       s"""WITH q AS (
