@@ -214,6 +214,44 @@ object TextQueries extends QueryRegistry {
       Dedup.jaccardPairs(
         documents(s, dir).filter(col("doc_id") < 150), 0.2)),
 
+    // benchmark decontamination: corpus docs sharing any 5-gram shingle
+    // with the "benchmark" set (docs 0-9 stand in for an eval set) —
+    // the contamination sweep every training-data run does before
+    // release. One shuffle keyed on the shingle hash; the benchmark
+    // side is tiny and BROADCAST, so the corpus never reshuffles
+    "decontamination_hits" -> ((s, dir) => {
+      val hashed = Dedup.shingled(documents(s, dir)).localCheckpoint()
+      val corpus = hashed.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("corpus_id"),
+          explode(array_distinct(col("shh"))).as("h"))
+      val bench = hashed.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_id"),
+          explode(array_distinct(col("shh"))).as("h"))
+      corpus.join(broadcast(bench), "h")
+        .groupBy(col("corpus_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
+
+    // repetition scoring: per-doc ratio of the most frequent trigram to
+    // all trigrams — the degenerate-text detector (C4-style quality
+    // pre-filter); map-only per doc + one (doc, trigram) aggregation
+    "repetition_scores" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(toks, 3)).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("max_cnt"),
+          sum(col("cnt")).as("n_tri"))
+        .select(col("doc_id"), col("max_cnt").cast("long").as("max_cnt"),
+          round(col("max_cnt").cast("double") / col("n_tri"), 6).as("rep_ratio"))
+        .orderBy(col("rep_ratio").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // SimHash values
     "simhash_head" -> ((s, dir) =>
       documents(s, dir).filter(col("doc_id") < 20)
@@ -405,6 +443,30 @@ object TextQueries extends QueryRegistry {
          |j AS (SELECT x.doc_id AS a, y.doc_id AS b, round(${F.jac("x.sh", "y.sh")}, 6) AS jaccard
          |      FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
          |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin,
+
+    "decontamination_hits" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${F.md5L("s")} % ${F.P})) AS shh FROM sh),
+         |ce AS (SELECT doc_id AS corpus_id, unnest(shh) AS h FROM hs WHERE doc_id >= 10),
+         |be AS (SELECT doc_id AS bench_id, unnest(shh) AS h FROM hs WHERE doc_id < 10)
+         |SELECT corpus_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM ce JOIN be USING (h)
+         |GROUP BY corpus_id, bench_id
+         |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "repetition_scores" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |tri AS (SELECT doc_id,
+         |          unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |                 ELSE list_transform(generate_series(1, len(toks)-2),
+         |                        i -> array_to_string(toks[i:i+2], ' ')) END) AS g
+         |        FROM t),
+         |c AS (SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY doc_id, g),
+         |d AS (SELECT doc_id, max(cnt) AS max_cnt, sum(cnt) AS n_tri FROM c GROUP BY doc_id)
+         |SELECT doc_id, CAST(max_cnt AS BIGINT) AS max_cnt,
+         |       round(CAST(max_cnt AS DOUBLE) / n_tri, 6) AS rep_ratio
+         |FROM d ORDER BY rep_ratio DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "simhash_head" ->
       s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 20),
