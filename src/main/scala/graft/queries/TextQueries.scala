@@ -220,7 +220,9 @@ object TextQueries extends QueryRegistry {
     // release. One shuffle keyed on the shingle hash; the benchmark
     // side is tiny and BROADCAST, so the corpus never reshuffles
     "decontamination_hits" -> ((s, dir) => {
-      val hashed = Dedup.shingled(documents(s, dir)).localCheckpoint()
+      // same shingle table the minhash family probes — built once per
+      // (session, dir) via SharedBuilds
+      val (hashed, _) = sharedDedupIndex(s, dir)
       val corpus = hashed.filter(col("doc_id") >= 10)
         .select(col("doc_id").as("corpus_id"),
           explode(array_distinct(col("shh"))).as("h"))
