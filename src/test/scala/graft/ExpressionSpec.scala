@@ -33,6 +33,21 @@ class ExpressionSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("fastEuclidean/fastManhattan == HOF exactly on column data (codegen path)") {
+    // column inputs are non-foldable, so this exercises doGenCode, not
+    // the constant-folded eval the literal-based property test hits
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val diff = emb.crossJoin(q)
+      .select(
+        VectorOps.euclidean(col("embedding"), col("qe")).as("he"),
+        VectorOps.fastEuclidean(col("embedding"), col("qe")).as("fe"),
+        VectorOps.manhattan(col("embedding"), col("qe")).as("hm"),
+        VectorOps.fastManhattan(col("embedding"), col("qe")).as("fm"))
+      .filter(col("he") =!= col("fe") || col("hm") =!= col("fm"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("zero-vector guard matches the reference (cosine -> 0.0)") {
     val z = typedLit(Array.fill(64)(0.0f))
     val r = emb.limit(1)
