@@ -221,8 +221,11 @@ object IndexQueries extends QueryRegistry {
       val emb = embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val qdb = emb.select(col("vec_id"),
-        graft.functions.VectorOps.int8Quantize(col("embedding")).as("embedding"))
+      // quantization is an interpreted HOF (array_max + transform):
+      // spread the single-row-group scan so it runs on all cores
+      val qdb = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          graft.functions.VectorOps.int8Quantize(col("embedding")).as("embedding"))
       def ids(db: DataFrame): DataFrame =
         Knn.topKPerQuery(db, qs, 10, Knn.Cosine)
           .groupBy(col("query_id"))
