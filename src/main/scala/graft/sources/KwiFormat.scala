@@ -285,6 +285,81 @@ object KwiFormat {
 
   private[sources] def readRecords(p: Path): RecordIterator = new RecordIterator(p)
 
+  /** Random-access point reads via an in-memory offset table — the
+    * reference's `BinaryIndex` read path (binary_index.rs:14-26 entry
+    * table, :148-160 seek+read). One sequential scan at open records
+    * each LIVE record's byte offset (a later tombstone evicts the
+    * entry, a later re-insert replaces it — same replay as the
+    * streaming reader); `get` then seeks straight to the record. O(1)
+    * per lookup after O(n) open, vs O(n) per lookup for a scan — the
+    * same trade the reference makes, and the single-process analogue
+    * of a parquet point read with pushdown. */
+  final class IndexedReader(path: String) extends AutoCloseable {
+    private val p = Paths.get(path)
+    private val offsets: Map[String, Long] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val in = new DataInputStream(
+        new BufferedInputStream(new FileInputStream(p.toFile)))
+      try {
+        in.skipNBytes(HeaderSize)
+        var pos = HeaderSize.toLong
+        var done = false
+        while (!done) {
+          val first = in.read()
+          if (first < 0) done = true
+          else {
+            val rest = new Array[Byte](3)
+            in.readFully(rest)
+            val idLen = ByteBuffer.wrap(Array(first.toByte) ++ rest)
+              .order(ByteOrder.LITTLE_ENDIAN).getInt
+            val idBytes = new Array[Byte](idLen)
+            in.readFully(idBytes)
+            val id = new String(idBytes, "UTF-8")
+            val dim = readIntLE(in)
+            if (dim == TombstoneLen) {
+              m.remove(id)
+              pos += 4L + idLen + 4L
+            } else {
+              val dataBytes = dim.toLong * 4
+              in.skipNBytes(dataBytes)
+              val metaLen = readIntLE(in)
+              in.skipNBytes(metaLen.toLong)
+              m.put(id, pos)
+              pos += 4L + idLen + 4L + dataBytes + 4L + metaLen
+            }
+          }
+        }
+      } finally in.close()
+      m.toMap
+    }
+    private val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.READ)
+
+    def liveCount: Int = offsets.size
+
+    /** Seek-read one live record; None when the id is absent or dead. */
+    def get(id: String): Option[(String, Array[Float], Option[String])] =
+      offsets.get(id).map { off =>
+        ch.position(off)
+        val in = new DataInputStream(
+          new BufferedInputStream(java.nio.channels.Channels.newInputStream(ch)))
+        // do NOT close `in` — it would close the shared channel
+        val idBytes = new Array[Byte](readIntLE(in)); in.readFully(idBytes)
+        val dim = readIntLE(in)
+        val buf = new Array[Byte](dim * 4)
+        in.readFully(buf)
+        val fb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+        val data = new Array[Float](dim)
+        var i = 0
+        while (i < dim) { data(i) = fb.getFloat(); i += 1 }
+        val metaBytes = new Array[Byte](readIntLE(in)); in.readFully(metaBytes)
+        (new String(idBytes, "UTF-8"), data,
+          if (metaBytes.isEmpty) None else Some(new String(metaBytes, "UTF-8")))
+      }
+
+    def close(): Unit = ch.close()
+  }
+
   private def readIntLE(in: DataInputStream): Int = {
     val b = new Array[Byte](4)
     in.readFully(b)

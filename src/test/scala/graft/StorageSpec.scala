@@ -200,6 +200,32 @@ class StorageSpec extends SparkSpec {
     assert(ids(0)._2 === Seq(9f, 9f, 9f)) // the NEW "a", not the tombstoned one
   }
 
+  test("kwi: indexed reader seek-reads live records, honors tombstones and re-inserts") {
+    val base = freshBase()
+    val path = s"$base/vectors.kwi"
+    KwiFormat.write(Seq(
+      ("a", v3a, """{"k":1}"""),
+      ("b", v3b, null.asInstanceOf[String]),
+      ("c", Array(7f, 8f, 9f), """{"k":3}"""))
+      .toDF("id", "embedding", "metadata"), path)
+    KwiFormat.appendTombstone(path, "b")
+    KwiFormat.append(
+      Seq(("b", Array(5f, 5f, 5f), """{"k":5}""")).toDF("id", "embedding", "metadata"),
+      path)
+    val rdr = new KwiFormat.IndexedReader(path)
+    try {
+      assert(rdr.liveCount === 3)
+      val a = rdr.get("a").get
+      assert(a._2.toSeq === v3a.toSeq && a._3 === Some("""{"k":1}"""))
+      // re-inserted "b" shadows the tombstoned original
+      val b = rdr.get("b").get
+      assert(b._2.toSeq === Seq(5f, 5f, 5f) && b._3 === Some("""{"k":5}"""))
+      assert(rdr.get("nope").isEmpty)
+      // random-access order doesn't matter: read c after b
+      assert(rdr.get("c").get._2.toSeq === Seq(7f, 8f, 9f))
+    } finally rdr.close()
+  }
+
   test("json store: save/load/append/clear round-trip (persistence.rs parity)") {
     val base = freshBase()
     val path = s"$base/store"
