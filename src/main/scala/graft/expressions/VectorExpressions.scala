@@ -25,6 +25,11 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  // ragged (different-length) inputs yield NULL, matching the HOF
+  // chain (zip_with null-pads, the null poisons the fold) — so the
+  // fused path can never silently score a wrong-dimension vector with
+  // a prefix value. Hence nullable regardless of the children.
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -36,8 +41,9 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
+    if (xa.numElements() != xb.numElements()) return null
     val fa = elemIsFloat(left); val fb = elemIsFloat(right)
-    val n = math.min(xa.numElements(), xb.numElements())
+    val n = xa.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
@@ -59,15 +65,19 @@ case class CosineSim(left: Expression, right: Expression)
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x$i = $getA;
-         |  double y$i = $getB;
-         |  $dot += x$i * y$i; $na += x$i * x$i; $nb += y$i * y$i;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double x$i = $getA;
+         |    double y$i = $getB;
+         |    $dot += x$i * y$i; $na += x$i * x$i; $nb += y$i * y$i;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -83,6 +93,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // ragged inputs -> NULL; see CosineSim
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -94,8 +106,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
+    if (xa.numElements() != xb.numElements()) return null
     val fa = elemIsFloat(left); val fb = elemIsFloat(right)
-    val n = math.min(xa.numElements(), xb.numElements())
+    val n = xa.numElements()
     var dot = 0.0; var i = 0
     while (i < n) {
       val x = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
@@ -113,10 +126,14 @@ case class DotProduct(left: Expression, right: Expression)
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $dot += ($getA) * ($getB); }
-         |${ev.value} = $dot;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += ($getA) * ($getB); }
+         |  ${ev.value} = $dot;
+         |}
        """.stripMargin
     })
 
@@ -135,6 +152,8 @@ case class EuclideanDist(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_euclidean"
+  // ragged inputs -> NULL; see CosineSim
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -146,8 +165,9 @@ case class EuclideanDist(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
+    if (xa.numElements() != xb.numElements()) return null
     val fa = elemIsFloat(left); val fb = elemIsFloat(right)
-    val n = math.min(xa.numElements(), xb.numElements())
+    val n = xa.numElements()
     var s = 0.0; var i = 0
     while (i < n) {
       val x = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
@@ -166,13 +186,17 @@ case class EuclideanDist(left: Expression, right: Expression)
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $diff = ($getA) - ($getB);
-         |  $s += $diff * $diff;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = ($getA) - ($getB);
+         |    $s += $diff * $diff;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($s);
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin
     })
 
@@ -188,6 +212,8 @@ case class ManhattanDist(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_manhattan"
+  // ragged inputs -> NULL; see CosineSim
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -199,8 +225,9 @@ case class ManhattanDist(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
+    if (xa.numElements() != xb.numElements()) return null
     val fa = elemIsFloat(left); val fb = elemIsFloat(right)
-    val n = math.min(xa.numElements(), xb.numElements())
+    val n = xa.numElements()
     var s = 0.0; var i = 0
     while (i < n) {
       val x = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
@@ -218,12 +245,16 @@ case class ManhattanDist(left: Expression, right: Expression)
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += java.lang.Math.abs(($getA) - ($getB));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += java.lang.Math.abs(($getA) - ($getB));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -236,18 +267,18 @@ case class ManhattanDist(left: Expression, right: Expression)
   * as SQL functions and via functions.call_function — the supported
   * route to a custom Expression without private Column constructors. */
 object GraftFunctions {
-  private val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_cosine" -> (c => CosineSim(c(0), c(1))),
-    "graft_dot" -> (c => DotProduct(c(0), c(1))),
-    "graft_euclidean" -> (c => EuclideanDist(c(0), c(1))),
-    "graft_manhattan" -> (c => ManhattanDist(c(0), c(1))))
+  private val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", classOf[CosineSim].getName, c => CosineSim(c(0), c(1))),
+    ("graft_dot", classOf[DotProduct].getName, c => DotProduct(c(0), c(1))),
+    ("graft_euclidean", classOf[EuclideanDist].getName, c => EuclideanDist(c(0), c(1))),
+    ("graft_manhattan", classOf[ManhattanDist].getName, c => ManhattanDist(c(0), c(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    all.foreach { case (name, builder) =>
+    all.foreach { case (name, className, builder) =>
       reg.registerFunction(
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CosineSim].getName, name),
+        new ExpressionInfo(className, name),
         builder)
     }
   }

@@ -183,6 +183,11 @@ object Dedup {
     val planes: Array[Array[Double]] = emb.filter(col("vec_id") < nPlanes)
       .orderBy(col("vec_id")).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // plane i must be the embedding with vec_id == i (the oracle and the
+    // band/bit layout both index planes by id); fail fast on a sparse or
+    // short corpus rather than silently mis-aligning bits
+    require(planes.length == nPlanes,
+      s"need embeddings with vec_id 0..${nPlanes - 1} as planes; found ${planes.length}")
     val nBands = (nPlanes + bandBits - 1) / bandBits
     val bandKeys = (0 until nBands).map { b =>
       val bits = (0 until bandBits).filter(j => b * bandBits + j < nPlanes)

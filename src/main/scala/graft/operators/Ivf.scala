@@ -44,12 +44,19 @@ class Ivf(nlist: Int, iters: Int) {
   def initCentroids(vecs: DataFrame): Array[(Int, Array[Double])] = {
     val n = vecs.count()
     val stride = math.max(n / nlist, 1L)
-    vecs.select(col("vec_id"), col("embedding"))
+    val strided = vecs.select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nlist)
-      .orderBy(col("vec_id")).limit(nlist).collect().zipWithIndex
-      .map { case (r, i) =>
-        (i, r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
-      }
+      .orderBy(col("vec_id")).limit(nlist).collect()
+    // the modulo filter assumes roughly dense ids from 0; sparse or
+    // offset id spaces can miss every stride point — fall back to the
+    // first nlist rows so a non-empty corpus always seeds >= 1 centroid
+    val seeds =
+      if (strided.nonEmpty) strided
+      else vecs.select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(nlist).collect()
+    seeds.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+    }
   }
 
   private def centroidLit(cents: Array[(Int, Array[Double])]): Column =

@@ -30,14 +30,24 @@ object SkewTools {
       saltBuckets: Int,
       partials: Seq[Column],
       merge: Seq[Column]): DataFrame = {
-    // salt must be independent of row CONTENT: pathological skew is
-    // usually many identical rows, and a content hash would send them
-    // all to one salt bucket — exactly the case salting exists for.
-    // monotonically_increasing_id mixes partition id + offset, so equal
-    // rows spread evenly; the merge phase is algebraic, so results
-    // don't depend on which salt a row drew.
+    // The salt is a DETERMINISTIC content hash, on purpose. A
+    // position-derived salt (monotonically_increasing_id /
+    // spark_partition_id) is nondeterministic across task retries, and
+    // a nondeterministic expression feeding a shuffle key is the
+    // classic silent-corruption bug: after a fetch failure, re-executed
+    // map tasks re-draw salts, so a row can land in a different reduce
+    // partition than the one that already consumed its first-attempt
+    // block — double-counted or lost. Correctness beats spreading.
+    //
+    // The apparent downside — byte-identical duplicate rows share a
+    // salt — does NOT resurrect the hot reducer here: the phase-1
+    // groupBy has map-side partial aggregation, so identical rows
+    // collapse into one partial per map partition before the shuffle;
+    // reducer input is bounded by (#map partitions × #distinct rows),
+    // salt or no salt. The salt's real job is splitting a hot KEY whose
+    // rows differ elsewhere, which a content hash does perfectly.
     val salted = df.withColumn(
-      "_salt", pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      "_salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltBuckets.toLong)))
     salted
       .groupBy(keys :+ col("_salt"): _*)
       .agg(partials.head, partials.tail: _*)
@@ -57,10 +67,15 @@ object SkewTools {
     * splits can't fix (one key >> one partition). */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltBuckets: Int): DataFrame = {
-    // content-independent salt — see saltedAgg: duplicate rows (the
-    // common skew shape) must NOT share a salt bucket
+    // deterministic content-hash salt — see saltedAgg for why a
+    // position-derived salt is a retry-correctness bug. Joins have no
+    // map-side combine, so byte-identical duplicate big-side rows DO
+    // still share a reducer under this salt; that residual case is what
+    // AQE's size-based skew-join split (retry-safe: it splits by map
+    // output size, not row tags) or an explicit pre-dedup+count handles
+    // — not a nondeterministic shuffle key.
     val saltedBig = big.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltBuckets.toLong)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     saltedBig.join(replicated, keys :+ "_salt").drop("_salt")

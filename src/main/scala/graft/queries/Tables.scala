@@ -68,11 +68,14 @@ object Tables {
   * At 100 TB the same role is played by index parquet written once and
   * scanned by every probe job. */
 object SharedBuilds {
-  // Weak keys on the SparkSession itself (not its identityHashCode):
-  // a stopped-and-collected session releases its artifacts, and an
-  // identity-hash reuse can never hand a new session a DataFrame bound
-  // to a dead one. Values are per-session maps, so the strong refs live
-  // only as long as the session key does.
+  // Keyed on the SparkSession object itself (not its identityHashCode,
+  // so a hash-reuse can never hand a new session artifacts bound to a
+  // dead one). Lifetime contract, stated honestly: the cached values
+  // are DataFrames that strongly reference their session, so entries do
+  // NOT fall out on their own — weak keys alone cannot collect them.
+  // In the intended regimes (one session per driver main / test JVM)
+  // that is the desired JVM-lifetime cache; a host that cycles many
+  // sessions in one JVM must call evict(session) when it stops one.
   private val m =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]]
@@ -87,6 +90,9 @@ object SharedBuilds {
     }
     perSession.computeIfAbsent((dir, key), _ => build).asInstanceOf[T]
   }
+  /** Drop every artifact built for `s` (call when stopping a session in
+    * a multi-session JVM; checkpointed blocks are then reclaimable). */
+  def evict(s: SparkSession): Unit = m.synchronized { m.remove(s) }
 }
 
 /** A named query + (optionally) its DuckDB oracle SQL. Registries of

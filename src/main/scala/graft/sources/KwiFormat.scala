@@ -212,7 +212,7 @@ object KwiFormat {
     private def readOne(): Raw = {
       val first = if (closed) -1 else in.read()
       if (first < 0) { close(); null }
-      else {
+      else try {
         val rest = new Array[Byte](3)
         in.readFully(rest)
         val idLen = ByteBuffer.wrap(Array(first.toByte) ++ rest)
@@ -233,6 +233,12 @@ object KwiFormat {
           Raw(id, data,
             if (metaBytes.isEmpty) None else Some(new String(metaBytes, "UTF-8")))
         }
+      } catch {
+        // a torn trailing record (crash mid-append — append() writes in
+        // place, unlike write()/optimize()'s temp+rename) must not make
+        // the whole file unreadable: serve the intact prefix and stop,
+        // exactly what the old header-count-bounded reader did
+        case _: EOFException => close(); null
       }
     }
     def hasNext: Boolean = {
@@ -288,16 +294,21 @@ object KwiFormat {
   /** Random-access point reads via an in-memory offset table — the
     * reference's `BinaryIndex` read path (binary_index.rs:14-26 entry
     * table, :148-160 seek+read). One sequential scan at open records
-    * each LIVE record's byte offset (a later tombstone evicts the
-    * entry, a later re-insert replaces it — same replay as the
-    * streaming reader); `get` then seeks straight to the record. O(1)
-    * per lookup after O(n) open, vs O(n) per lookup for a scan — the
-    * same trade the reference makes, and the single-process analogue
-    * of a parquet point read with pushdown. */
+    * each LIVE record's byte offset with the identical tombstone replay
+    * as the streaming reader (a tombstone pops the OLDEST occurrence of
+    * its id; later occurrences stay live), so point reads and scans can
+    * never disagree; `get` then seeks straight to the latest live
+    * record. O(1) per lookup after O(n) open, vs O(n) per lookup for a
+    * scan — the same trade the reference makes, and the single-process
+    * analogue of a parquet point read with pushdown. */
   final class IndexedReader(path: String) extends AutoCloseable {
     private val p = Paths.get(path)
-    private val offsets: Map[String, Long] = {
-      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // per-id QUEUE of live offsets, so duplicate live ids replay exactly
+    // like the streaming RecordIterator: a tombstone pops the OLDEST
+    // occurrence, later occurrences stay live
+    private val offsets: Map[String, Seq[Long]] = {
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayDeque[Long]]
       val in = new DataInputStream(
         new BufferedInputStream(new FileInputStream(p.toFile)))
       try {
@@ -307,7 +318,7 @@ object KwiFormat {
         while (!done) {
           val first = in.read()
           if (first < 0) done = true
-          else {
+          else try {
             val rest = new Array[Byte](3)
             in.readFully(rest)
             val idLen = ByteBuffer.wrap(Array(first.toByte) ++ rest)
@@ -317,29 +328,38 @@ object KwiFormat {
             val id = new String(idBytes, "UTF-8")
             val dim = readIntLE(in)
             if (dim == TombstoneLen) {
-              m.remove(id)
+              m.get(id).foreach { q =>
+                if (q.nonEmpty) q.removeHead()
+                if (q.isEmpty) m.remove(id)
+              }
               pos += 4L + idLen + 4L
             } else {
               val dataBytes = dim.toLong * 4
               in.skipNBytes(dataBytes)
               val metaLen = readIntLE(in)
               in.skipNBytes(metaLen.toLong)
-              m.put(id, pos)
+              m.getOrElseUpdate(id,
+                scala.collection.mutable.ArrayDeque.empty[Long]) += pos
               pos += 4L + idLen + 4L + dataBytes + 4L + metaLen
             }
+          } catch {
+            // torn trailing record: index the intact prefix (matches
+            // the streaming reader's tolerance)
+            case _: EOFException => done = true
           }
         }
       } finally in.close()
-      m.toMap
+      m.view.mapValues(_.toSeq).toMap
     }
     private val ch = java.nio.channels.FileChannel.open(p,
       java.nio.file.StandardOpenOption.READ)
 
-    def liveCount: Int = offsets.size
+    def liveCount: Int = offsets.valuesIterator.map(_.size).sum
 
-    /** Seek-read one live record; None when the id is absent or dead. */
+    /** Seek-read the LATEST live record for an id; None when the id is
+      * absent or dead. */
     def get(id: String): Option[(String, Array[Float], Option[String])] =
-      offsets.get(id).map { off =>
+      offsets.get(id).map(_.last).map { off =>
         ch.position(off)
         val in = new DataInputStream(
           new BufferedInputStream(java.nio.channels.Channels.newInputStream(ch)))

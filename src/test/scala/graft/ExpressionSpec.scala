@@ -48,6 +48,25 @@ class ExpressionSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("ragged arrays yield NULL from every fused kernel, matching the HOF chain") {
+    // a wrong-dimension vector must never get a prefix score that could
+    // displace a real neighbor from a top-k — HOF zip_with null-pads and
+    // the fold returns null; the fused kernels must agree
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val rows = emb.limit(3).crossJoin(q)
+      .select(
+        VectorOps.fastCosine(slice(col("embedding"), 1, 16), col("qe")).as("fc"),
+        VectorOps.fastDot(slice(col("embedding"), 1, 16), col("qe")).as("fd"),
+        VectorOps.fastEuclidean(slice(col("embedding"), 1, 16), col("qe")).as("fe"),
+        VectorOps.fastManhattan(slice(col("embedding"), 1, 16), col("qe")).as("fm"),
+        VectorOps.cosine(slice(col("embedding"), 1, 16), col("qe")).as("hc"),
+        VectorOps.euclidean(slice(col("embedding"), 1, 16), col("qe")).as("he"))
+      .collect()
+    rows.foreach { r =>
+      (0 until 6).foreach(i => assert(r.isNullAt(i), s"column $i not null"))
+    }
+  }
+
   test("zero-vector guard matches the reference (cosine -> 0.0)") {
     val z = typedLit(Array.fill(64)(0.0f))
     val r = emb.limit(1)
