@@ -48,6 +48,22 @@ class KwiDataSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("id0", "id1", "id2", "id3"))
   }
 
+  test("format(\"kwi\") honors tombstones: deleted records never reach the scan") {
+    val dir = Files.createTempDirectory("kwi-tomb").toString
+    val path = s"$dir/a.kwi"
+    writeKwi(path, 0 until 6)
+    KwiFormat.appendTombstone(path, "id2")
+    KwiFormat.appendTombstone(path, "id4")
+    val ids = spark.read.format("kwi").load(path)
+      .select(col("id")).collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("id0", "id1", "id3", "id5"))
+    // after compaction the DSv2 scan sees the same survivors
+    KwiFormat.optimize(path)
+    val after = spark.read.format("kwi").load(path)
+      .select(col("id")).collect().map(_.getString(0)).sorted.toSeq
+    assert(after == ids)
+  }
+
   test("kwi scan joins back to parquet-backed queries") {
     val dir = Files.createTempDirectory("kwi-join").toString
     writeKwi(s"$dir/a.kwi", 0 until 8)
