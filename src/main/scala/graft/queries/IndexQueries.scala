@@ -38,12 +38,16 @@ object IndexQueries extends QueryRegistry {
     * vec_id &lt; 300), LSH-blocked candidate pairs (multi-probe 1-bit
     * expansion keeps the graph connected — see Hnsw.buildAdjacency).
     * 3 planes → 8 buckets: coarse enough that the blocked graph keeps
-    * good edges near every node (self-recall stays perfect with the
-    * ef=64 best-first serve), fine enough that the blocked join is
-    * Σ|bucket|², not n² — the knob tightens with corpus size.
-    * Package-visible so PlanSpec can pin that the built plan joins on
-    * the bucket key (no unblocked per-level self-join). */
-  private[graft] def declaredHnsw = new Hnsw(m = 16, ef = 64, seed = 42L)
+    * good edges near every node, fine enough that the blocked join is
+    * Σ|bucket|², not n² — the knob tightens with corpus size. Serve
+    * beam ef=256: on the blocked graph the walk needs a wider frontier
+    * than the reference's ef=32 default — measured self-recall on the
+    * full corpus is 20/20 at ef=256 across sf0.001–0.1 (18/20 at
+    * ef=64 on sf0.1), and 256 distance evals per query is still
+    * trivial serve-time work. Package-visible so PlanSpec can pin that
+    * the built plan joins on the bucket key (no unblocked per-level
+    * self-join). */
+  private[graft] def declaredHnsw = new Hnsw(m = 16, ef = 256, seed = 42L)
   private[graft] def hnswBuildPlan(s: SparkSession, dir: String): DataFrame =
     declaredHnsw.buildAdjacency(embeddings(s, dir),
       blocker = Some(new Lsh(numPlanes = 3, seed = 42L)))
