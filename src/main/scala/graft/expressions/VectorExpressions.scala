@@ -25,10 +25,15 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
-  // ragged (different-length) inputs yield NULL, matching the HOF
-  // chain (zip_with null-pads, the null poisons the fold) — so the
-  // fused path can never silently score a wrong-dimension vector with
-  // a prefix value. Hence nullable regardless of the children.
+  // EXACT HOF semantics on degenerate inputs (elements assumed
+  // non-null — the engine's vector schema is containsNull=false):
+  // each norm is computed over its OWN full array, and the zero-norm
+  // guard fires BEFORE the ragged check — so a zero-norm operand
+  // yields 0.0 even against a different-length vector (the HOF guard
+  // short-circuits the null-poisoned dot), while ragged non-zero pairs
+  // yield NULL (zip_with null-pads and the fold poisons). A
+  // wrong-dimension vector can therefore never sneak a prefix score
+  // into a top-k. Nullable regardless of the children.
   override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
@@ -41,9 +46,9 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
-    if (xa.numElements() != xb.numElements()) return null
     val fa = elemIsFloat(left); val fb = elemIsFloat(right)
-    val n = xa.numElements()
+    val la = xa.numElements(); val lb = xb.numElements()
+    val n = math.min(la, lb)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
@@ -51,7 +56,17 @@ case class CosineSim(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
+    while (i < la) {
+      val x = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
+      na += x * x; i += 1
+    }
+    i = n
+    while (i < lb) {
+      val y = if (fb) xb.getFloat(i).toDouble else xb.getDouble(i)
+      nb += y * y; i += 1
+    }
     if (na == 0.0 || nb == 0.0) 0.0
+    else if (la != lb) null
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -59,24 +74,31 @@ case class CosineSim(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       // fresh names: the expression may appear several times in one
       // generated function (e.g. HOF-vs-native comparison plans)
+      val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |int $la = $a.numElements();
+         |int $lb = $b.numElements();
+         |int $n = java.lang.Math.min($la, $lb);
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |int $i = 0;
+         |for (; $i < $n; $i++) {
+         |  double x$i = $getA;
+         |  double y$i = $getB;
+         |  $dot += x$i * y$i; $na += x$i * x$i; $nb += y$i * y$i;
+         |}
+         |for (; $i < $la; $i++) { double x$i = $getA; $na += x$i * x$i; }
+         |for ($i = $n; $i < $lb; $i++) { double y$i = $getB; $nb += y$i * y$i; }
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.value} = 0.0;
+         |} else if ($la != $lb) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $n = $a.numElements();
-         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double x$i = $getA;
-         |    double y$i = $getB;
-         |    $dot += x$i * y$i; $na += x$i * x$i; $nb += y$i * y$i;
-         |  }
-         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
        """.stripMargin
     })
@@ -93,7 +115,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
-  // ragged inputs -> NULL; see CosineSim
+  // ragged inputs -> NULL; elements assumed non-null (the engine's
+  // vector schema is containsNull=false) — see CosineSim
   override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
@@ -152,7 +175,8 @@ case class EuclideanDist(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_euclidean"
-  // ragged inputs -> NULL; see CosineSim
+  // ragged inputs -> NULL; elements assumed non-null (the engine's
+  // vector schema is containsNull=false) — see CosineSim
   override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
@@ -212,7 +236,8 @@ case class ManhattanDist(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_manhattan"
-  // ragged inputs -> NULL; see CosineSim
+  // ragged inputs -> NULL; elements assumed non-null (the engine's
+  // vector schema is containsNull=false) — see CosineSim
   override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {

@@ -180,14 +180,17 @@ object Dedup {
     // crossJoined the planes (a 16× row blowup) and then SHUFFLED the
     // blown-up rows on (vec_id, band) to regroup bits — n×P rows through
     // an exchange that this formulation never creates.
-    val planes: Array[Array[Double]] = emb.filter(col("vec_id") < nPlanes)
-      .orderBy(col("vec_id")).select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val planeRows = emb.filter(col("vec_id") < nPlanes)
+      .orderBy(col("vec_id")).select(col("vec_id"), col("embedding")).collect()
     // plane i must be the embedding with vec_id == i (the oracle and the
-    // band/bit layout both index planes by id); fail fast on a sparse or
-    // short corpus rather than silently mis-aligning bits
-    require(planes.length == nPlanes,
-      s"need embeddings with vec_id 0..${nPlanes - 1} as planes; found ${planes.length}")
+    // band/bit layout both index planes by id); fail fast on a sparse,
+    // short, or duplicate-id corpus rather than silently mis-aligning
+    // bits — a row-count check alone would pass e.g. ids {0,0,2,...}
+    require(planeRows.map(_.getLong(0)).toSeq == (0L until nPlanes).toSeq,
+      s"need embeddings with vec_id exactly 0..${nPlanes - 1} as planes; " +
+        s"found ids ${planeRows.map(_.getLong(0)).mkString(",")}")
+    val planes: Array[Array[Double]] =
+      planeRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val nBands = (nPlanes + bandBits - 1) / bandBits
     val bandKeys = (0 until nBands).map { b =>
       val bits = (0 until bandBits).filter(j => b * bandBits + j < nPlanes)

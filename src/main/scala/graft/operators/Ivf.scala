@@ -48,10 +48,12 @@ class Ivf(nlist: Int, iters: Int) {
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nlist)
       .orderBy(col("vec_id")).limit(nlist).collect()
     // the modulo filter assumes roughly dense ids from 0; sparse or
-    // offset id spaces can miss every stride point — fall back to the
-    // first nlist rows so a non-empty corpus always seeds >= 1 centroid
+    // offset id spaces can miss SOME or all stride points. Fall back to
+    // the first nlist rows whenever the stride under-fills — a corpus
+    // with n >= nlist rows must always seed the full nlist centroids
+    val want = math.min(nlist.toLong, n)
     val seeds =
-      if (strided.nonEmpty) strided
+      if (strided.length.toLong == want) strided
       else vecs.select(col("vec_id"), col("embedding"))
         .orderBy(col("vec_id")).limit(nlist).collect()
     seeds.zipWithIndex.map { case (r, i) =>

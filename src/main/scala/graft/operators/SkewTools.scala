@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
+  /** Deterministic content-hash salt over every HASHABLE column of the
+    * frame. Hash expressions reject MapType (anywhere in the type), so
+    * map-bearing columns are excluded; columns are resolved via
+    * `df(name)`, which treats dots in names literally (bare `col(name)`
+    * would parse them as field access). Degenerate case — every column
+    * is map-typed — salts constant 0: no spreading, still correct. */
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column = {
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => df(f.name))
+    if (cols.isEmpty) lit(0L)
+    else pmod(xxhash64(cols.toSeq: _*), lit(saltBuckets.toLong))
+  }
+
   /** Two-phase salted aggregation.
     *
     * @param partials  phase-1 aggregates computed per (key, salt)
@@ -46,8 +65,7 @@ object SkewTools {
     // reducer input is bounded by (#map partitions × #distinct rows),
     // salt or no salt. The salt's real job is splitting a hot KEY whose
     // rows differ elsewhere, which a content hash does perfectly.
-    val salted = df.withColumn(
-      "_salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltBuckets.toLong)))
+    val salted = df.withColumn("_salt", contentSalt(df, saltBuckets))
     salted
       .groupBy(keys :+ col("_salt"): _*)
       .agg(partials.head, partials.tail: _*)
@@ -74,8 +92,7 @@ object SkewTools {
     // AQE's size-based skew-join split (retry-safe: it splits by map
     // output size, not row tags) or an explicit pre-dedup+count handles
     // — not a nondeterministic shuffle key.
-    val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltBuckets.toLong)))
+    val saltedBig = big.withColumn("_salt", contentSalt(big, saltBuckets))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     saltedBig.join(replicated, keys :+ "_salt").drop("_salt")

@@ -237,8 +237,14 @@ object KwiFormat {
         // a torn trailing record (crash mid-append — append() writes in
         // place, unlike write()/optimize()'s temp+rename) must not make
         // the whole file unreadable: serve the intact prefix and stop,
-        // exactly what the old header-count-bounded reader did
-        case _: EOFException => close(); null
+        // exactly what the old header-count-bounded reader did. Loud,
+        // not silent: the drop is logged so a reader racing an
+        // in-progress append (or real corruption) is visible in logs
+        // rather than just a smaller result set.
+        case _: EOFException =>
+          System.err.println(
+            s"[kwi] WARN truncated trailing record in $p — serving the intact prefix")
+          close(); null
       }
     }
     def hasNext: Boolean = {
@@ -344,8 +350,11 @@ object KwiFormat {
             }
           } catch {
             // torn trailing record: index the intact prefix (matches
-            // the streaming reader's tolerance)
-            case _: EOFException => done = true
+            // the streaming reader's tolerance), loudly
+            case _: EOFException =>
+              System.err.println(
+                s"[kwi] WARN truncated trailing record in $p — indexing the intact prefix")
+              done = true
           }
         }
       } finally in.close()

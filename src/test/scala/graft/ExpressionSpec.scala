@@ -65,6 +65,15 @@ class ExpressionSpec extends SparkSpec {
     rows.foreach { r =>
       (0 until 6).foreach(i => assert(r.isNullAt(i), s"column $i not null"))
     }
+    // the one degenerate corner where the HOF chain does NOT go null:
+    // a zero-norm operand hits the reference guard BEFORE the ragged
+    // dot, so both paths must yield 0.0 even across lengths
+    val z16 = typedLit(Array.fill(16)(0.0f))
+    val zrow = emb.limit(1).crossJoin(q)
+      .select(VectorOps.fastCosine(z16, col("qe")).as("fz"),
+        VectorOps.cosine(z16, col("qe")).as("hz"))
+      .collect()(0)
+    assert(zrow.getDouble(0) == 0.0 && zrow.getDouble(1) == 0.0)
   }
 
   test("zero-vector guard matches the reference (cosine -> 0.0)") {
