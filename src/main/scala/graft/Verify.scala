@@ -15,6 +15,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // start from a clean slate: a stale <name>/ dir from a prior run
+    // (e.g. a since-demoted query) would otherwise ride into the
+    // driver's compare as if this build still declared it
+    graft.sources.CollectionManager.deleteRecursively(
+      java.nio.file.Paths.get(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -31,7 +31,13 @@ import scala.collection.mutable
   *   - the built index is a plain adjacency DataFrame
   *     `(node_id, level, neighbor_id, dist)` → parquet; the online walk
   *     (greedy descent + ef-bounded BFS, src/index.rs:314-355) runs on
-  *     the driver over the collected adjacency of a (small) serving set.
+  *     the driver over the collected adjacency (the index HEAD: n×M
+  *     edge ids) plus LAZY point reads of only the vectors the walk
+  *     visits — the reference's own offset-table seek design
+  *     (vector_db/src/binary_index.rs:148-160). Driver-resident vector
+  *     bytes are O(ef) per query, never O(n): at 100 TB the corpus
+  *     embeddings stay on disk (kwi IndexedReader / pruned parquet
+  *     point reads) and the walk pulls ~ef of them.
   */
 class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
            val maxLevel: Int = 8) {
@@ -114,8 +120,14 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
   /** Serve-time search: greedy descent on levels max..1
     * (src/index.rs:321-324), ef-bounded BEST-FIRST expansion at level 0,
     * exact cosine rerank of the visited set (src/index.rs:345-354).
-    * Runs on the driver over collected maps — the serving set is the
-    * (small) index head, not the corpus.
+    * Runs on the driver over the collected adjacency (index head);
+    * vectors arrive through `fetch` — a POINT-READ source (kwi
+    * IndexedReader seek, pruned parquet read, or a test map). Each
+    * distinct id is fetched at most once per query and only visited /
+    * candidate ids are ever fetched, so driver-resident vector bytes
+    * are O(ef + descent·M), independent of corpus size — the structure
+    * a 100 TB serving tier needs (the reference's own entry-table seek
+    * path, vector_db/src/binary_index.rs:148-160).
     *
     * Deviation by design: the reference expands level 0 with a plain
     * FIFO BFS (src/index.rs:326-343); we expand closest-first (the
@@ -125,12 +137,19 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
     */
   def serveQuery(
       adjacency: Map[(Long, Int), Seq[Long]],
-      vecs: Map[Long, Array[Float]],
+      fetch: Long => Option[Array[Float]],
       entry: (Long, Int),
       q: Array[Float],
       k: Int): Seq[(Long, Double)] = {
 
-    def dist(id: Long): Double = 1.0 - cosineScala(vecs(id), q)
+    // per-query memo: ≤ one point read and one cosine per distinct id
+    val vecCache = mutable.Map.empty[Long, Option[Array[Float]]]
+    def vecOf(id: Long): Option[Array[Float]] =
+      vecCache.getOrElseUpdate(id, fetch(id))
+    val simCache = mutable.Map.empty[Long, Double]
+    def sim(id: Long): Double =
+      simCache.getOrElseUpdate(id, cosineScala(vecOf(id).get, q))
+    def dist(id: Long): Double = 1.0 - sim(id)
 
     var (current, level) = entry
     // greedy descent, levels max..1 (src/index.rs:321-324)
@@ -139,7 +158,7 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
       while (improved) {
         improved = false
         val ns = adjacency.getOrElse((current, level), Seq.empty)
-        for (n <- ns if vecs.contains(n)) {
+        for (n <- ns if vecOf(n).isDefined) {
           if (dist(n) < dist(current)) { current = n; improved = true }
         }
       }
@@ -153,36 +172,41 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
     while (cand.nonEmpty && visited.size < ef) {
       val (_, u) = cand.dequeue()
       for (n <- adjacency.getOrElse((u, 0), Seq.empty)
-           if vecs.contains(n) && !visited.contains(n) && visited.size < ef) {
+           if !visited.contains(n) && visited.size < ef && vecOf(n).isDefined) {
         visited += n
         cand.enqueue((-dist(n), n))
       }
     }
     // exact rerank (src/index.rs:345-354)
     visited.toSeq
-      .map(id => id -> cosineScala(vecs(id), q))
+      .map(id => id -> sim(id))
       .sortBy { case (id, s) => (-s, id) }
       .take(k)
   }
 
-  /** Convenience: collect an adjacency DataFrame + vectors into the
-    * serve-time structures. */
-  def collectIndex(adjacency: DataFrame, vectors: DataFrame,
-                   idCol: String = "vec_id", vecCol: String = "embedding")
-      : (Map[(Long, Int), Seq[Long]], Map[Long, Array[Float]]) = {
-    val adj = adjacency
+  /** Map-backed convenience overload (tests / tiny serving sets). */
+  def serveQuery(
+      adjacency: Map[(Long, Int), Seq[Long]],
+      vecs: Map[Long, Array[Float]],
+      entry: (Long, Int),
+      q: Array[Float],
+      k: Int): Seq[(Long, Double)] =
+    serveQuery(adjacency, vecs.get _, entry, q, k)
+
+  /** Collect the adjacency DataFrame into the serve-time map — the
+    * index HEAD only (n×M edge ids, no vectors). Vector bytes stay
+    * behind the `fetch` point-read source passed to `serveQuery`; the
+    * old full-corpus `vectors.collect()` companion was removed because
+    * at 100 TB it is a guaranteed driver OOM. */
+  def collectAdjacency(adjacency: DataFrame): Map[(Long, Int), Seq[Long]] =
+    adjacency
       .groupBy(col("node_id"), col("level"))
       .agg(sort_array(collect_list(col("neighbor_id"))).as("ns"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2))
       .toMap
-    val vm = vectors.select(col(idCol), col(vecCol)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-      .toMap
-    (adj, vm)
-  }
 
-  private def cosineScala(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def cosineScala(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
       dot += a(i).toDouble * b(i).toDouble
@@ -191,5 +215,23 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+object Hnsw {
+  /** Cross-query caching point-read source: at most one underlying
+    * fetch per distinct id for the wrapper's lifetime, and `fetched`
+    * reports exactly how many vectors are driver-resident — the
+    * observable the serve contract bounds at O(queries × ef), which
+    * IndexSpec asserts stays far below corpus size. Wrap a kwi
+    * `IndexedReader.get` (or any point-read lambda) and hand the
+    * wrapper to `serveQuery`. */
+  final class CachingFetch(fetch: Long => Option[Array[Float]])
+      extends (Long => Option[Array[Float]]) {
+    private val cache = mutable.Map.empty[Long, Option[Array[Float]]]
+    def apply(id: Long): Option[Array[Float]] =
+      cache.getOrElseUpdate(id, fetch(id))
+    /** Count of distinct vectors actually materialized on the driver. */
+    def fetched: Int = cache.valuesIterator.count(_.isDefined)
   }
 }

@@ -13,8 +13,9 @@ import graft.functions.VectorOps
   *  - build = an offline batch job (like kowari's Index::build,
   *    src/index.rs:124-156, but distributed): assignment is a pure
   *    expression argmin over a broadcast centroid literal (no UDF, no
-  *    shuffle), centroid update is one posexplode + groupBy(cluster,
-  *    pos) aggregation per Lloyd round;
+  *    shuffle), centroid update is a typed vector-sum aggregate
+  *    (VecSumAggregate) whose map-side partials bound the shuffle at
+  *    nlist×d values per Lloyd round;
   *  - at 100 TB the assignment output is written as parquet partitioned
   *    by `cluster`, so a probe's `cluster IN (...)` filter becomes
   *    partition pruning and reads nprobe/nlist of the data;
@@ -78,21 +79,36 @@ class Ivf(nlist: Int, iters: Int) {
       .getField("c")
   }
 
-  /** One Lloyd round: assign, then recompute per-cell means via
-    * posexplode + (cluster, pos) aggregation. */
+  /** The centroid-update aggregation of one Lloyd round as a DataFrame:
+    * (cluster, sum ARRAY&lt;DOUBLE&gt;, cnt). Assignment is the codegen argmin
+    * against broadcast centroid literals (map-only); the update is a
+    * typed vector-sum aggregate with map-side partials, so the exchange
+    * carries at most (#map partitions × nlist) d-length sums — never
+    * the n×d position rows the earlier posexplode + groupBy(cluster,
+    * pos) formulation amplified through the shuffle each round.
+    * Package-visible so PlanSpec can pin the no-Generate shape. */
+  private[graft] def lloydUpdate(vecs: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(assignExpr(col("embedding"), cents).as("cluster"),
+        col("embedding"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .agg(VecSumAggregate.vecSum[(Int, Seq[Float])](_._2)
+        .toColumn.name("sumcnt"))
+      .toDF("cluster", "sumcnt")
+  }
+
+  /** One Lloyd round: assign, then recompute per-cell means from the
+    * vector-sum aggregate (driver sees nlist rows only). */
   def lloydRound(vecs: DataFrame, cents: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
-    val assigned = vecs.select(col("vec_id"), col("embedding"),
-      assignExpr(col("embedding"), cents).as("cluster"))
-    val updated = assigned
-      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("cluster"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m")).as("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val updated = lloydUpdate(vecs, cents).collect().map { r =>
+      val sc = r.getStruct(1)
+      val sum = sc.getSeq[Double](0)
+      val n = sc.getLong(1)
+      (r.getInt(0), sum.map(_ / n).toArray)
+    }
     // empty cells keep their previous centroid
     val byId = updated.toMap
     cents.map { case (i, c) => (i, byId.getOrElse(i, c)) }

@@ -76,17 +76,34 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L) {
     vectors.select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
   }
 
+  /** Bucket-size histogram collected to a driver map — #buckets entries
+    * (the index HEAD: bounded by min(n, 2^numPlanes), not the corpus).
+    * Probes consult it for the &lt; k fallback decision, replacing the
+    * per-probe `count()` job the reference's recall check implies
+    * (src/index.rs:158-173) with a map lookup — one job per probe
+    * instead of two. Build it once per index under the caller's
+    * build-once/query-many memo. */
+  def bucketHistogram(indexDf: DataFrame): Map[Long, Long] =
+    indexDf.groupBy(col("bucket").cast("long").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   /** Probe: exact cosine rerank within the query's bucket; brute-force
     * fallback when the bucket under-fills (< k hits, src/index.rs:158-173).
     * `indexDf` is either `spark.read.parquet(builtPath)` (partition-pruned)
-    * or the in-memory `index(...)` frame.
+    * or the in-memory `index(...)` frame. Pass `bucketSizes`
+    * (`bucketHistogram`) to decide the fallback without a count() job.
     */
   def query(spark: SparkSession, indexDf: DataFrame, queryVec: Array[Float], k: Int,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            bucketSizes: Option[Map[Long, Long]] = None): DataFrame = {
     import spark.implicits._
     val b = bucketOf(queryVec)
     val bucketDf = indexDf.filter(col("bucket") === lit(b))
-    val hits = bucketDf.count()
+    val hits = bucketSizes match {
+      case Some(h) => h.getOrElse(b, 0L)
+      case None => bucketDf.count()
+    }
     val candidates = if (hits < k) indexDf else bucketDf
     val q = Seq(Tuple1(queryVec)).toDF("qe")
     Knn.topK(candidates, q, k, Knn.Cosine, idCol, vecCol)
@@ -100,12 +117,17 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L) {
     * fallback (full scan) almost never fires. Fallback semantics stay
     * reference-faithful: trigger on < k candidates. */
   def queryMultiProbe(spark: SparkSession, indexDf: DataFrame, queryVec: Array[Float],
-      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketSizes: Option[Map[Long, Long]] = None): DataFrame = {
     import spark.implicits._
     val b = bucketOf(queryVec)
     val probes = b +: (0 until numPlanes).map(i => b ^ (1L << i))
     val bucketDf = indexDf.filter(col("bucket").isin(probes: _*))
-    val candidates = if (bucketDf.count() < k) indexDf else bucketDf
+    val hits = bucketSizes match {
+      case Some(h) => probes.map(p => h.getOrElse(p, 0L)).sum
+      case None => bucketDf.count()
+    }
+    val candidates = if (hits < k) indexDf else bucketDf
     val q = Seq(Tuple1(queryVec)).toDF("qe")
     Knn.topK(candidates, q, k, Knn.Cosine, idCol, vecCol)
   }

@@ -261,28 +261,23 @@ object TextQueries extends QueryRegistry {
           TextOps.simhash16(TextOps.tokens(col("text"))).as("simhash"))
         .orderBy(col("doc_id"))),
 
-    // SimHash near-dup pairs (hamming <= 3) on a bounded subset
-    "simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(
-        documents(s, dir).filter(col("doc_id") < 150), 3)
-        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
-
-    // the same pairs through the scale path: pigeonhole banding (4
-    // disjoint 4-bit bands, equi-join per band, exact Hamming rerank)
-    // instead of the all-pairs crossJoin — hash-matched against the
-    // identical oracle, so the banding is verified lossless
+    // SimHash near-dup pairs through the scale path on the FULL corpus:
+    // pigeonhole banding (4 disjoint 4-bit bands, equi-join per band,
+    // exact Hamming rerank) — never the all-pairs crossJoin, which
+    // lives on as the TEST-ONLY correctness baseline (TextSpec proves
+    // banded ≡ all-pairs; the oracle here replays all pairs in SQL, so
+    // the banding is verified lossless end-to-end)
     "simhash_pairs_banded" -> ((s, dir) =>
-      Dedup.simhashPairsBanded(
-        documents(s, dir).filter(col("doc_id") < 150), 3)
+      Dedup.simhashPairsBanded(documents(s, dir), 3)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
 
-    // the production-width sketch: 60-bit SimHash (full md5Long width),
-    // maxDist=7 → 8 bands of 7-8 bits ≈ 2^7-2^8 buckets per band — the
-    // banding granularity that keeps Σ|bucket|² sub-quadratic on a
-    // large corpus, where 16 bits caps out at 2^4 buckets
+    // the production-width sketch on the FULL corpus: 60-bit SimHash
+    // (full md5Long width), maxDist=7 → 8 bands of 7-8 bits ≈ 2^7-2^8
+    // buckets per band — the banding granularity that keeps Σ|bucket|²
+    // sub-quadratic on a large corpus, where 16 bits caps out at 2^4
+    // buckets
     "simhash_wide_banded" -> ((s, dir) =>
-      Dedup.simhashPairsBanded(
-        documents(s, dir).filter(col("doc_id") < 150), maxDist = 7, bits = 60)
+      Dedup.simhashPairsBanded(documents(s, dir), maxDist = 7, bits = 60)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
   )
 
@@ -482,26 +477,10 @@ object TextQueries extends QueryRegistry {
          |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "simhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 150),
-         |h AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-         |th AS (SELECT doc_id, ${F.md5L("tok")} AS th FROM h),
-         |bits AS (SELECT doc_id, b,
-         |           CASE WHEN sum(CASE WHEN (th % (2*(1::BIGINT<<b))) >= (1::BIGINT<<b)
-         |                              THEN 1 ELSE -1 END) > 0
-         |                THEN (1::BIGINT<<b) ELSE 0 END AS bit
-         |         FROM th, (SELECT unnest(generate_series(0,15)) AS b) GROUP BY doc_id, b),
-         |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
-         |SELECT x.doc_id AS a, y.doc_id AS b,
-         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
-         |ORDER BY a, b""".stripMargin,
-
     // 60-bit sketch, all-pairs replay (banding is lossless, so the
     // oracle never needs to know about bands)
     "simhash_wide_banded" ->
-      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 150),
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
          |h AS (SELECT doc_id, unnest(toks) AS tok FROM t),
          |th AS (SELECT doc_id, ${F.md5L("tok")} AS th FROM h),
          |bits AS (SELECT doc_id, b,
@@ -518,7 +497,7 @@ object TextQueries extends QueryRegistry {
 
     // banding is recall-lossless, so the oracle is the same all-pairs SQL
     "simhash_pairs_banded" ->
-      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents WHERE doc_id < 150),
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
          |h AS (SELECT doc_id, unnest(toks) AS tok FROM t),
          |th AS (SELECT doc_id, ${F.md5L("tok")} AS th FROM h),
          |bits AS (SELECT doc_id, b,

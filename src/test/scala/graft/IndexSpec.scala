@@ -42,6 +42,30 @@ class IndexSpec extends SparkSpec {
     assert(viaLsh === brute)
   }
 
+  test("lsh: histogram-backed probe skips the count() job and matches the count() path") {
+    val lsh = new Lsh()
+    val idx = lsh.index(emb).cache()
+    idx.count() // materialize outside the measured groups
+    val hist = lsh.bucketHistogram(idx)
+    val q = vecOf(0)
+    def jobsFor(tag: String)(f: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try f finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    }
+    var histRows: Array[org.apache.spark.sql.Row] = Array.empty
+    var countRows: Array[org.apache.spark.sql.Row] = Array.empty
+    val withHist = jobsFor("lsh-probe-hist") {
+      histRows = lsh.query(spark, idx, q, 10, bucketSizes = Some(hist)).collect()
+    }
+    val withCount = jobsFor("lsh-probe-count") {
+      countRows = lsh.query(spark, idx, q, 10).collect()
+    }
+    assert(histRows.map(_.getLong(0)).toSeq === countRows.map(_.getLong(0)).toSeq)
+    assert(withHist < withCount, s"hist=$withHist count=$withCount")
+    assert(withHist <= 2, s"hist path ran $withHist jobs") // the top-k job (+AQE)
+  }
+
   test("hnsw: adjacency degree <= M at every level; levels deterministic") {
     val small = emb.filter($"vec_id" < 200)
     val hnsw = new Hnsw(m = 8, ef = 16)
@@ -58,11 +82,18 @@ class IndexSpec extends SparkSpec {
     assert(lvl1.keySet.min === 0)
   }
 
+  /** Test-only map-backed vector source (the serve path itself uses
+    * lazy point reads — see the fetch-bound test below). */
+  private def vecMap(df: org.apache.spark.sql.DataFrame): Map[Long, Array[Float]] =
+    df.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
   test("hnsw: self-recall rank-1 (integration_tests.rs:268-272)") {
     val small = emb.filter($"vec_id" < 200).cache()
     val hnsw = new Hnsw()
     val adjacency = hnsw.buildAdjacency(small)
-    val (adj, vecs) = hnsw.collectIndex(adjacency, small)
+    val adj = hnsw.collectAdjacency(adjacency)
+    val vecs = vecMap(small)
     val entry = hnsw.entryPoint(adjacency)
     for (qid <- Seq(0L, 17L, 42L, 199L)) {
       val top = hnsw.serveQuery(adj, vecs, entry, vecs(qid), 1)
@@ -71,11 +102,38 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("hnsw: serve is candidate-scoped — O(ef) point reads, never a corpus collect") {
+    val small = emb.filter($"vec_id" < 400).cache()
+    val n = small.count()
+    val hnsw = new Hnsw(m = 8, ef = 24, seed = 42L)
+    val adjacency = hnsw.buildAdjacency(small)
+    val adj = hnsw.collectAdjacency(adjacency)
+    val entry = hnsw.entryPoint(adjacency)
+    // back the serve with a kwi point-read file, exactly like the
+    // declared hnsw_self_recall path
+    val dir = java.nio.file.Files.createTempDirectory("hnswkwi")
+    val kwiPath = dir.resolve("vecs.kwi").toString
+    graft.sources.KwiFormat.write(
+      small.select($"vec_id".cast("string").as("id"), $"embedding"), kwiPath)
+    val reader = new graft.sources.KwiFormat.IndexedReader(kwiPath)
+    try {
+      val fetch = new Hnsw.CachingFetch(id => reader.get(id.toString).map(_._2))
+      val q = fetch(7L).get
+      val top = hnsw.serveQuery(adj, fetch, entry, q, 1)
+      assert(top.head._1 === 7L)
+      // driver-resident vectors = ef beam + greedy-descent neighborhoods
+      // — a function of ef and M, NOT of corpus size n
+      assert(fetch.fetched < n / 2, s"fetched ${fetch.fetched} of $n")
+      assert(fetch.fetched <= 24 + 8 * 12, s"fetched ${fetch.fetched}")
+    } finally reader.close()
+  }
+
   test("hnsw: recall@10 vs brute force >= 0.5 on 200 vectors") {
     val small = emb.filter($"vec_id" < 200).cache()
     val hnsw = new Hnsw(m = 16, ef = 48)
     val adjacency = hnsw.buildAdjacency(small)
-    val (adj, vecs) = hnsw.collectIndex(adjacency, small)
+    val adj = hnsw.collectAdjacency(adjacency)
+    val vecs = vecMap(small)
     val entry = hnsw.entryPoint(adjacency)
     val recalls = (0L until 10L).map { qid =>
       val approx = hnsw.serveQuery(adj, vecs, entry, vecs(qid), 10).map(_._1).toSet

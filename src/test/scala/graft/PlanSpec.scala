@@ -211,6 +211,20 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("bucket"), pf) // the bucket predicate prunes partitions
   }
 
+  test("IVF Lloyd update shuffles aggregated sums, not posexploded positions") {
+    // the round-3 formulation posexploded every vector (n×d rows through
+    // the exchange per round); the typed vector-sum aggregate keeps the
+    // amplification out of the plan entirely
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = new graft.operators.Ivf(nlist = 4, iters = 0)
+    val cents = ivf.initCentroids(emb)
+    val upd = ivf.lloydUpdate(emb, cents)
+    val opt = upd.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Generate"), opt)
+    val phys = upd.queryExecution.executedPlan.toString
+    assert(phys.toLowerCase.contains("partial"), phys) // map-side partial sums
+  }
+
   test("IVF probe on cluster-partitioned assignment parquet is partition-pruned") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
