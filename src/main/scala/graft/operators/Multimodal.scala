@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * pandas-batch UDF: one iterator per partition, so a real codec
   * library would amortize its per-batch setup exactly the same way.
   *
-  * The actual codec call is STUBBED (`decodeStub`) with a deterministic
-  * fake — this container has no image/audio libraries — but everything
-  * Spark-side is real and tested: the schema, the binary payload
-  * round-trip, the partition-iterator batch shape, and the feature
-  * pipeline, which is what matters for the 100 TB plan (payloads
-  * partition-parallel, features small, metadata prunable without
-  * touching payload bytes thanks to parquet column pruning).
+  * Decoding is a real dispatch: 24-bit BMP and PCM WAV payloads parse
+  * through zero-dependency byte-layout decoders (`decodeBmp` /
+  * `decodeWav` — real headers, padding, chunk walks), and only OPAQUE
+  * payloads fall back to the deterministic `decodeStub` (the documented
+  * stand-in for codecs this container doesn't ship, e.g. JPEG/H.264).
+  * Everything Spark-side is real and tested either way: the schema, the
+  * binary payload round-trip, the partition-iterator batch shape, and
+  * the feature pipeline, which is what matters for the 100 TB plan
+  * (payloads partition-parallel, features small, metadata prunable
+  * without touching payload bytes thanks to parquet column pruning).
   */
 object Multimodal {
 
@@ -29,18 +32,155 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
-  /** Decoded representation a real codec would produce. STUB: the
-    * "samples" are the raw payload bytes widened to int — a stand-in
-    * for pixel/PCM decoding, deterministic so tests and oracles pin it. */
+  /** Fallback decode for OPAQUE payloads: the "samples" are the raw
+    * payload bytes widened to int — a stand-in for codecs this
+    * container doesn't ship, deterministic so tests and oracles pin it.
+    * Real containers (BMP, WAV) are parsed for real by `decode`. */
   def decodeStub(payload: Array[Byte]): Array[Int] =
     payload.map(b => b.toInt & 0xff)
 
-  /** Fixed-width byte-histogram feature (16 bins over 0..255) — the
-    * stand-in for an embedding/feature-extractor head. */
+  // --- real zero-dependency codecs ---------------------------------
+  // Honest byte-layout parsers for two real containers: 24-bit
+  // uncompressed BMP and PCM WAV (8-bit unsigned / 16-bit signed LE).
+  // `decode` sniffs the magic and falls back to `decodeStub` for
+  // anything else. Sniffing is structural, not just magic bytes — the
+  // declared file size must match the payload — so a text payload that
+  // happens to start with "BM"/"RIFF" falls back instead of throwing.
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** 24-bit uncompressed (BI_RGB) BMP → channel samples (b,g,r per
+    * pixel) in top-down row-major order, row padding stripped. Handles
+    * both bottom-up (positive height, the common case) and top-down
+    * (negative height) pixel arrays. None on anything structurally
+    * non-BMP. */
+  def decodeBmp(p: Array[Byte]): Option[Array[Int]] = {
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    if (i32(p, 2) != p.length) return None // declared size must match
+    val off = i32(p, 10)
+    val w = i32(p, 18)
+    val hRaw = i32(p, 22)
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    if (u16(p, 26) != 1 || u16(p, 28) != 24 || i32(p, 30) != 0) return None
+    if (w <= 0 || h == 0 || w > (1 << 20) || h > (1 << 20)) return None
+    val rowBytes = w * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    if (off < 54 || off.toLong + stride.toLong * h > p.length) return None
+    val out = new Array[Int](w * h * 3)
+    var row = 0
+    while (row < h) {
+      val src = off + (if (topDown) row else h - 1 - row) * stride
+      var i = 0
+      while (i < rowBytes) { out(row * rowBytes + i) = p(src + i) & 0xff; i += 1 }
+      row += 1
+    }
+    Some(out)
+  }
+
+  /** PCM RIFF/WAVE → samples: 8-bit unsigned as 0..255, 16-bit signed
+    * LE as -32768..32767. Walks the chunk list (word-aligned) to the
+    * fmt + data chunks; None on anything structurally non-WAV or
+    * non-PCM. */
+  def decodeWav(p: Array[Byte]): Option[Array[Int]] = {
+    if (p.length < 44) return None
+    if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    if (i32(p, 4) + 8 != p.length) return None
+    var o = 12
+    var bits = -1
+    var fmtOk = false
+    while (o + 8 <= p.length) {
+      val id = new String(p, o, 4, "US-ASCII")
+      val sz = i32(p, o + 4)
+      if (sz < 0 || o + 8 + sz > p.length) return None
+      if (id == "fmt ") {
+        if (sz < 16 || u16(p, o + 8) != 1) return None // PCM only
+        bits = u16(p, o + 22)
+        fmtOk = true
+      } else if (id == "data") {
+        if (!fmtOk) return None
+        bits match {
+          case 8 =>
+            val out = new Array[Int](sz)
+            var i = 0
+            while (i < sz) { out(i) = p(o + 8 + i) & 0xff; i += 1 }
+            return Some(out)
+          case 16 =>
+            val n = sz / 2
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) { out(i) = (u16(p, o + 8 + i * 2) << 16) >> 16; i += 1 }
+            return Some(out)
+          case _ => return None
+        }
+      }
+      o += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Decode dispatch: a real container parse when the payload IS a
+    * real container, the deterministic stub otherwise. */
+  def decode(payload: Array[Byte]): Array[Int] =
+    decodeBmp(payload).orElse(decodeWav(payload)).getOrElse(decodeStub(payload))
+
+  /** Encode grayscale bytes as a REAL 24-bit bottom-up BMP (r=g=b=v,
+    * padded rows, full 54-byte header) — the fixture generator for the
+    * real-decode path; `decodeBmp(encodeBmpGray(w,h,g))` returns each
+    * gray byte three times in top-down order. */
+  def encodeBmpGray(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height,
+      s"need $width*$height bytes, got ${gray.length}")
+    val stride = (width * 3 + 3) / 4 * 4
+    val dataSize = stride * height
+    val size = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = height - 1 // bottom-up
+    while (row >= 0) {
+      var x = 0
+      while (x < width) {
+        val v = gray(row * width + x)
+        b.put(v).put(v).put(v)
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    b.array()
+  }
+
+  /** Encode 8-bit unsigned PCM mono as a real WAV. */
+  def encodeWavPcm8(samples: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val size = 44 + samples.length
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(size - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate).putShort(1).putShort(8)
+    b.put("data".getBytes("US-ASCII")).putInt(samples.length).put(samples)
+    b.array()
+  }
+
+  /** Fixed-width histogram feature (16 bins over 0..255) — the
+    * stand-in for an embedding/feature-extractor head. Out-of-range
+    * samples (16-bit PCM) clamp into the edge bins. */
   val FeatureBins = 16
   def featuresOf(samples: Array[Int]): Array[Double] = {
     val bins = new Array[Double](FeatureBins)
-    samples.foreach(s => bins(s * FeatureBins / 256) += 1.0)
+    samples.foreach { s =>
+      bins(math.min(math.max(s * FeatureBins / 256, 0), FeatureBins - 1)) += 1.0
+    }
     if (samples.nonEmpty) (0 until FeatureBins).foreach(i => bins(i) /= samples.length)
     bins
   }
@@ -53,13 +193,15 @@ object Multimodal {
       features: Array[Double])
 
   /** Batch feature extraction: one partition = one iterator, codec
-    * state would be initialized once per partition here. */
+    * state would be initialized once per partition here. Decode is the
+    * real dispatch: BMP/WAV payloads parse for real, opaque ones take
+    * the stub. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init point (a real pipeline opens the codec here)
       rows.map { r =>
-        val samples = decodeStub(r.payload)
+        val samples = decode(r.payload)
         val mean =
           if (samples.isEmpty) 0.0 else samples.map(_.toLong).sum.toDouble / samples.length
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, mean, featuresOf(samples))

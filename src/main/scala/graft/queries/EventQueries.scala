@@ -104,20 +104,34 @@ object EventQueries extends QueryRegistry {
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))),
 
-    // sketch ops: HLL++ distinct + t-digest quantiles — the single-pass
+    // sketch ops: HLL++ distinct + approx percentiles — the single-pass
     // mergeable-summary shapes a 100 TB profile job uses instead of
-    // exact distinct/percentile (no oracle: sketch internals are
-    // implementation-defined, so the driver records a rows-only check;
-    // `events_distinct_users` and `lang_char_quantiles` pin the exact
-    // versions of both statistics)
+    // exact distinct/percentile. Sketch INTERNALS are implementation-
+    // defined, so the declared columns are error-bound BOOLEANS: the
+    // estimate must land within tolerance of the exact statistic
+    // computed in the same pass, and the oracle pins the booleans
+    // all-true (plus the genuinely-exact n_events) — a drifting or
+    // broken sketch flips a row to false and hash-mismatches. The
+    // exact twins are independently oracle-pinned by
+    // `events_distinct_users` / `lang_char_quantiles`.
     "events_value_sketches" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          round(element_at(
-            expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)"), 1), 6)
-            .as("p50_value"))
+          count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
+          countDistinct(col("user_id")).as("eu"),
+          expr("approx_percentile(value, array(0.5, 0.9), 1000)").as("ap"),
+          expr("percentile(value, array(0.5, 0.9))").as("ep"))
+        .select(col("event_type"), col("n_events"),
+          (abs(col("au") - col("eu")) <= col("eu") * 0.05)
+            .as("users_within_5pct"),
+          (abs(element_at(col("ap"), 1) - element_at(col("ep"), 1))
+            <= greatest(abs(element_at(col("ep"), 1)) * 0.05, lit(1e-6)))
+            .as("p50_within_5pct"),
+          (abs(element_at(col("ap"), 2) - element_at(col("ep"), 2))
+            <= greatest(abs(element_at(col("ep"), 2)) * 0.05, lit(1e-6)))
+            .as("p90_within_5pct"))
         .orderBy(col("event_type"))),
 
     // salted join on the maximally-skewed event_type key (5 values):
@@ -234,6 +248,16 @@ object EventQueries extends QueryRegistry {
     "events_distinct_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the estimates themselves are implementation-defined; the CONTRACT
+    // (estimate within tolerance of exact) is not — the booleans must
+    // be all-true and n_events is exact, both hash-matched
+    "events_value_sketches" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       true AS users_within_5pct,
+        |       true AS p50_within_5pct,
+        |       true AS p90_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "salted_type_join" ->

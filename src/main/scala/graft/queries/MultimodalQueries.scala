@@ -37,6 +37,31 @@ object MultimodalQueries extends QueryRegistry {
         .orderBy(col("kind"))
     }),
 
+    // REAL image decode end-to-end: each doc's first 64 chars become a
+    // genuine 8×8 24-bit grayscale BMP (full header, bottom-up rows),
+    // the pipeline parses the actual byte layout back (decodeBmp, not
+    // the stub), and the features are replayed by the oracle from the
+    // text — so header arithmetic, row order, and channel expansion are
+    // all hash-verified. n_bytes pins the exact container size
+    // (54-byte header + 192 pixel bytes).
+    "media_real_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+        .filter(col("doc_id") < 40 && length(col("text")) >= 64)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
+        .as[(Long, String)]
+      val media = docs.map { case (id, txt) =>
+        Multimodal.MediaRow(id, "image",
+          Multimodal.encodeBmpGray(8, 8, txt.getBytes("UTF-8")), 8, 8, 1)
+      }
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes"),
+          round(col("mean_sample"), 6).as("mean_sample"),
+          round(element_at(col("features"), 3), 6).as("bin2"),
+          round(element_at(col("features"), 7), 6).as("bin6"))
+        .orderBy(col("media_id"))
+    }),
+
     // resize pass: payload subsampling + metadata update
     "media_resize_audit" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(
@@ -91,6 +116,21 @@ object MultimodalQueries extends QueryRegistry {
         |       round(min(mean_sample), 6) AS min_mean,
         |       round(max(mean_sample), 6) AS max_mean
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // gray pixels put each text byte in all 3 channels: means and
+    // normalized histogram bins equal the per-char stats over the
+    // 64-char head; n_bytes = 54 + 8*8*3 = 246 exactly
+    "media_real_decode" ->
+      """WITH t AS (SELECT doc_id AS media_id, substr(text, 1, 64) AS s
+        |           FROM documents WHERE doc_id < 40 AND length(text) >= 64),
+        |b AS (SELECT media_id,
+        |             list_transform(generate_series(1, 64), i -> ascii(s[i])) AS bytes
+        |      FROM t)
+        |SELECT media_id, CAST(246 AS BIGINT) AS n_bytes,
+        |       round(CAST(list_sum(bytes) AS DOUBLE) / 64, 6) AS mean_sample,
+        |       round(CAST(len(list_filter(bytes, x -> x // 16 = 2)) AS DOUBLE) / 64, 6) AS bin2,
+        |       round(CAST(len(list_filter(bytes, x -> x // 16 = 6)) AS DOUBLE) / 64, 6) AS bin6
+        |FROM b ORDER BY media_id""".stripMargin,
 
     "media_resize_audit" ->
       """SELECT doc_id AS media_id,

@@ -88,15 +88,32 @@ class CollectionManager(spark: SparkSession, basePath: String) {
   // --- data ops ---
 
   /** Full scan in insertion order (sqlite_storage.rs:122-138 semantics). */
-  def allVectors(name: String): DataFrame = {
-    requireExists(name)
-    spark.read.schema(schema).parquet(dataDir(name)).orderBy(col("ingest_seq"))
-  }
+  def allVectors(name: String): DataFrame =
+    scan(name).orderBy(col("ingest_seq"))
 
-  /** Unordered scan — the cheap distributed path for analytics. */
-  def scan(name: String): DataFrame = {
+  /** Every physical row, deletion markers included. */
+  private def rawScan(name: String): DataFrame = {
     requireExists(name)
     spark.read.schema(schema).parquet(dataDir(name))
+  }
+
+  /** Unordered LIVE scan — the cheap distributed path for analytics.
+    * Tombstone-aware: `delete` appends a null-embedding marker row
+    * instead of rewriting the data (the kwi `appendTombstone` pattern,
+    * KwiFormat.scala), and the scan drops every row superseded by a
+    * LATER marker for its id — so delete→re-insert leaves the new row
+    * live, exactly the oldest-occurrence-dies replay of the kwi reader.
+    * The marker side is bounded by deletes-since-compaction (tiny) and
+    * rides in as a broadcast join: the data itself never reshuffles,
+    * which is the whole point at 100 TB. */
+  def scan(name: String): DataFrame = {
+    val raw = rawScan(name)
+    val live = raw.filter(col("embedding").isNotNull)
+    val tombs = raw.filter(col("embedding").isNull)
+      .groupBy(col("id")).agg(max(col("ingest_seq")).as("__tomb_seq"))
+    live.join(broadcast(tombs), Seq("id"), "left")
+      .filter(col("__tomb_seq").isNull || col("ingest_seq") > col("__tomb_seq"))
+      .drop("__tomb_seq")
   }
 
   def countVectors(name: String): Long = scan(name).count()
@@ -154,13 +171,24 @@ class CollectionManager(spark: SparkSession, basePath: String) {
     rewrite(name, survivors.unionByName(rebased), meta)
   }
 
-  /** Strict delete: MissingId if the id is absent (src/storage.rs:42-47). */
+  /** Strict delete: MissingId if the id is not live (src/storage.rs:42-47).
+    * Deletion is a TOMBSTONE APPEND (BinaryIndex delete,
+    * binary_index.rs:197-212): one null-embedding marker row carrying
+    * the next ingest_seq — the data files are never rewritten per id (a
+    * 100 TB collection cannot pay a full rewrite for one delete).
+    * `optimizeCollection` compacts the markers and dead rows away, the
+    * same deferred-compaction split the `.kwi` format uses. */
   def delete(name: String, id: String): Unit = {
     val meta = collectionInfo(name)
-    val existing = scan(name)
-    if (existing.filter(col("id") === lit(id)).isEmpty)
+    if (scan(name).filter(col("id") === lit(id)).isEmpty)
       throw MissingIdException(id)
-    rewrite(name, existing.filter(col("id") =!= lit(id)), meta)
+    val base = rawScan(name)
+      .agg(coalesce(max(col("ingest_seq")), lit(-1L))).collect()(0).getLong(0)
+    val marker = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(id, null, null, base + 1)), schema)
+    marker.write.mode("append").parquet(dataDir(name))
+    bumpMeta(name, meta)
   }
 
   /** Truncate (src/storage.rs:24-26). */
@@ -170,8 +198,9 @@ class CollectionManager(spark: SparkSession, basePath: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), meta)
   }
 
-  /** Compaction (binary_index.rs:239-257 `optimize`): rewrite the parquet
-    * dir into right-sized files. */
+  /** Compaction (binary_index.rs:239-257 `optimize`): rewrite the LIVE
+    * rows into right-sized files — deletion markers and the rows they
+    * killed drop out here, not at delete time. */
   def optimizeCollection(name: String, targetFiles: Int = 1): Unit = {
     val meta = collectionInfo(name)
     rewrite(name, scan(name).coalesce(targetFiles), meta)

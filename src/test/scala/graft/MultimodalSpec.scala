@@ -19,6 +19,56 @@ class MultimodalSpec extends SparkSpec {
       .sameElements(Array(0, 127, 255)))
   }
 
+  test("bmp codec: gray encode → real header parse round-trips incl. row padding") {
+    // width 3 → rowBytes 9, stride 12: padding is exercised
+    val gray = Array[Byte](10, 20, 30, 40, 50, 60)
+    val bmp = Multimodal.encodeBmpGray(3, 2, gray)
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    assert(bmp.length == 54 + 12 * 2)
+    val samples = Multimodal.decodeBmp(bmp).get
+    // top-down row-major, each gray value in all 3 channels (b,g,r)
+    assert(samples.toSeq === gray.flatMap(v => Seq.fill(3)(v.toInt)).toSeq)
+    // truncated / size-mismatched payloads are structurally rejected
+    assert(Multimodal.decodeBmp(bmp.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeBmp("BMfake-not-an-image-payload-with-enough-bytes-to-parse-header".getBytes).isEmpty)
+  }
+
+  test("wav codec: pcm8 encode → chunk-walk parse; hand-built pcm16 decodes signed") {
+    val pcm = Array[Byte](0, 64, -128, -1) // unsigned: 0, 64, 128, 255
+    val wav = Multimodal.encodeWavPcm8(pcm)
+    assert(Multimodal.decodeWav(wav).get.toSeq === Seq(0, 64, 128, 255))
+    // 16-bit: two samples, 1000 and -2
+    val b = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(4).putShort(1000).putShort(-2)
+    assert(Multimodal.decodeWav(b.array()).get.toSeq === Seq(1000, -2))
+    // non-PCM format code rejected
+    val bad = Multimodal.encodeWavPcm8(pcm)
+    bad(20) = 3 // IEEE float format tag
+    assert(Multimodal.decodeWav(bad).isEmpty)
+  }
+
+  test("decode dispatch: real containers parse, opaque payloads take the stub") {
+    val gray = Array[Byte](1, 2, 3, 4)
+    val bmp = Multimodal.encodeBmpGray(2, 2, gray)
+    assert(Multimodal.decode(bmp).length == 12) // parsed, not stubbed bytes
+    val text = "plain text payload".getBytes("UTF-8")
+    assert(Multimodal.decode(text).toSeq === Multimodal.decodeStub(text).toSeq)
+  }
+
+  test("extractFeatures decodes a real BMP payload for real") {
+    val gray = Array[Byte](0, 32, 64, 96) // bins 0,2,4,6
+    val bmp = Multimodal.encodeBmpGray(2, 2, gray)
+    val ds = Seq(MediaRow(5L, "image", bmp, 2, 2, 1)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect()(0)
+    assert(f.n_bytes == bmp.length.toLong) // container size, not pixel count
+    assert(math.abs(f.mean_sample - (0 + 32 + 64 + 96) / 4.0) < 1e-9)
+    assert(math.abs(f.features(2) - 0.25) < 1e-9) // value 32 → bin 2
+    assert(math.abs(f.features.sum - 1.0) < 1e-9)
+  }
+
   test("extractFeatures: batch iterator yields histogram features summing to 1") {
     val out = Multimodal.extractFeatures(media((0L, "abcabc"), (1L, ""))).collect()
       .sortBy(_.media_id)

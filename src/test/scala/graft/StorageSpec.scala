@@ -72,6 +72,45 @@ class StorageSpec extends SparkSpec {
     assert(cm.countVectors("c") === 0L)
   }
 
+  test("parquet delete is a tombstone append — no data rewrite; optimize compacts") {
+    val base = freshBase()
+    val cm = new CollectionManager(spark, base)
+    cm.createCollection("c", 3)
+    cm.insert("c", rows("a" -> v3a, "b" -> v3b))
+    def dataFiles: Set[String] = {
+      val s = Files.list(Paths.get(base, "c", "data"))
+      try {
+        val it = s.iterator()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.endsWith(".parquet")) b += n
+        }
+        b.result()
+      } finally s.close()
+    }
+    val before = dataFiles
+    cm.delete("c", "a")
+    val after = dataFiles
+    // the delete appended a marker file; every pre-existing file survives
+    assert(before.subsetOf(after), s"delete rewrote data: $before -> $after")
+    assert((after -- before).nonEmpty)
+    assert(cm.scan("c").select("id").as[String].collect() === Array("b"))
+    assert(cm.countVectors("c") === 1L)
+    // delete → re-insert: only the OLD occurrence is dead (kwi replay)
+    cm.insert("c", rows("a" -> v3b))
+    assert(cm.getVector("c", "a").select($"embedding")
+      .collect()(0).getSeq[Float](0) === v3b.toSeq)
+    assert(cm.countVectors("c") === 2L)
+    // optimize drops markers + dead rows; live data intact
+    cm.optimizeCollection("c")
+    assert(cm.countVectors("c") === 2L)
+    val raw = spark.read.schema(CollectionManager.schema)
+      .parquet(Paths.get(base, "c", "data").toString)
+    assert(raw.filter($"embedding".isNull).count() === 0L)
+    assert(raw.count() === 2L)
+  }
+
   test("dimension validation (collection_manager.rs:146-152)") {
     val cm = new CollectionManager(spark, freshBase())
     cm.createCollection("c", 64)
