@@ -125,16 +125,17 @@ object TextOps {
     * expression-only (bit_count(xor) on the DuckDB side). */
   def hamming16(a: Column, b: Column): Column = hammingBits(a, b, 16)
 
-  /** Width-parameterized Hamming distance over non-negative longs. */
+  /** Width-parameterized Hamming distance over non-negative longs —
+    * native `bit_count(a ^ b)` (codegen'd popcount). For width-bounded
+    * inputs (both &lt; 2^bits, which every sketch this module builds
+    * guarantees) the untouched high bits xor to zero, so the full-word
+    * popcount equals the per-width fold it replaced. The interpreted
+    * `aggregate(transform(sequence…))` formulation cost ~bits element
+    * evaluations PER PAIR — at 20M candidate pairs × 60 bits that was
+    * the entire probe-time budget of the banded simhash queries. */
   def hammingBits(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 62, "hamming width must be 1..62")
-    val pw = typedLit((0 until bits).map(1L << _).toArray)
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), i => {
-        val p = element_at(pw, i + 1)
-        when(((a % (p * 2)) >= p) =!= ((b % (p * 2)) >= p), 1L).otherwise(0L)
-      }),
-      lit(0L), (s, x) => s + x)
+    bit_count(a.bitwiseXOR(b)).cast("long")
   }
 
   /** Exact n-gram Jaccard over two shingle arrays (distinct semantics on

@@ -226,16 +226,45 @@ object Dedup {
     * as the MinHash path — followed by the exact Hamming rerank.
     * Result-identical to the all-pairs `simhashPairs` baseline below,
     * without its O(n²) crossJoin. */
+  /** Per-doc token-hash table (doc_id, th ARRAY&lt;BIGINT&gt;) — the shared
+    * prefix of every simhash sketch width. Materialize it (localCheckpoint
+    * or parquet) before feeding the per-bit folds: simhashFromHashes
+    * embeds its input once per bit, so an un-materialized md5 would run
+    * `bits` times per token. */
+  def tokenHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      transform(TextOps.tokens(col("text")), t => TextOps.md5Long(t)).as("th"))
+
   def simhashPairsBanded(docs: DataFrame, maxDist: Int,
+      bits: Int = 16): DataFrame =
+    simhashPairsBandedFrom(tokenHashes(docs).localCheckpoint(), maxDist, bits)
+
+  /** Banded simhash pairs from a pre-materialized token-hash table —
+    * the build/probe split: callers answering several sketch widths
+    * (16-bit and 60-bit declared queries) tokenize + md5 the corpus
+    * ONCE and derive each sketch from the shared table. */
+  /** (doc_id, simhash) sketch table at the given width from a
+    * token-hash table. The `bits`-wide fold is the expensive map of
+    * the whole pipeline — callers should materialize the result
+    * (localCheckpoint / parquet) before joining on it; at scale this
+    * is the sketch table a dedup pipeline persists between its
+    * signature and candidate stages. */
+  def simhashSketch(hashed: DataFrame, bits: Int): DataFrame =
+    hashed.select(col("doc_id"),
+      TextOps.simhashFromHashes(col("th"), bits).as("simhash"))
+
+  def simhashPairsBandedFrom(hashed: DataFrame, maxDist: Int,
+      bits: Int = 16): DataFrame =
+    simhashPairsFromSketch(
+      simhashSketch(hashed, bits).localCheckpoint(), maxDist, bits)
+
+  /** Probe phase: pigeonhole-banded pair generation + exact Hamming
+    * rerank over a pre-built sketch table (both self-join sides read
+    * it, so it must be materialized). */
+  def simhashPairsFromSketch(sh: DataFrame, maxDist: Int,
       bits: Int = 16): DataFrame = {
     val nBands = maxDist + 1
     require(nBands >= 1 && nBands <= bits, s"need 1..$bits bands over $bits bits")
-    // same materialization reasoning as simhashPairs below
-    val hashed = docs.select(col("doc_id"),
-      transform(TextOps.tokens(col("text")), t => TextOps.md5Long(t)).as("th"))
-      .localCheckpoint()
-    val sh = hashed.select(col("doc_id"),
-      TextOps.simhashFromHashes(col("th"), bits).as("simhash"))
     // nearly-even bit ranges: band b covers [offset, offset+width)
     val base = bits / nBands
     val rem = bits % nBands
