@@ -101,6 +101,49 @@ object IndexQueries extends QueryRegistry {
       (adj, entry, fetch)
     }
 
+  /** Persisted DATA-DEPENDENT IVF assignment (centroids = the first 8
+    * embeddings, no Lloyd rounds): the whole build is SQL-replayable,
+    * so the PRUNED probe below is hash-verified end-to-end — unlike
+    * ivf_knn (full probe ⇒ exact) and lsh_knn (fallback ⇒ exact), this
+    * one executes real nprobe/nlist partition pruning with the VALUES
+    * checked, not just an invariant. */
+  private def ivfDataStore(s: SparkSession, dir: String): (Array[(Int, Array[Double])], DataFrame) =
+    SharedBuilds.of(s, dir, "ivf8-data-store") {
+      val emb = embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+      val ivf = new Ivf(nlist = 8, iters = 0)
+      // spread before assigning (interpreted argmin HOF over a
+      // single-row-group scan — same reasoning as ivf_cell_join)
+      val assigned = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"),
+          ivf.assignExpr(col("embedding"), cents).as("cluster"))
+      val path = buildPath(dir, "ivf8-data")
+      assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+      (cents, s.read.parquet(path))
+    }
+
+  /** Persisted sign-LSH index with DATA-DEPENDENT planes (the first 4
+    * embeddings) — SQL-replayable bucket keys, so the pruned
+    * single-bucket probe is hash-verified. */
+  private def lshDataStore(s: SparkSession, dir: String): (Array[Array[Double]], DataFrame) =
+    SharedBuilds.of(s, dir, "lsh4-data-store") {
+      import graft.functions.VectorOps
+      val emb = embeddings(s, dir)
+      val planes = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        when(VectorOps.fastDot(col("embedding"), typedLit(p.toSeq)) >= 0.0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val path = buildPath(dir, "lsh4-data")
+      emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      (planes, s.read.parquet(path))
+    }
+
   private def ivfStore(s: SparkSession, dir: String): (Array[(Int, Array[Double])], DataFrame) =
     SharedBuilds.of(s, dir, "ivf8x2-store") {
       val (cents, assigned) = new Ivf(nlist = 8, iters = 2).build(embeddings(s, dir))
@@ -190,6 +233,39 @@ object IndexQueries extends QueryRegistry {
       val ivf = new Ivf(nlist = 8, iters = 2)
       val (cents, assigned) = ivfStore(s, dir)
       ivf.query(assigned, cents, firstVec(emb), 10, nprobe = 8)
+    }),
+
+    // PRUNED IVF probe, values hash-verified: data-dependent centroids
+    // make cell assignment AND the nearest-2-cell pruning replayable in
+    // SQL; the probe scan reads 2 of 8 cluster partitions of the
+    // persisted assignment (PartitionFilters pinned in PlanSpec). This
+    // is the probe shape that reads nprobe/nlist of a 100 TB index.
+    "ivf_pruned_knn" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val (cents, assigned) = ivfDataStore(s, dir)
+      new Ivf(nlist = 8, iters = 0)
+        .query(assigned, cents, firstVec(emb), 10, nprobe = 2)
+    }),
+
+    // PRUNED single-bucket LSH probe, values hash-verified via
+    // data-dependent planes (no fallback at these scales: every
+    // 4-plane bucket holds >= k vectors). One partition of the
+    // persisted index is read — the (1/2^P)-of-the-corpus probe cost
+    // the reference's bucket design promises (src/index.rs:109-120).
+    "lsh_pruned_knn" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val (planes, idx) = lshDataStore(s, dir)
+      val q = firstVec(emb)
+      var b = 0L
+      planes.zipWithIndex.foreach { case (p, i) =>
+        var dot = 0.0
+        var j = 0
+        while (j < q.length) { dot += q(j).toDouble * p(j); j += 1 }
+        if (dot >= 0.0) b |= (1L << i)
+      }
+      Knn.topK(idx.filter(col("bucket") === lit(b)),
+        Seq(Tuple1(q)).toDF("qe"), 10, Knn.Cosine)
     }),
 
     // IVF cell-size profile (rows-only gate: k-means isn't SQL)
@@ -380,6 +456,50 @@ object IndexQueries extends QueryRegistry {
          |FROM cand c JOIN embeddings x ON c.a = x.vec_id JOIN embeddings y ON c.b = y.vec_id
          |WHERE round(${cosine("x.embedding", "y.embedding")}, 6) >= 0.3
          |ORDER BY a, b""".stripMargin,
+
+    // data-dependent centroids ⇒ the PRUNING ITSELF replays in SQL:
+    // per-vector argmin cell, nearest-2 cells to the query by the same
+    // (distance, cid) tiebreak, exact rerank inside the probed cells
+    "ivf_pruned_knn" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        list_sum(list_transform(list_zip(e.embedding, c.ce),
+         |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+         |      FROM embeddings e CROSS JOIN c),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM d) WHERE rn = 1),
+         |qd AS (SELECT c.cid,
+         |        list_sum(list_transform(list_zip(q.qe, c.ce),
+         |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+         |      FROM c, q),
+         |probe AS (SELECT cid FROM qd ORDER BY d ASC, cid ASC LIMIT 2)
+         |SELECT e.vec_id AS vec_id, round(${cosine("e.embedding", "q.qe")}, 6) + 0.0 AS score
+         |FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id, q
+         |WHERE cells.cell IN (SELECT cid FROM probe)
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    // data-dependent planes ⇒ bucket keys replay in SQL: the probe
+    // reranks exactly ONE bucket (no fallback at these scales), and
+    // every returned value is hash-checked
+    "lsh_pruned_knn" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 4),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |keys AS (SELECT e.vec_id,
+         |           CAST(sum(CASE WHEN ${dot("e.embedding", "p.pe")} >= 0
+         |                         THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |         FROM embeddings e CROSS JOIN p GROUP BY e.vec_id),
+         |qb AS (SELECT CAST(sum(CASE WHEN ${dot("q.qe", "p.pe")} >= 0
+         |                            THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM p, q)
+         |SELECT e.vec_id AS vec_id, round(${cosine("e.embedding", "q.qe")}, 6) + 0.0 AS score
+         |FROM embeddings e JOIN keys k ON e.vec_id = k.vec_id, q, qb
+         |WHERE k.bucket = qb.bucket
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
 
     // full probe ⇒ exact: same oracle as brute-force cosine.
     "ivf_knn" ->

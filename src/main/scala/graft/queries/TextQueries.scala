@@ -161,6 +161,34 @@ object TextQueries extends QueryRegistry {
         .orderBy(col("doc_id"))
     }),
 
+    // winnowing CONTAINMENT join: doc pairs sharing >= 2 winnow
+    // fingerprints (MOSS-style containment/plagiarism detection, the
+    // cross-doc companion of winnow_fingerprints). Scale shape: one
+    // shuffle keyed on the fingerprint (Σ|posting|² candidate work)
+    // with ultra-common fingerprints df-capped out first — the
+    // standard stop-fingerprint guard that keeps a template-heavy
+    // corpus from quadratic posting blowups; the cap is replayed
+    // identically in SQL so the result stays hash-matched.
+    "winnow_containment" -> ((s, dir) => {
+      val (hashed, _) = sharedDedupIndex(s, dir)
+      // fps feeds three consumers (df census + both join sides):
+      // materialize once, and winnow itself embeds its input 4x, so
+      // it must fold over the checkpointed shingle table
+      val fps = hashed
+        .select(col("doc_id"), explode(TextOps.winnow(col("shh"), 4)).as("fp"))
+        .localCheckpoint()
+      val common = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > 20).select(col("fp"))
+      val pruned = fps.join(broadcast(common), Seq("fp"), "left_anti")
+      val a = pruned.select(col("doc_id").as("a"), col("fp"))
+      val b = pruned.select(col("doc_id").as("b"), col("fp"))
+      a.join(b, "fp").filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // per-source quality rollup (decimal-exact mean of rounded scores)
     "source_quality_rollup" -> ((s, dir) =>
       documents(s, dir)
@@ -359,6 +387,24 @@ object TextQueries extends QueryRegistry {
          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
          |       CAST(list_min(fps) AS BIGINT) AS min_fp
          |FROM win ORDER BY doc_id""".stripMargin,
+
+    "winnow_containment" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |win AS (SELECT doc_id,
+         |          CASE WHEN len(shh) < 4 THEN list_distinct(shh)
+         |               ELSE list_distinct(list_transform(generate_series(1, len(shh)-3),
+         |                      i -> list_min(shh[i:i+3]))) END AS fps
+         |        FROM hs),
+         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM win),
+         |cm AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 20),
+         |pr AS (SELECT doc_id, fp FROM fp WHERE fp NOT IN (SELECT fp FROM cm))
+         |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM pr x JOIN pr y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2
+         |ORDER BY a, b""".stripMargin,
 
     "source_quality_rollup" ->
       s"""WITH t AS (SELECT source, text, ${F.toks("text")} AS toks FROM documents),

@@ -211,6 +211,14 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("bucket"), pf) // the bucket predicate prunes partitions
   }
 
+  test("declared pruned probes read partition-pruned persisted indexes") {
+    for ((q, pcol) <- Seq("lsh_pruned_knn" -> "bucket", "ivf_pruned_knn" -> "cluster")) {
+      spark.catalog.clearCache()
+      val pf = partitionFiltersOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(pf.contains(pcol), s"$q: $pf")
+    }
+  }
+
   test("IVF Lloyd update shuffles aggregated sums, not posexploded positions") {
     // the round-3 formulation posexploded every vector (n×d rows through
     // the exchange per round); the typed vector-sum aggregate keeps the
