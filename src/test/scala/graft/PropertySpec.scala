@@ -121,4 +121,29 @@ class PropertySpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("bmp codec: encode→decode round-trips every generated image exactly") {
+    import graft.operators.Multimodal
+    val imgGen = for {
+      w <- Gen.choose(1, 9) // widths 1..9 cover all four stride paddings
+      h <- Gen.choose(1, 7)
+      px <- Gen.listOfN(w * h, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, px.toArray)
+    cases(imgGen, n = 40).foreach { case (w, h, px) =>
+      val decoded = Multimodal.decodeBmp(Multimodal.encodeBmpGray(w, h, px)).get
+      assert(decoded.length == w * h * 3, s"w=$w h=$h")
+      assert(decoded.toSeq == px.flatMap(v => Seq.fill(3)(v.toInt & 0xff)).toSeq,
+        s"pixel mismatch at w=$w h=$h")
+    }
+  }
+
+  test("wav codec: pcm8 encode→decode round-trips every generated clip exactly") {
+    import graft.operators.Multimodal
+    val clipGen = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    cases(clipGen, n = 40).foreach { pcm =>
+      val decoded = Multimodal.decodeWav(Multimodal.encodeWavPcm8(pcm)).get
+      assert(decoded.toSeq == pcm.map(_.toInt & 0xff).toSeq)
+    }
+  }
 }
