@@ -40,6 +40,7 @@ class CollectionManager(spark: SparkSession, basePath: String) {
 
   private def dir(name: String): Path = Paths.get(basePath, name)
   private def dataDir(name: String): String = dir(name).resolve("data").toString
+  private def deletesDir(name: String): Path = dir(name).resolve("deletes")
   private def metaPath(name: String): Path = dir(name).resolve("_meta.json")
 
   Files.createDirectories(Paths.get(basePath))
@@ -91,29 +92,34 @@ class CollectionManager(spark: SparkSession, basePath: String) {
   def allVectors(name: String): DataFrame =
     scan(name).orderBy(col("ingest_seq"))
 
-  /** Every physical row, deletion markers included. */
+  /** Every physical data row, deletion semantics NOT applied. */
   private def rawScan(name: String): DataFrame = {
     requireExists(name)
     spark.read.schema(schema).parquet(dataDir(name))
   }
 
   /** Unordered LIVE scan — the cheap distributed path for analytics.
-    * Tombstone-aware: `delete` appends a null-embedding marker row
-    * instead of rewriting the data (the kwi `appendTombstone` pattern,
-    * KwiFormat.scala), and the scan drops every row superseded by a
-    * LATER marker for its id — so delete→re-insert leaves the new row
-    * live, exactly the oldest-occurrence-dies replay of the kwi reader.
-    * The marker side is bounded by deletes-since-compaction (tiny) and
-    * rides in as a broadcast join: the data itself never reshuffles,
-    * which is the whole point at 100 TB. */
+    * Tombstone-aware: `delete` appends a marker row to the tiny
+    * `deletes/` SIDECAR dir instead of rewriting the data (the kwi
+    * `appendTombstone` pattern with the marker stream split out), and
+    * the scan drops every row at-or-before its id's latest marker seq —
+    * so delete→re-insert leaves the new row live, exactly the
+    * oldest-occurrence-dies replay of the kwi reader. Scale shape:
+    * marker DISCOVERY reads only the sidecar (O(#deletes-since-
+    * compaction) bytes, never a sweep of the data files), and the
+    * marker set rides into the scan as a broadcast join — the data
+    * itself never reshuffles. */
   def scan(name: String): DataFrame = {
-    val raw = rawScan(name)
-    val live = raw.filter(col("embedding").isNotNull)
-    val tombs = raw.filter(col("embedding").isNull)
-      .groupBy(col("id")).agg(max(col("ingest_seq")).as("__tomb_seq"))
-    live.join(broadcast(tombs), Seq("id"), "left")
-      .filter(col("__tomb_seq").isNull || col("ingest_seq") > col("__tomb_seq"))
-      .drop("__tomb_seq")
+    val live = rawScan(name)
+    val dd = deletesDir(name)
+    if (!Files.exists(dd)) live
+    else {
+      val tombs = spark.read.schema(deleteSchema).parquet(dd.toString)
+        .groupBy(col("id")).agg(max(col("tomb_seq")).as("__tomb_seq"))
+      live.join(broadcast(tombs), Seq("id"), "left")
+        .filter(col("__tomb_seq").isNull || col("ingest_seq") > col("__tomb_seq"))
+        .drop("__tomb_seq")
+    }
   }
 
   def countVectors(name: String): Long = scan(name).count()
@@ -173,11 +179,13 @@ class CollectionManager(spark: SparkSession, basePath: String) {
 
   /** Strict delete: MissingId if the id is not live (src/storage.rs:42-47).
     * Deletion is a TOMBSTONE APPEND (BinaryIndex delete,
-    * binary_index.rs:197-212): one null-embedding marker row carrying
-    * the next ingest_seq — the data files are never rewritten per id (a
-    * 100 TB collection cannot pay a full rewrite for one delete).
-    * `optimizeCollection` compacts the markers and dead rows away, the
-    * same deferred-compaction split the `.kwi` format uses. */
+    * binary_index.rs:197-212): one (id, tomb_seq) marker row in the
+    * `deletes/` sidecar, where tomb_seq = the data's current max
+    * ingest_seq — the marker kills every existing occurrence of the id
+    * and none inserted later. The data files are never rewritten per id
+    * (a 100 TB collection cannot pay a full rewrite for one delete);
+    * `optimizeCollection` compacts markers and dead rows away, the same
+    * deferred-compaction split the `.kwi` format uses. */
   def delete(name: String, id: String): Unit = {
     val meta = collectionInfo(name)
     if (scan(name).filter(col("id") === lit(id)).isEmpty)
@@ -185,9 +193,8 @@ class CollectionManager(spark: SparkSession, basePath: String) {
     val base = rawScan(name)
       .agg(coalesce(max(col("ingest_seq")), lit(-1L))).collect()(0).getLong(0)
     val marker = spark.createDataFrame(
-      java.util.Arrays.asList(
-        org.apache.spark.sql.Row(id, null, null, base + 1)), schema)
-    marker.write.mode("append").parquet(dataDir(name))
+      java.util.Arrays.asList(org.apache.spark.sql.Row(id, base)), deleteSchema)
+    marker.write.mode("append").parquet(deletesDir(name).toString)
     bumpMeta(name, meta)
   }
 
@@ -236,7 +243,9 @@ class CollectionManager(spark: SparkSession, basePath: String) {
   }
 
   /** Atomic-ish rewrite: write to a temp dir, then swap. Spark cannot
-    * overwrite a parquet dir it is currently reading. */
+    * overwrite a parquet dir it is currently reading. A rewrite bakes
+    * deletion semantics into the data (its input comes from the live
+    * `scan`), so the marker sidecar is cleared afterwards. */
   private def rewrite(name: String, df: DataFrame, meta: Meta): Unit = {
     val tmp = dir(name).resolve("data.tmp")
     df.select(schema.fieldNames.map(col): _*)
@@ -244,6 +253,7 @@ class CollectionManager(spark: SparkSession, basePath: String) {
     val dst = dir(name).resolve("data")
     deleteRecursively(dst)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(deletesDir(name))
     bumpMeta(name, meta)
   }
 
@@ -260,6 +270,12 @@ object CollectionManager {
     StructField("embedding", ArrayType(FloatType, containsNull = false)),
     StructField("metadata", StringType, nullable = true),
     StructField("ingest_seq", LongType, nullable = false)))
+
+  /** `deletes/` sidecar row: the marker kills every occurrence of `id`
+    * with ingest_seq &lt;= tomb_seq. */
+  val deleteSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("tomb_seq", LongType, nullable = false)))
 
   /** `_meta.json` sidecar — keys per local_storage.rs:187-199. */
   final case class Meta(

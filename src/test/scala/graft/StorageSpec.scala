@@ -91,10 +91,10 @@ class StorageSpec extends SparkSpec {
     }
     val before = dataFiles
     cm.delete("c", "a")
-    val after = dataFiles
-    // the delete appended a marker file; every pre-existing file survives
-    assert(before.subsetOf(after), s"delete rewrote data: $before -> $after")
-    assert((after -- before).nonEmpty)
+    // the marker went to the deletes/ SIDECAR: the data files are
+    // byte-identical (marker discovery never sweeps the data at scale)
+    assert(dataFiles === before, "delete touched the data dir")
+    assert(Files.exists(Paths.get(base, "c", "deletes")))
     assert(cm.scan("c").select("id").as[String].collect() === Array("b"))
     assert(cm.countVectors("c") === 1L)
     // delete → re-insert: only the OLD occurrence is dead (kwi replay)
@@ -102,12 +102,12 @@ class StorageSpec extends SparkSpec {
     assert(cm.getVector("c", "a").select($"embedding")
       .collect()(0).getSeq[Float](0) === v3b.toSeq)
     assert(cm.countVectors("c") === 2L)
-    // optimize drops markers + dead rows; live data intact
+    // optimize bakes deletes into the data and clears the sidecar
     cm.optimizeCollection("c")
     assert(cm.countVectors("c") === 2L)
+    assert(!Files.exists(Paths.get(base, "c", "deletes")))
     val raw = spark.read.schema(CollectionManager.schema)
       .parquet(Paths.get(base, "c", "data").toString)
-    assert(raw.filter($"embedding".isNull).count() === 0L)
     assert(raw.count() === 2L)
   }
 
