@@ -135,7 +135,11 @@ object TextOps {
     * the entire probe-time budget of the banded simhash queries. */
   def hammingBits(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 62, "hamming width must be 1..62")
-    bit_count(a.bitwiseXOR(b)).cast("long")
+    // Mask to the declared width before counting, so out-of-width bits
+    // (or negative longs) can never leak into the distance — the mask
+    // is a no-op for width-bounded inputs and keeps the whole thing one
+    // codegen'd popcount either way.
+    bit_count(a.bitwiseXOR(b).bitwiseAND(lit((1L << bits) - 1))).cast("long")
   }
 
   /** Exact n-gram Jaccard over two shingle arrays (distinct semantics on

@@ -220,18 +220,35 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
 
 object Hnsw {
   /** Cross-query caching point-read source: at most one underlying
-    * fetch per distinct id for the wrapper's lifetime, and `fetched`
-    * reports exactly how many vectors are driver-resident — the
-    * observable the serve contract bounds at O(queries × ef), which
-    * IndexSpec asserts stays far below corpus size. Wrap a kwi
-    * `IndexedReader.get` (or any point-read lambda) and hand the
+    * fetch per distinct id while the cache is under `maxEntries`, and
+    * `fetched` reports how many vector materializations the driver has
+    * paid — the observable the serve contract bounds at
+    * O(queries × ef), which IndexSpec asserts stays far below corpus
+    * size. The cache itself is BOUNDED: once it holds `maxEntries`
+    * vectors it resets, so a long-lived session issuing unbounded
+    * query streams holds O(maxEntries) driver memory, not O(corpus) —
+    * evicted ids are simply re-fetched (point reads, cheap). Wrap a
+    * kwi `IndexedReader.get` (or any point-read lambda) and hand the
     * wrapper to `serveQuery`. */
-  final class CachingFetch(fetch: Long => Option[Array[Float]])
+  final class CachingFetch(fetch: Long => Option[Array[Float]],
+      maxEntries: Int = 1 << 16)
       extends (Long => Option[Array[Float]]) {
+    require(maxEntries > 0, "maxEntries must be positive")
     private val cache = mutable.Map.empty[Long, Option[Array[Float]]]
-    def apply(id: Long): Option[Array[Float]] =
-      cache.getOrElseUpdate(id, fetch(id))
-    /** Count of distinct vectors actually materialized on the driver. */
-    def fetched: Int = cache.valuesIterator.count(_.isDefined)
+    private var materialized = 0
+    def apply(id: Long): Option[Array[Float]] = cache.get(id) match {
+      case Some(v) => v
+      case None =>
+        if (cache.size >= maxEntries) cache.clear()
+        val v = fetch(id)
+        if (v.isDefined) materialized += 1
+        cache.put(id, v)
+        v
+    }
+    /** Vector materializations paid so far (equals distinct fetched ids
+      * until the first eviction reset). */
+    def fetched: Int = materialized
+    /** Vectors currently driver-resident (always <= maxEntries). */
+    def resident: Int = cache.valuesIterator.count(_.isDefined)
   }
 }

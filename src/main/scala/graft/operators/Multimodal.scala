@@ -97,7 +97,12 @@ object Multimodal {
     while (o + 8 <= p.length) {
       val id = new String(p, o, 4, "US-ASCII")
       val sz = i32(p, o + 4)
-      if (sz < 0 || o + 8 + sz > p.length) return None
+      // Long arithmetic: a near-Int.MaxValue sz would overflow the Int
+      // sum to negative and slip past the check, crashing the task on a
+      // corrupt RIFF payload instead of falling back (structural-reject
+      // contract). Once this passes, sz <= p.length - o - 8, so the
+      // Int chunk advance below cannot overflow either.
+      if (sz < 0 || o.toLong + 8L + sz > p.length) return None
       if (id == "fmt ") {
         if (sz < 16 || u16(p, o + 8) != 1) return None // PCM only
         bits = u16(p, o + 22)

@@ -96,7 +96,8 @@ object IndexQueries extends QueryRegistry {
         embeddings(s, dir).select(
           col("vec_id").cast("string").as("id"), col("embedding")),
         kwiPath)
-      val reader = new graft.sources.KwiFormat.IndexedReader(kwiPath)
+      val reader = SharedBuilds.registerCloseable(
+        s, new graft.sources.KwiFormat.IndexedReader(kwiPath))
       val fetch = new Hnsw.CachingFetch(id => reader.get(id.toString).map(_._2))
       (adj, entry, fetch)
     }

@@ -49,6 +49,12 @@ object MultimodalQueries extends QueryRegistry {
       val docs = documents(s, dir)
         .filter(col("doc_id") < 40 && length(col("text")) >= 64)
         .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
+        // ASCII-only heads: a multi-byte char would make getBytes yield
+        // more than 64 bytes (encodeBmpGray would throw) and desync the
+        // oracle's ascii() from UTF-8 byte values. octet_length = char
+        // length iff every char is single-byte; mirrored in the oracle
+        // via strlen (DuckDB's byte length).
+        .filter(octet_length(col("head")) === 64)
         .as[(Long, String)]
       val media = docs.map { case (id, txt) =>
         Multimodal.MediaRow(id, "image",
@@ -122,7 +128,8 @@ object MultimodalQueries extends QueryRegistry {
     // 64-char head; n_bytes = 54 + 8*8*3 = 246 exactly
     "media_real_decode" ->
       """WITH t AS (SELECT doc_id AS media_id, substr(text, 1, 64) AS s
-        |           FROM documents WHERE doc_id < 40 AND length(text) >= 64),
+        |           FROM documents WHERE doc_id < 40 AND length(text) >= 64
+        |             AND strlen(substr(text, 1, 64)) = 64),
         |b AS (SELECT media_id,
         |             list_transform(generate_series(1, 64), i -> ascii(s[i])) AS bytes
         |      FROM t)

@@ -79,6 +79,39 @@ object SharedBuilds {
   private val m =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]]
+  // Open OS resources (kwi IndexedReaders, …) built inside memoized
+  // artifacts. Closed on evict() and on application end — without this
+  // every (session, dir) serve build leaked a file handle for the JVM
+  // lifetime.
+  private val closeables =
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayDeque[AutoCloseable]]
+
+  /** Track `c` for closing when `s` is evicted or its application ends.
+    * Returns `c` for inline use at the build site. */
+  def registerCloseable[C <: AutoCloseable](s: SparkSession, c: C): C = {
+    m.synchronized {
+      var q = closeables.get(s)
+      if (q == null) {
+        q = new java.util.ArrayDeque[AutoCloseable]
+        closeables.put(s, q)
+        // one close hook per session, installed with its first resource
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            closeAllFor(s)
+        })
+      }
+      q.add(c)
+    }
+    c
+  }
+
+  private def closeAllFor(s: SparkSession): Unit = m.synchronized {
+    val q = closeables.remove(s)
+    if (q != null) q.forEach { c =>
+      try c.close() catch { case _: Exception => () } // best-effort on teardown
+    }
+  }
   def of[T <: AnyRef](s: SparkSession, dir: String, key: String)(build: => T): T = {
     val perSession = m.synchronized {
       var inner = m.get(s)
@@ -92,7 +125,10 @@ object SharedBuilds {
   }
   /** Drop every artifact built for `s` (call when stopping a session in
     * a multi-session JVM; checkpointed blocks are then reclaimable). */
-  def evict(s: SparkSession): Unit = m.synchronized { m.remove(s) }
+  def evict(s: SparkSession): Unit = m.synchronized {
+    m.remove(s)
+    closeAllFor(s)
+  }
 }
 
 /** A named query + (optionally) its DuckDB oracle SQL. Registries of

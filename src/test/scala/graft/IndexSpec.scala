@@ -42,28 +42,54 @@ class IndexSpec extends SparkSpec {
     assert(viaLsh === brute)
   }
 
-  test("lsh: histogram-backed probe skips the count() job and matches the count() path") {
+  test("lsh: histogram-backed probe skips the count() action and matches the count() path") {
     val lsh = new Lsh()
     val idx = lsh.index(emb).cache()
-    idx.count() // materialize outside the measured groups
+    idx.count() // materialize outside the measured blocks
     val hist = lsh.bucketHistogram(idx)
     val q = vecOf(0)
-    def jobsFor(tag: String)(f: => Unit): Int = {
-      spark.sparkContext.setJobGroup(tag, tag)
-      try f finally spark.sparkContext.clearJobGroup()
-      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    // Count ACTIONS via QueryExecutionListener (exactly one event per
+    // action), not Spark jobs: jobs-per-action is an AQE/scheduler
+    // detail that shifts across Spark versions, but actions-per-probe
+    // IS the mechanism under test — the histogram path must make the
+    // <k fallback decision without running bucketDf.count().
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = actions.incrementAndGet()
+    }
+    def actionsFor(f: => Unit): Int = {
+      actions.set(0)
+      spark.listenerManager.register(listener)
+      try f finally {
+        // listener delivery is async: wait until the count quiesces
+        var last = -1
+        var stable = 0
+        val deadline = System.currentTimeMillis() + 10000
+        while (stable < 5 && System.currentTimeMillis() < deadline) {
+          val c = actions.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+          Thread.sleep(100)
+        }
+        spark.listenerManager.unregister(listener)
+      }
+      actions.get()
     }
     var histRows: Array[org.apache.spark.sql.Row] = Array.empty
     var countRows: Array[org.apache.spark.sql.Row] = Array.empty
-    val withHist = jobsFor("lsh-probe-hist") {
+    val withHist = actionsFor {
       histRows = lsh.query(spark, idx, q, 10, bucketSizes = Some(hist)).collect()
     }
-    val withCount = jobsFor("lsh-probe-count") {
+    val withCount = actionsFor {
       countRows = lsh.query(spark, idx, q, 10).collect()
     }
     assert(histRows.map(_.getLong(0)).toSeq === countRows.map(_.getLong(0)).toSeq)
-    assert(withHist < withCount, s"hist=$withHist count=$withCount")
-    assert(withHist <= 2, s"hist path ran $withHist jobs") // the top-k job (+AQE)
+    assert(withHist === 1, s"hist probe ran $withHist actions (want just the top-k collect)")
+    assert(withCount === 2, s"count probe ran $withCount actions (count + collect)")
   }
 
   test("hnsw: adjacency degree <= M at every level; levels deterministic") {

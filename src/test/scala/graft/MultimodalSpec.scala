@@ -48,6 +48,14 @@ class MultimodalSpec extends SparkSpec {
     val bad = Multimodal.encodeWavPcm8(pcm)
     bad(20) = 3 // IEEE float format tag
     assert(Multimodal.decodeWav(bad).isEmpty)
+    // corrupt chunk size near Int.MaxValue: the bounds check must run
+    // in Long arithmetic and structurally REJECT (None), not overflow
+    // past the check and crash the task mid-walk
+    val huge = Multimodal.encodeWavPcm8(pcm)
+    val hb = java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hb.putInt(16, Int.MaxValue - 4) // fmt chunk claims ~2^31 bytes
+    assert(Multimodal.decodeWav(huge).isEmpty)
+    assert(Multimodal.decode(huge).toSeq === huge.map(_ & 0xff).toSeq) // stub fallback
   }
 
   test("decode dispatch: real containers parse, opaque payloads take the stub") {
