@@ -199,9 +199,21 @@ object IndexQueries extends QueryRegistry {
         .orderBy(col("query_id"))
     }),
 
+    // Index-health audit, oracle-checked (was rows-only until round 5):
+    // the PRNG plane draw itself isn't SQL-replayable, but the audit
+    // facts are — n_vectors must equal the exact corpus count (the
+    // build dropped/duplicated nothing), and the bucket/max bounds are
+    // contract invariants surfaced as booleans (the sketch-oracle
+    // pattern: estimate-side facts reduced to DuckDB-checkable values).
     "lsh_bucket_stats" -> ((s, dir) => {
-      val lsh = new Lsh(numPlanes = 16, seed = 42L)
-      lsh.bucketStats(lshStore(s, dir)._1)
+      lshStore(s, dir)._1
+        .groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("nb"), max(col("sz")).as("mx"),
+          sum(col("sz")).as("tv"))
+        .select(col("tv").cast("long").as("n_vectors"),
+          (col("nb") >= 1 && col("nb") <= least(lit(65536L), col("tv")))
+            .as("n_buckets_ok"),
+          (col("mx") >= 1 && col("mx") <= col("tv")).as("max_bucket_ok"))
     }),
 
     "hnsw_self_recall" -> ((s, dir) => {
@@ -215,15 +227,27 @@ object IndexQueries extends QueryRegistry {
       hits.toDF("query_id", "hit").orderBy(col("query_id"))
     }),
 
+    // Graph-structure audit, oracle-checked (was rows-only until
+    // round 5): per-level populations hang off the xxhash level draw
+    // (not SQL-replayable), but the structural contract is — level 0
+    // must hold EVERY corpus node (exact count, DuckDB-replayable),
+    // degrees are pruned to <= M at every level, and level populations
+    // are non-increasing (a node at level L occupies all of 0..L).
     "hnsw_degree_stats" -> ((s, dir) => {
-      hnswAdjacency(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val perLevel = hnswAdjacency(s, dir)
         .groupBy(col("node_id"), col("level"))
         .agg(count(lit(1)).as("degree"))
         .groupBy(col("level"))
+        .agg(count(lit(1)).as("n_nodes"), max(col("degree")).as("max_degree"))
+      perLevel
+        .withColumn("prev", lag(col("n_nodes"), 1).over(Window.orderBy(col("level"))))
         .agg(
-          count(lit(1)).as("n_nodes"),
-          max(col("degree")).as("max_degree"))
-        .orderBy(col("level"))
+          sum(when(col("level") === 0, col("n_nodes")).otherwise(lit(0L)))
+            .cast("long").as("n_level0_nodes"),
+          bool_and(col("max_degree") <= lit(declaredHnsw.m.toLong)).as("degree_le_m"),
+          bool_and(col("prev").isNull || col("n_nodes") <= col("prev"))
+            .as("levels_monotone"))
     }),
 
     // IVF full-probe: probing every cell is exactly brute force (same
@@ -269,12 +293,18 @@ object IndexQueries extends QueryRegistry {
         Seq(Tuple1(q)).toDF("qe"), 10, Knn.Cosine)
     }),
 
-    // IVF cell-size profile (rows-only gate: k-means isn't SQL)
+    // Partition-balance audit, oracle-checked (was rows-only until
+    // round 5): Lloyd centroids aren't SQL-replayable, but the
+    // assignment contract is — the cells must tile the corpus exactly
+    // (total = DuckDB's exact count), use at most nlist cells, and
+    // leave none of the used cells empty.
     "ivf_cell_sizes" -> ((s, dir) => {
       val (_, assigned) = ivfStore(s, dir)
-      assigned.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n_vectors"))
-        .orderBy(col("cluster"))
+      assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("tv"), count(lit(1)).as("nc"), min(col("n")).as("mn"))
+        .select(col("tv").cast("long").as("total_vectors"),
+          (col("nc") >= 1 && col("nc") <= 8).as("n_cells_ok"),
+          (col("mn") >= 1).as("cells_nonempty"))
     }),
 
     // banded sign-LSH embedding near-dup with data-dependent planes —
@@ -400,6 +430,24 @@ object IndexQueries extends QueryRegistry {
   )
 
   override def oracle: Map[String, String] = Map(
+    // Index-audit oracles: the exact totals come from the corpus, the
+    // contract invariants arrive as must-be-true booleans (same shape
+    // as the sketch error-bound oracle).
+    "lsh_bucket_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |       true AS n_buckets_ok, true AS max_bucket_ok
+        |FROM embeddings""".stripMargin,
+
+    "hnsw_degree_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_level0_nodes,
+        |       true AS degree_le_m, true AS levels_monotone
+        |FROM embeddings""".stripMargin,
+
+    "ivf_cell_sizes" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_vectors,
+        |       true AS n_cells_ok, true AS cells_nonempty
+        |FROM embeddings""".stripMargin,
+
     // LSH fallback ⇒ exact: same oracle as brute-force cosine.
     "lsh_knn" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
