@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Metrics
-import graft.operators.{Hnsw, Ivf, Knn, Lsh}
+import graft.operators.{Hnsw, Ivf, Knn, Lsh, Pq}
 
 /** Declared queries for the approximate indexes (LSH / HNSW) and the
   * evaluation metrics (kowari §2.2, §2.7).
@@ -143,6 +143,28 @@ object IndexQueries extends QueryRegistry {
       emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
       (planes, s.read.parquet(path))
+    }
+
+  /** Persisted PQ codes table (the COMPRESSED index: 4 int codes per
+    * row instead of 64 floats — the artifact a petabyte corpus keeps
+    * hot). Codebooks are DATA-DEPENDENT (subspace slices of the first
+    * 16 embeddings, no Lloyd rounds), so encoding and ADC scores are
+    * SQL-replayable end-to-end. encode is interpreted-HOF work, so
+    * spread it across cores like the other build passes. */
+  private def pqStore(s: SparkSession, dir: String)
+      : (Pq, Array[Array[Array[Double]]], DataFrame) =
+    SharedBuilds.of(s, dir, "pq4x16-store") {
+      val emb = embeddings(s, dir)
+      val pq = new Pq(m = 4)
+      val seed = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val books = pq.codebooksFromSeed(seed)
+      val path = buildPath(dir, "pq4x16")
+      emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), pq.encodeExpr(col("embedding"), books).as("codes"))
+        .write.mode("overwrite").parquet(path)
+      (pq, books, s.read.parquet(path))
     }
 
   private def ivfStore(s: SparkSession, dir: String): (Array[(Int, Array[Double])], DataFrame) =
@@ -307,6 +329,64 @@ object IndexQueries extends QueryRegistry {
           (col("mn") >= 1).as("cells_nonempty"))
     }),
 
+    // PQ/ADC probe, values hash-verified: one scan of the persisted
+    // 4-codes-per-row table, the approximate distance is 4 lookups into
+    // the broadcast query table (no vector math in the scan), top-k via
+    // TakeOrderedAndProject — the compressed-domain probe shape that
+    // reads m bytes per vector instead of 4d at 100 TB.
+    "pq_adc_knn" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val (pq, books, codes) = pqStore(s, dir)
+      val tab = pq.adcTable(firstVec(emb), books)
+      codes.select(col("vec_id"),
+          (round(pq.adcScoreExpr(col("codes"), tab), 6) + 0.0).as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // The full production PQ pipeline: ADC shortlist (50 per query,
+    // compressed scan) → exact rerank of the shortlist only → recall@10
+    // against the uncompressed exact top-10. Every stage is
+    // SQL-replayable (data-dependent codebooks), so the recall VALUES
+    // are hash-checked, not just bounded.
+    "pq_rerank_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = embeddings(s, dir)
+      val (pq, books, codes) = pqStore(s, dir)
+      val qrows = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val shortlist = qrows.map { case (qid, qv) =>
+        val tab = pq.adcTable(qv, books)
+        codes.select(lit(qid).as("query_id"), col("vec_id"),
+            (round(pq.adcScoreExpr(col("codes"), tab), 6) + 0.0).as("adc"))
+          .orderBy(col("adc").asc, col("vec_id").asc).limit(50)
+          .select(col("query_id"), col("vec_id"))
+      }.reduce(_ union _)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val pqIds = shortlist
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(qs), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          Knn.stableScore(Knn.NegEuclidean.score(col("embedding"), col("qe")))
+            .as("score"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .groupBy(col("query_id"))
+        .agg(transform(array_sort(collect_list(struct(col("rn"), col("vec_id")))),
+          x => x.getField("vec_id")).as("pq_ids"))
+      val exactIds = Knn.topKPerQueryAgg(emb, qs, 10, Knn.NegEuclidean)
+        .groupBy(col("query_id"))
+        .agg(transform(array_sort(collect_list(struct(col("rank"), col("vec_id")))),
+          x => x.getField("vec_id")).as("exact_ids"))
+      pqIds.join(exactIds, Seq("query_id"))
+        .select(col("query_id"),
+          round(Metrics.recallAtK(col("exact_ids"), col("pq_ids"), 10), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // banded sign-LSH embedding near-dup with data-dependent planes —
     // the Σ|bucket|² scale path; fully SQL-replayable since the planes
     // come from the data, not a PRNG
@@ -447,6 +527,77 @@ object IndexQueries extends QueryRegistry {
       """SELECT CAST(count(*) AS BIGINT) AS total_vectors,
         |       true AS n_cells_ok, true AS cells_nonempty
         |FROM embeddings""".stripMargin,
+
+    // PQ: data-dependent codebooks (subspace slices of embeddings
+    // vec_id < 16) make code assignment and ADC distances exactly
+    // replayable. Tie order on code assignment mirrors the struct
+    // array_min: distance ASC, code ordinal ASC.
+    "pq_adc_knn" ->
+      """WITH sp AS (SELECT s FROM range(0, 4) t(s)),
+        |b AS (SELECT vec_id AS j, embedding AS be FROM embeddings WHERE vec_id < 16),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, sp.s, b.j,
+        |        list_sum(list_transform(generate_series(1, 16),
+        |          i -> (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE))
+        |             * (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE)))) AS d
+        |      FROM embeddings e CROSS JOIN b CROSS JOIN sp),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+        |    FROM d) WHERE rn = 1),
+        |qt AS (SELECT sp.s, b.j,
+        |        list_sum(list_transform(generate_series(1, 16),
+        |          i -> (CAST(q.qe[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE))
+        |             * (CAST(q.qe[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE)))) AS d
+        |      FROM b CROSS JOIN sp, q),
+        |scores AS (SELECT c.vec_id, sum(t.d) AS adc
+        |           FROM codes c JOIN qt t ON c.s = t.s AND c.code = t.j
+        |           GROUP BY c.vec_id)
+        |SELECT vec_id, round(adc, 6) + 0.0 AS adc_dist
+        |FROM scores ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "pq_rerank_recall" ->
+      s"""WITH sp AS (SELECT s FROM range(0, 4) t(s)),
+         |b AS (SELECT vec_id AS j, embedding AS be FROM embeddings WHERE vec_id < 16),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT e.vec_id, sp.s, b.j,
+         |        list_sum(list_transform(generate_series(1, 16),
+         |          i -> (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE))
+         |             * (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE)))) AS d
+         |      FROM embeddings e CROSS JOIN b CROSS JOIN sp),
+         |codes AS (SELECT vec_id, s, j AS code FROM (
+         |    SELECT vec_id, s, j,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+         |    FROM d) WHERE rn = 1),
+         |qt AS (SELECT qs.query_id, sp.s, b.j,
+         |        list_sum(list_transform(generate_series(1, 16),
+         |          i -> (CAST(qs.qe[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE))
+         |             * (CAST(qs.qe[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE)))) AS d
+         |      FROM b CROSS JOIN sp CROSS JOIN qs),
+         |adc AS (SELECT t.query_id, c.vec_id, round(sum(t.d), 6) + 0.0 AS adc
+         |        FROM codes c JOIN qt t ON c.s = t.s AND c.code = t.j
+         |        GROUP BY t.query_id, c.vec_id),
+         |short AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn
+         |    FROM adc) WHERE rn <= 50),
+         |rr AS (SELECT sh.query_id, sh.vec_id,
+         |          row_number() OVER (PARTITION BY sh.query_id
+         |            ORDER BY round(${negEuclidean("e.embedding", "qs.qe")}, 6) DESC, sh.vec_id ASC) AS rn
+         |       FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
+         |         JOIN qs ON qs.query_id = sh.query_id),
+         |pq_lists AS (SELECT query_id, list(vec_id ORDER BY rn) AS pq_ids
+         |             FROM rr WHERE rn <= 10 GROUP BY query_id),
+         |ex AS (SELECT qs.query_id, e.vec_id,
+         |         row_number() OVER (PARTITION BY qs.query_id
+         |           ORDER BY round(${negEuclidean("e.embedding", "qs.qe")}, 6) DESC, e.vec_id ASC) AS rn
+         |       FROM embeddings e CROSS JOIN qs),
+         |ex_lists AS (SELECT query_id, list(vec_id ORDER BY rn) AS exact_ids
+         |             FROM ex WHERE rn <= 10 GROUP BY query_id)
+         |SELECT p.query_id,
+         |       round(CAST(len(list_intersect(x.exact_ids, p.pq_ids)) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM pq_lists p JOIN ex_lists x ON p.query_id = x.query_id
+         |ORDER BY p.query_id""".stripMargin,
 
     // LSH fallback ⇒ exact: same oracle as brute-force cosine.
     "lsh_knn" ->

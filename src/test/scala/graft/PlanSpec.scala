@@ -105,6 +105,18 @@ class PlanSpec extends SparkSpec {
     assert(f.contains("LessThan(doc_id,50)"), f)
   }
 
+  test("pq adc probe: one codes scan, no joins, no shuffles, heap top-k") {
+    // the compressed-domain probe must stay a single pass over the
+    // 4-ints-per-row codes parquet: ADC lookups are expression-only
+    // against broadcast literals, so any Join or Exchange here means
+    // the probe re-grew a corpus-sized dependency
+    val p = plan("pq_adc_knn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+  }
+
   test("range join plans as broadcast hash join, never nested-loop") {
     val p = plan("price_band_rollup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pq
+
+/** Product-quantization contracts: encode argmin vs a Scala-side brute
+  * force, ADC score identity, seed self-coding, and shortlist recall
+  * against exact search on the real corpus. */
+class PqSpec extends SparkSpec {
+
+  private lazy val vecs =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  // small synthetic corpus where every answer is hand-computable
+  private def synth(n: Int, dim: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
+    }
+
+  private def bruteCode(v: Array[Float], books: Array[Array[Array[Double]]]): Seq[Int] = {
+    val sub = books(0)(0).length
+    books.indices.map { s =>
+      val ds = books(s).map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = v(s * sub + i).toDouble - c(i); d += x * x; i += 1
+        }
+        d
+      }
+      ds.zipWithIndex.minBy { case (d, j) => (d, j) }._2
+    }
+  }
+
+  test("encodeExpr matches the Scala argmin (ties to lowest ordinal)") {
+    import spark.implicits._
+    val pq = new Pq(m = 2)
+    val rows = synth(32, 8)
+    val books = pq.codebooksFromSeed(rows.take(4).map(_._2).toArray)
+    val df = rows.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"), pq.encodeExpr(col("embedding"), books).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) == bruteCode(v, books), s"vec $id")
+    }
+  }
+
+  test("seed vectors code to themselves (zero subspace distance)") {
+    import spark.implicits._
+    val pq = new Pq(m = 2)
+    val rows = synth(8, 8)
+    val books = pq.codebooksFromSeed(rows.take(4).map(_._2).toArray)
+    val df = rows.take(4).toDF("vec_id", "embedding")
+    df.select(col("vec_id"), pq.encodeExpr(col("embedding"), books).as("codes"))
+      .collect().foreach { r =>
+        val id = r.getLong(0).toInt
+        assert(r.getSeq[Int](1).forall(_ == id), s"seed $id should self-code")
+      }
+  }
+
+  test("adcScoreExpr equals the table-sum of the assigned codes") {
+    import spark.implicits._
+    val pq = new Pq(m = 2)
+    val rows = synth(32, 8)
+    val books = pq.codebooksFromSeed(rows.take(4).map(_._2).toArray)
+    val q = rows(5)._2
+    val tab = pq.adcTable(q, books)
+    val df = rows.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        pq.adcScoreExpr(pq.encodeExpr(col("embedding"), books), tab).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, v) =>
+      val expected = bruteCode(v, books).zipWithIndex.map { case (c, s) => tab(s)(c) }.sum
+      assert(math.abs(got(id) - expected) < 1e-12, s"vec $id")
+    }
+  }
+
+  test("ADC shortlist-then-rerank recall@10 >= 0.5 on the corpus") {
+    val pq = new Pq(m = 4)
+    val seed = vecs.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val books = pq.codebooksFromSeed(seed)
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).toArray
+    val tab = pq.adcTable(q, books)
+    val short = vecs
+      .select(col("vec_id"), pq.encodeExpr(col("embedding"), books).as("codes"))
+      .select(col("vec_id"), pq.adcScoreExpr(col("codes"), tab).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    val exact = graft.operators.Knn.topK(vecs,
+      vecs.filter(col("vec_id") === 0).select(col("embedding").as("qe")),
+      10, graft.operators.Knn.NegEuclidean)
+      .collect().map(_.getLong(0)).toSeq
+    val recall = exact.count(short.contains).toDouble / 10.0
+    assert(recall >= 0.5, s"shortlist recall $recall")
+    assert(short.contains(0L), "self must survive the compressed shortlist")
+  }
+}
