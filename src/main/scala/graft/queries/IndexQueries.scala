@@ -167,6 +167,35 @@ object IndexQueries extends QueryRegistry {
       (pq, books, s.read.parquet(path))
     }
 
+  /** Persisted IVF-PQ index — THE canonical petabyte ANN layout
+    * (coarse cell partitioning × compressed residency): one row per
+    * vector holding its cluster (partition column) and its 4 PQ codes,
+    * nothing else. A probe prunes to nprobe/nlist of the partitions
+    * and reads m ints per vector. Both stages use data-dependent
+    * parameters (first-8 centroids, first-16 codebook seeds), so cell
+    * choice, pruning, and ADC values all replay in SQL. */
+  private def ivfPqStore(s: SparkSession, dir: String)
+      : (Array[(Int, Array[Double])], Pq, Array[Array[Array[Double]]], DataFrame) =
+    SharedBuilds.of(s, dir, "ivfpq-store") {
+      val emb = embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+      val pq = new Pq(m = 4)
+      val seed = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val books = pq.codebooksFromSeed(seed)
+      val ivf = new Ivf(nlist = 8, iters = 0)
+      val path = buildPath(dir, "ivfpq")
+      emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          pq.encodeExpr(col("embedding"), books).as("codes"),
+          ivf.assignExpr(col("embedding"), cents).as("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      (cents, pq, books, s.read.parquet(path))
+    }
+
   private def ivfStore(s: SparkSession, dir: String): (Array[(Int, Array[Double])], DataFrame) =
     SharedBuilds.of(s, dir, "ivf8x2-store") {
       val (cents, assigned) = new Ivf(nlist = 8, iters = 2).build(embeddings(s, dir))
@@ -339,6 +368,33 @@ object IndexQueries extends QueryRegistry {
       val (pq, books, codes) = pqStore(s, dir)
       val tab = pq.adcTable(firstVec(emb), books)
       codes.select(col("vec_id"),
+          (round(pq.adcScoreExpr(col("codes"), tab), 6) + 0.0).as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // IVF-PQ probe, values hash-verified: nearest-2-of-8 cells chosen
+    // driver-side from the centroid head (replayable), the scan prunes
+    // to those 2 partitions of the codes parquet (PartitionFilters
+    // pinned in PlanSpec) and reads 4 ints per surviving vector — the
+    // nprobe/nlist × m-bytes-per-vector cost model of a petabyte ANN
+    // serve tier, end to end.
+    "ivfpq_knn" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val (cents, pq, books, idx) = ivfPqStore(s, dir)
+      val q = firstVec(emb)
+      // left-to-right double fold, same order as assignExpr / the oracle
+      val probe = cents.map { case (cid, c) =>
+        var d = 0.0
+        var i = 0
+        while (i < c.length) {
+          val x = q(i).toDouble - c(i); d += x * x; i += 1
+        }
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1)
+      val tab = pq.adcTable(q, books)
+      idx.filter(col("cluster").isin(probe: _*))
+        .select(col("vec_id"),
           (round(pq.adcScoreExpr(col("codes"), tab), 6) + 0.0).as("adc_dist"))
         .orderBy(col("adc_dist").asc, col("vec_id").asc)
         .limit(10)
@@ -555,6 +611,49 @@ object IndexQueries extends QueryRegistry {
         |           GROUP BY c.vec_id)
         |SELECT vec_id, round(adc, 6) + 0.0 AS adc_dist
         |FROM scores ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // IVF-PQ: first-8 centroids pick the 2 probed cells, first-16
+    // codebooks give the codes, ADC scores the survivors — every stage
+    // replayed.
+    "ivfpq_knn" ->
+      """WITH sp AS (SELECT s FROM range(0, 4) t(s)),
+        |b AS (SELECT vec_id AS j, embedding AS be FROM embeddings WHERE vec_id < 16),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |cd AS (SELECT e.vec_id, c.cid,
+        |        list_sum(list_transform(list_zip(e.embedding, c.ce),
+        |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+        |      FROM embeddings e CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |qcd AS (SELECT c.cid,
+        |        list_sum(list_transform(list_zip(q.qe, c.ce),
+        |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+        |      FROM c, q),
+        |probe AS (SELECT cid FROM qcd ORDER BY d ASC, cid ASC LIMIT 2),
+        |d AS (SELECT e.vec_id, sp.s, b.j,
+        |        list_sum(list_transform(generate_series(1, 16),
+        |          i -> (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE))
+        |             * (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE)))) AS d
+        |      FROM embeddings e CROSS JOIN b CROSS JOIN sp),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+        |    FROM d) WHERE rn = 1),
+        |qt AS (SELECT sp.s, b.j,
+        |        list_sum(list_transform(generate_series(1, 16),
+        |          i -> (CAST(q.qe[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE))
+        |             * (CAST(q.qe[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE)))) AS d
+        |      FROM b CROSS JOIN sp, q),
+        |scores AS (SELECT cs.vec_id, sum(t.d) AS adc
+        |           FROM codes cs JOIN qt t ON cs.s = t.s AND cs.code = t.j
+        |           GROUP BY cs.vec_id)
+        |SELECT s.vec_id, round(s.adc, 6) + 0.0 AS adc_dist
+        |FROM scores s JOIN cells ON s.vec_id = cells.vec_id
+        |WHERE cells.cell IN (SELECT cid FROM probe)
+        |ORDER BY adc_dist ASC, s.vec_id ASC LIMIT 10""".stripMargin,
 
     "pq_rerank_recall" ->
       s"""WITH sp AS (SELECT s FROM range(0, 4) t(s)),
