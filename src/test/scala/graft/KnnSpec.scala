@@ -63,4 +63,35 @@ class KnnSpec extends SparkSpec {
     val rank1 = rows.filter(_.getAs[Int]("rank") == 1)
     assert(rank1.forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("vec_id")))
   }
+
+  test("banded embedding near-dup vs the full crossJoin baseline (test-only, bounded corpus)") {
+    // The declared embedding_near_dup runs the banded sign-LSH path;
+    // the unbounded n² crossJoin it replaced (round-6 demotion, same
+    // precedent as all-pairs simhash in round 4) lives ONLY here as the
+    // equivalence baseline. Bounds are exact: data-dependent planes on
+    // a fixed corpus make every number below deterministic.
+    val a = emb.select($"vec_id".as("a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("b"), $"embedding".as("eb"))
+    val brute = a.crossJoin(b).filter($"a" < $"b")
+      .select($"a", $"b",
+        round(graft.functions.VectorOps.fastCosine($"ea", $"eb"), 6).as("cos"))
+      .filter($"cos" >= 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val banded = graft.operators.Dedup.lshEmbeddingPairs(emb, 16, 4, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every banded pair is a real pair with the identical cosine
+    assert(banded.keySet.subsetOf(brute.keySet))
+    assert(banded.forall { case (k, v) => brute(k) == v })
+    // candidate recall at the declared threshold (measured 0.47 on this
+    // corpus of random-ish vectors — no planted near-dups, so cos∈[.3,.5]
+    // pairs collide in a band ~half the time; true dupes at cos→1 are
+    // caught with probability →1, which is what the operator is for)
+    assert(banded.size.toDouble / brute.size >= 0.4,
+      s"candidate recall ${banded.size.toDouble / brute.size}")
+    // the declared top-20 overlaps the brute top-20 on most pairs
+    def top20(m: Map[(Long, Long), Double]) =
+      m.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.take(20).map(_._1).toSet
+    val overlap = (top20(banded) intersect top20(brute)).size
+    assert(overlap >= 10, s"top-20 overlap $overlap")
+  }
 }
