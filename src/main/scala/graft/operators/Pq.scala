@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
@@ -101,5 +101,46 @@ class Pq(val m: Int) {
     aggregate(transform(sequence(lit(0), lit(m - 1)),
       s => element_at(element_at(tl, s + 1), element_at(codes, s + 1) + 1)),
       lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Multi-query ADC top-k in ONE job over ONE codes scan — the
+    * many-query serving shape of the compressed tier. Each scanned row
+    * fans out to every query via an explode of the literal id array
+    * (map-side, no join, no second scan), scores against that query's
+    * m×ksub table from a broadcast map literal, and the bounded-heap
+    * aggregate (TopKAggregate — the knn_multi_agg move) keeps k rows
+    * per query on the map side, so the shuffle carries q×k rows
+    * instead of q×n. Replaces the round-5 driver loop that unioned one
+    * shortlist plan per query (q FileScans → 1).
+    *
+    * Ordering contract matches the single-query probe exactly:
+    * adc ASC, vec_id ASC (the heap holds (vec_id, −adc) so its
+    * score-DESC/id-ASC order replays row_number() OVER
+    * (ORDER BY adc ASC, vec_id ASC)). Output: (query_id, vec_id,
+    * adc_dist rounded to 6, rank 1..k). */
+  def adcTopKMulti(codes: DataFrame,
+      tables: Seq[(Long, Array[Array[Double]])], k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    require(tables.nonEmpty, "need at least one query table")
+    val tmap = typedLit(tables.map { case (q, t) => q -> t.map(_.toSeq).toSeq }.toMap)
+    val tbl = element_at(tmap, col("query_id"))
+    val adc = aggregate(transform(sequence(lit(0), lit(m - 1)),
+      s => element_at(element_at(tbl, s + 1), element_at(col("codes"), s + 1) + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    codes
+      .select(col("vec_id"), explode(typedLit(tables.map(_._1))).as("query_id"),
+        col("codes"))
+      .select(col("query_id"), col("vec_id"), (round(adc, 6) + 0.0).as("adc"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(TopKAggregate.topK[(Long, Long, Double)](k)(r => (r._2, -r._3))
+        .toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"),
+        col("entry._1").as("vec_id"),
+        (-col("entry._2") + 0.0).as("adc_dist"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 }

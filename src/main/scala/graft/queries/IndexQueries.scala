@@ -412,13 +412,13 @@ object IndexQueries extends QueryRegistry {
       val qrows = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      val shortlist = qrows.map { case (qid, qv) =>
-        val tab = pq.adcTable(qv, books)
-        codes.select(lit(qid).as("query_id"), col("vec_id"),
-            (round(pq.adcScoreExpr(col("codes"), tab), 6) + 0.0).as("adc"))
-          .orderBy(col("adc").asc, col("vec_id").asc).limit(50)
-          .select(col("query_id"), col("vec_id"))
-      }.reduce(_ union _)
+      // ONE q-keyed shortlist job over ONE codes scan (the round-5
+      // verdict's #4: the driver loop that unioned 5 per-query plans is
+      // replaced by the broadcast-table + bounded-heap aggregate path;
+      // identical ids by the shared adc ASC, vec_id ASC tie order)
+      val tables = qrows.map { case (qid, qv) => (qid, pq.adcTable(qv, books)) }.toSeq
+      val shortlist = pq.adcTopKMulti(codes, tables, 50)
+        .select(col("query_id"), col("vec_id"))
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val w = Window.partitionBy(col("query_id"))
@@ -441,6 +441,24 @@ object IndexQueries extends QueryRegistry {
         .select(col("query_id"),
           round(Metrics.recallAtK(col("exact_ids"), col("pq_ids"), 10), 6).as("recall"))
         .orderBy(col("query_id"))
+    }),
+
+    // Multi-query probe of the PERSISTED compressed index: q=5 ADC
+    // top-10 through the batched one-scan path (adcTopKMulti) — the
+    // many-query serving shape of the compressed tier on the oracle
+    // surface, not just single-query. Plan: one FileScan of the codes
+    // parquet, explode fan-out, bounded-heap aggregate (pinned in
+    // PlanSpec).
+    "pq_multi_knn" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val (pq, books, codes) = pqStore(s, dir)
+      val qrows = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val tables = qrows.map { case (qid, qv) => (qid, pq.adcTable(qv, books)) }.toSeq
+      pq.adcTopKMulti(codes, tables, 10)
+        .select(col("query_id"), col("vec_id"), col("adc_dist"))
+        .orderBy(col("query_id").asc, col("adc_dist").asc, col("vec_id").asc)
     }),
 
     // banded sign-LSH embedding near-dup with data-dependent planes —
@@ -651,6 +669,37 @@ object IndexQueries extends QueryRegistry {
         |FROM scores s JOIN cells ON s.vec_id = cells.vec_id
         |WHERE cells.cell IN (SELECT cid FROM probe)
         |ORDER BY adc_dist ASC, s.vec_id ASC LIMIT 10""".stripMargin,
+
+    // same code/table pipeline as pq_adc_knn, fanned to qs = vec_id<5
+    // with a per-query row_number ≤ 10 — the SQL replay of the batched
+    // one-scan multi-query probe
+    "pq_multi_knn" ->
+      """WITH sp AS (SELECT s FROM range(0, 4) t(s)),
+        |b AS (SELECT vec_id AS j, embedding AS be FROM embeddings WHERE vec_id < 16),
+        |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT e.vec_id, sp.s, b.j,
+        |        list_sum(list_transform(generate_series(1, 16),
+        |          i -> (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE))
+        |             * (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE)))) AS d
+        |      FROM embeddings e CROSS JOIN b CROSS JOIN sp),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+        |    FROM d) WHERE rn = 1),
+        |qt AS (SELECT qs.query_id, sp.s, b.j,
+        |        list_sum(list_transform(generate_series(1, 16),
+        |          i -> (CAST(qs.qe[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE))
+        |             * (CAST(qs.qe[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE)))) AS d
+        |      FROM b CROSS JOIN sp CROSS JOIN qs),
+        |scores AS (SELECT t.query_id, c.vec_id, round(sum(t.d), 6) + 0.0 AS adc_dist
+        |           FROM codes c JOIN qt t ON c.s = t.s AND c.code = t.j
+        |           GROUP BY t.query_id, c.vec_id),
+        |ranked AS (SELECT query_id, vec_id, adc_dist,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY adc_dist ASC, vec_id ASC) AS rn
+        |           FROM scores)
+        |SELECT query_id, vec_id, adc_dist FROM ranked WHERE rn <= 10
+        |ORDER BY query_id ASC, adc_dist ASC, vec_id ASC""".stripMargin,
 
     "pq_rerank_recall" ->
       s"""WITH sp AS (SELECT s FROM range(0, 4) t(s)),

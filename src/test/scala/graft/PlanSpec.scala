@@ -133,6 +133,24 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in declared plans: $offenders")
   }
 
+  test("pq multi-query paths scan the codes parquet exactly once (no per-query union)") {
+    // the round-5 formulation unioned one ADC shortlist plan per query
+    // (q FileScans of the codes table); the batched adcTopKMulti path
+    // must keep exactly one codes scan however many queries ride on it
+    for (q <- Seq("pq_multi_knn", "pq_rerank_recall")) {
+      spark.catalog.clearCache()
+      // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec hides
+      // the tree from collect (same reason pushedFilters uses it)
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
+      val codesScans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("pq4x16")) => s
+      }
+      assert(codesScans.size == 1, s"$q scans the codes parquet ${codesScans.size}×")
+      assert(!plan.toString.contains("Union"), q)
+    }
+  }
+
   test("range join plans as broadcast hash join, never nested-loop") {
     val p = plan("price_band_rollup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
