@@ -75,6 +75,52 @@ class Pq(val m: Int) {
     }: _*)
   }
 
+  /** One per-subspace Lloyd refinement round over ALL m subspaces in a
+    * SINGLE job (Jégou et al. 2011 §III trains each subspace codebook
+    * with k-means; this is one assignment+update step of that, fused
+    * across subspaces): every vector contributes its m subspace slices
+    * keyed by (subspace, assigned code), and the typed vector-sum
+    * aggregate (VecSumAggregate — the same machinery as Ivf's Lloyd)
+    * keeps map-side partials, so the exchange carries at most
+    * (#map partitions × m × ksub) sub-length sums — never the n×m
+    * slice rows. Codes that attract no vectors keep their previous
+    * entry (the empty-cell Lloyd convention, as in Ivf.lloydRound). */
+  def lloydRound(vecs: DataFrame, books: Array[Array[Array[Double]]],
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val ksub = books(0).length
+    val sub = books(0)(0).length
+    val sums = vecs
+      .select(posexplode(encodeExpr(col(vecCol), books)).as(Seq("s", "code")),
+        col(vecCol).as("v"))
+      .select((col("s") * ksub + col("code")).as("key"),
+        slice(col("v"), col("s") * sub + 1, lit(sub)).as("sv"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .agg(VecSumAggregate.vecSum[(Int, Seq[Float])](_._2)
+        .toColumn.name("sumcnt"))
+      .collect() // ≤ m × ksub rows on the driver — the codebook head
+    val byKey = sums.map { case (k, (sum, n)) =>
+      k -> sum.map(_ / n).toArray }.toMap
+    Array.tabulate(m)(s => Array.tabulate(ksub)(j =>
+      byKey.getOrElse(s * ksub + j, books(s)(j))))
+  }
+
+  /** TRAINED codebooks — the default quality build (the cited paper's
+    * actual algorithm): seed from corpus rows, then `iters` fused Lloyd
+    * rounds. The DECLARED pq_* queries deliberately keep the raw seed
+    * books (that is what makes their encoding SQL-replayable and the
+    * oracle hash-checkable); use this path when recall matters more
+    * than replayability. Each round is one Spark job whose shuffle is
+    * bounded by m × ksub aggregated sums. */
+  def train(vecs: DataFrame, seed: Array[Array[Float]], iters: Int,
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    var books = codebooksFromSeed(seed)
+    (0 until iters).foreach(_ => books = lloydRound(vecs, books, vecCol))
+    books
+  }
+
   /** Driver-side ADC lookup table: table(s)(j) = ‖q_s − books(s)(j)‖²,
     * accumulated left-to-right in double (matches sqDist/OracleFrag). */
   def adcTable(q: Array[Float], books: Array[Array[Array[Double]]]): Array[Array[Double]] = {
