@@ -79,6 +79,18 @@ class Ivf(nlist: Int, iters: Int) {
       .getField("c")
   }
 
+  /** Residual `embedding − centroid[cluster]` as an ARRAY&lt;DOUBLE&gt;
+    * column — the IVF-PQ composition input (encode the residual, not
+    * the raw vector: inside a tight cell the residual's spread is much
+    * smaller than the corpus's, so the same codebook budget buys less
+    * ADC error). Pure expression against the broadcast centroid
+    * literal (map-only), and cast-before-subtract so the DuckDB oracle
+    * replays it bit-for-bit. */
+  def residualExpr(emb: Column, cents: Array[(Int, Array[Double])],
+      cluster: Column): Column =
+    zip_with(emb, element_at(centroidLit(cents), cluster + 1),
+      (x, y) => x.cast("double") - y)
+
   /** The centroid-update aggregation of one Lloyd round as a DataFrame:
     * (cluster, sum ARRAY&lt;DOUBLE&gt;, cnt). Assignment is the codegen argmin
     * against broadcast centroid literals (map-only); the update is a

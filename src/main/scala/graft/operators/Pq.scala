@@ -48,13 +48,19 @@ class Pq(val m: Int) {
 
   /** Data-dependent codebooks: subspace s's codebook = the s-th slice
     * of each seed vector, cast to double. ksub = seed.length. */
-  def codebooksFromSeed(seed: Array[Array[Float]]): Array[Array[Array[Double]]] = {
+  def codebooksFromSeed(seed: Array[Array[Float]]): Array[Array[Array[Double]]] =
+    codebooksFromSeedD(seed.map(_.map(_.toDouble)))
+
+  /** Double-seed variant — for already-double seed vectors (e.g. IVF-PQ
+    * residuals, which are differences of doubles and must not round-trip
+    * through float or the oracle replay diverges). */
+  def codebooksFromSeedD(seed: Array[Array[Double]]): Array[Array[Array[Double]]] = {
     require(seed.nonEmpty, "need at least one seed vector")
     val dim = seed(0).length
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val sub = dim / m
     Array.tabulate(m) { s =>
-      seed.map(v => v.slice(s * sub, (s + 1) * sub).map(_.toDouble))
+      seed.map(v => v.slice(s * sub, (s + 1) * sub))
     }
   }
 
@@ -123,7 +129,11 @@ class Pq(val m: Int) {
 
   /** Driver-side ADC lookup table: table(s)(j) = ‖q_s − books(s)(j)‖²,
     * accumulated left-to-right in double (matches sqDist/OracleFrag). */
-  def adcTable(q: Array[Float], books: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+  def adcTable(q: Array[Float], books: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    adcTableD(q.map(_.toDouble), books)
+
+  /** Double-query variant — for residual queries (q − centroid). */
+  def adcTableD(q: Array[Double], books: Array[Array[Array[Double]]]): Array[Array[Double]] = {
     val sub = books(0)(0).length
     require(q.length == m * sub, s"query dim ${q.length} != ${m * sub}")
     Array.tabulate(m) { s =>
@@ -131,7 +141,7 @@ class Pq(val m: Int) {
         var d = 0.0
         var i = 0
         while (i < sub) {
-          val diff = q(s * sub + i).toDouble - c(i)
+          val diff = q(s * sub + i) - c(i)
           d += diff * diff
           i += 1
         }

@@ -196,6 +196,56 @@ object IndexQueries extends QueryRegistry {
       (cents, pq, books, s.read.parquet(path))
     }
 
+  /** Nearest centroid by the (squared distance, cid) tiebreak — the
+    * driver-side replay of Ivf.assignExpr's struct argmin. */
+  private def nearestCell(v: Array[Float],
+      cents: Array[(Int, Array[Double])]): (Int, Array[Double]) =
+    cents.map { case (cid, c) =>
+      var d = 0.0
+      var i = 0
+      while (i < c.length) { val x = v(i).toDouble - c(i); d += x * x; i += 1 }
+      (d, cid, c)
+    }.sortBy { case (d, cid, _) => (d, cid) }
+      .headOption.map { case (_, cid, c) => (cid, c) }.get
+
+  /** Persisted RESIDUAL IVF-PQ index (the standard composition, Jégou
+    * et al. 2011 §IV: quantize `embedding − centroid[cluster]`, not the
+    * raw vector — inside a tight cell the residual spread is far
+    * smaller than the corpus spread, so the same m×ksub codebook
+    * budget buys less ADC error). Codebooks are the residuals of the
+    * first 16 embeddings w.r.t. their OWN cells, so every stage —
+    * cell assignment, residual, codes, per-cell query tables — replays
+    * in SQL and the probe values are hash-checked. Layout identical to
+    * ivfPqStore: cluster partition column + m int codes per row. */
+  private def ivfPqResStore(s: SparkSession, dir: String)
+      : (Array[(Int, Array[Double])], Pq, Array[Array[Array[Double]]], DataFrame) =
+    SharedBuilds.of(s, dir, "ivfpq-res-store") {
+      val emb = embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+      val pq = new Pq(m = 4)
+      val ivf = new Ivf(nlist = 8, iters = 0)
+      val seedRows = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+      val seedRes: Array[Array[Double]] = seedRows.map { v =>
+        val (_, c) = nearestCell(v, cents)
+        Array.tabulate(v.length)(i => v(i).toDouble - c(i))
+      }
+      val books = pq.codebooksFromSeedD(seedRes)
+      val path = buildPath(dir, "ivfpq-res")
+      emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"),
+          ivf.assignExpr(col("embedding"), cents).as("cluster"))
+        .select(col("vec_id"),
+          pq.encodeExpr(
+            ivf.residualExpr(col("embedding"), cents, col("cluster")), books)
+            .as("codes"),
+          col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      (cents, pq, books, s.read.parquet(path))
+    }
+
   private def ivfStore(s: SparkSession, dir: String): (Array[(Int, Array[Double])], DataFrame) =
     SharedBuilds.of(s, dir, "ivf8x2-store") {
       val (cents, assigned) = new Ivf(nlist = 8, iters = 2).build(embeddings(s, dir))
@@ -396,6 +446,39 @@ object IndexQueries extends QueryRegistry {
       idx.filter(col("cluster").isin(probe: _*))
         .select(col("vec_id"),
           (round(pq.adcScoreExpr(col("codes"), tab), 6) + 0.0).as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // RESIDUAL IVF-PQ probe, values hash-verified: same nprobe/nlist ×
+    // m-ints-per-row cost model as ivfpq_knn, but the codes quantize
+    // per-cell residuals and the query gets ONE ADC table per probed
+    // cell (from q − centroid[cell]) — the probe picks the right table
+    // with a cluster-keyed CASE, still expression-only over the pruned
+    // scan.
+    "ivfpq_residual_knn" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val (cents, pq, books, idx) = ivfPqResStore(s, dir)
+      val q = firstVec(emb)
+      val probe = cents.map { case (cid, c) =>
+        var d = 0.0
+        var i = 0
+        while (i < c.length) { val x = q(i).toDouble - c(i); d += x * x; i += 1 }
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1)
+      val tabs = probe.map { cid =>
+        val c = cents.find(_._1 == cid).get._2
+        val qres = Array.tabulate(q.length)(i => q(i).toDouble - c(i))
+        cid -> pq.adcTableD(qres, books)
+      }
+      val adc = tabs.tail.foldLeft(
+        when(col("cluster") === tabs.head._1,
+          pq.adcScoreExpr(col("codes"), tabs.head._2))) {
+        case (acc, (cid, tab)) =>
+          acc.when(col("cluster") === cid, pq.adcScoreExpr(col("codes"), tab))
+      }
+      idx.filter(col("cluster").isin(probe.toSeq: _*))
+        .select(col("vec_id"), (round(adc, 6) + 0.0).as("adc_dist"))
         .orderBy(col("adc_dist").asc, col("vec_id").asc)
         .limit(10)
     }),
@@ -669,6 +752,58 @@ object IndexQueries extends QueryRegistry {
         |FROM scores s JOIN cells ON s.vec_id = cells.vec_id
         |WHERE cells.cell IN (SELECT cid FROM probe)
         |ORDER BY adc_dist ASC, s.vec_id ASC LIMIT 10""".stripMargin,
+
+    // residual IVF-PQ, every stage replayed: cells from the first-8
+    // centroids, residuals = e − centroid[cell] (and seed codebooks =
+    // residuals of the first 16 w.r.t. their OWN cells), codes = argmin
+    // over residual-subspace distances, per-probed-cell query tables
+    // from q − centroid[cell].
+    "ivfpq_residual_knn" ->
+      """WITH sp AS (SELECT s FROM range(0, 4) t(s)),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |cd AS (SELECT e.vec_id, c.cid,
+        |        list_sum(list_transform(list_zip(e.embedding, c.ce),
+        |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+        |      FROM embeddings e CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |res AS (SELECT e.vec_id, cells.cell,
+        |          list_transform(list_zip(e.embedding, c.ce),
+        |            x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS re
+        |        FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id
+        |          JOIN c ON c.cid = cells.cell),
+        |b AS (SELECT vec_id AS j, re AS be FROM res WHERE vec_id < 16),
+        |d AS (SELECT r.vec_id, sp.s, b.j,
+        |        list_sum(list_transform(generate_series(1, 16),
+        |          i -> (r.re[sp.s * 16 + i] - b.be[sp.s * 16 + i])
+        |             * (r.re[sp.s * 16 + i] - b.be[sp.s * 16 + i]))) AS d
+        |      FROM res r CROSS JOIN b CROSS JOIN sp),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+        |    FROM d) WHERE rn = 1),
+        |qcd AS (SELECT c.cid,
+        |        list_sum(list_transform(list_zip(q.qe, c.ce),
+        |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+        |      FROM c, q),
+        |probe AS (SELECT cid FROM qcd ORDER BY d ASC, cid ASC LIMIT 2),
+        |qres AS (SELECT c.cid, list_transform(list_zip(q.qe, c.ce),
+        |           x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qre
+        |         FROM c, q WHERE c.cid IN (SELECT cid FROM probe)),
+        |qt AS (SELECT qres.cid, sp.s, b.j,
+        |        list_sum(list_transform(generate_series(1, 16),
+        |          i -> (qres.qre[sp.s * 16 + i] - b.be[sp.s * 16 + i])
+        |             * (qres.qre[sp.s * 16 + i] - b.be[sp.s * 16 + i]))) AS d
+        |      FROM qres CROSS JOIN b CROSS JOIN sp),
+        |scores AS (SELECT cs.vec_id, sum(t.d) AS adc
+        |           FROM codes cs JOIN cells ON cs.vec_id = cells.vec_id
+        |             JOIN qt t ON t.cid = cells.cell AND cs.s = t.s AND cs.code = t.j
+        |           GROUP BY cs.vec_id)
+        |SELECT vec_id, round(adc, 6) + 0.0 AS adc_dist
+        |FROM scores ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     // same code/table pipeline as pq_adc_knn, fanned to qs = vec_id<5
     // with a per-query row_number ≤ 10 — the SQL replay of the batched
