@@ -69,7 +69,7 @@ object IndexQueries extends QueryRegistry {
   private[graft] def declaredHnsw = new Hnsw(m = 16, ef = 256, seed = 42L)
   private[graft] def hnswBuildPlan(s: SparkSession, dir: String): DataFrame =
     declaredHnsw.buildAdjacency(embeddings(s, dir),
-      blocker = Some(new Lsh(numPlanes = 3, seed = 42L)))
+      blocker = new Lsh(numPlanes = 3, seed = 42L))
   private def hnswAdjacency(s: SparkSession, dir: String): DataFrame =
     SharedBuilds.of(s, dir, "hnsw-lsh3") {
       // durable adjacency, partitioned by level: a serving tier can load

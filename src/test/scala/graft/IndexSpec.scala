@@ -117,7 +117,12 @@ class IndexSpec extends SparkSpec {
   test("hnsw: self-recall rank-1 (integration_tests.rs:268-272)") {
     val small = emb.filter($"vec_id" < 200).cache()
     val hnsw = new Hnsw()
-    val adjacency = hnsw.buildAdjacency(small)
+    // reference-parity invariant on the reference-shaped (unblocked)
+    // graph at the reference's default ef=32; the blocked build's
+    // self-recall is pinned by the LSH-blocked test below and by the
+    // declared hnsw_self_recall query (which widens to ef=256 — the
+    // blocked graph needs the wider frontier)
+    val adjacency = hnsw.buildAdjacencyUnblocked(small)
     val adj = hnsw.collectAdjacency(adjacency)
     val vecs = vecMap(small)
     val entry = hnsw.entryPoint(adjacency)
@@ -154,6 +159,33 @@ class IndexSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("hnsw: paged serve head — adjacency reads are O(walk-visited), not O(n·M)") {
+    // the round-6 paging of the serve HEAD: neighbor lists arrive
+    // through lazy partition-pruned point reads of the adjacency
+    // parquet (CachingAdjacency over parquetAdjacency), so the driver
+    // never holds the n×M edge set — the graph analogue of the O(ef)
+    // vector-fetch bound below
+    val small = emb.filter($"vec_id" < 120).cache()
+    val hnsw = new Hnsw(m = 8, ef = 12, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("hnswadj")
+    hnsw.buildAdjacency(small)
+      .write.mode("overwrite").partitionBy("level").parquet(dir.resolve("adj").toString)
+    val onDisk = spark.read.parquet(dir.resolve("adj").toString)
+    val totalLists = onDisk.select($"node_id", $"level").distinct().count()
+    val entry = hnsw.entryPoint(onDisk)
+    val adjFetch = new Hnsw.CachingAdjacency(Hnsw.parquetAdjacency(onDisk))
+    val vecs = vecMap(small)
+    val top = hnsw.serveQuery(adjFetch, vecs.get _, entry, vecs(7L), 1)
+    assert(top.head._1 === 7L)
+    // neighbor-list reads = level-0 beam (≤ ef) + the greedy descent
+    // path — a function of ef and the level count, NOT of corpus size
+    assert(adjFetch.fetched <= 12 + 48, s"fetched ${adjFetch.fetched} lists")
+    assert(adjFetch.fetched < totalLists / 2,
+      s"fetched ${adjFetch.fetched} of $totalLists lists")
+    // resident edges bounded by fetched lists × M
+    assert(adjFetch.residentEdges <= adjFetch.fetched.toLong * 8)
+  }
+
   test("hnsw: recall@10 vs brute force >= 0.5 on 200 vectors") {
     val small = emb.filter($"vec_id" < 200).cache()
     val hnsw = new Hnsw(m = 16, ef = 48)
@@ -175,9 +207,9 @@ class IndexSpec extends SparkSpec {
     val small = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("vec_id") < 120).cache()
     val hnsw = new Hnsw(m = 8, ef = 32, seed = 42L)
-    val full = hnsw.buildAdjacency(small)
+    val full = hnsw.buildAdjacencyUnblocked(small)
     // coarse blocker (few planes -> big buckets) keeps most neighbors
-    val blocked = hnsw.buildAdjacency(small, blocker = Some(new Lsh(numPlanes = 2, seed = 1L)))
+    val blocked = hnsw.buildAdjacency(small, blocker = new Lsh(numPlanes = 2, seed = 1L))
     assert(blocked.count() > 0 && blocked.count() <= full.count())
     // blocked edges only connect same-bucket pairs, still bounded by M
     val deg = blocked.groupBy(col("node_id"), col("level"))
