@@ -1,28 +1,42 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 read path for the `.kwi` format:
-  * `spark.read.format("kwi").load(pathOrDir)`.
+/** DataSource V2 read AND write paths for the `.kwi` format:
+  * `spark.read.format("kwi").load(pathOrDir)` /
+  * `df.write.format("kwi").mode("append"|"overwrite").save(dir)`.
   *
-  * Scale shape: one input partition per `.kwi` file — a directory of
-  * exported shards reads fully parallel — and required-column pushdown
-  * so `select(id)` never materializes embedding arrays into rows (the
-  * bytes are still streamed past, which is inherent to a
+  * Read scale shape: one input partition per `.kwi` file — a directory
+  * of exported shards reads fully parallel — and required-column
+  * pushdown so `select(id)` never materializes embedding arrays into
+  * rows (the bytes are still streamed past, which is inherent to a
   * length-prefixed record format, but per-row allocation goes away).
-  * Writing stays with `KwiFormat.write` (the format is a single-file
-  * interchange artifact by design; parquet is the scale store).
+  *
+  * Write scale shape: each task streams its partition into its own
+  * shard file (`part-&lt;job&gt;-&lt;partition&gt;.kwi`), honoring the format's
+  * single-writer-per-file discipline (the reference appends through
+  * one handle, vector_db/src/binary_index.rs:103-146) while the JOB
+  * stays fully parallel — a directory of shards is this format's
+  * multi-writer story, and the read path already treats it as one
+  * table. Tasks write to `.tmp` names and the driver-side commit
+  * renames the cleanly-closed shards in (deleting every pre-existing
+  * `.kwi` first under `overwrite`), so concurrent readers never see a
+  * torn shard. Per-shard headers carry their own live counts, so
+  * tombstone/optimize keep working per shard. The single-FILE artifact
+  * (`KwiFormat.write`) remains the interchange export; parquet is the
+  * scale store.
   */
 class KwiDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kwi"
@@ -34,9 +48,15 @@ class KwiDataSource extends TableProvider with DataSourceRegister {
 }
 
 object KwiDataSource {
+  /** Nullable-friendly on purpose: the WRITE path must accept columns
+    * arriving from parquet (nullable id, containsNull arrays — Spark's
+    * v2 append rejects writing a nullable column into a required one
+    * at ANALYSIS time, before any data is seen). Per-record null
+    * checks happen at write time instead; the read path never emits
+    * null id/embedding regardless. */
   val schema: StructType = StructType(Seq(
-    StructField("id", StringType, nullable = false),
-    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("id", StringType, nullable = true),
+    StructField("embedding", ArrayType(FloatType, containsNull = true)),
     StructField("metadata", StringType, nullable = true)))
 
   /** A path is one `.kwi` file or a directory of them (sorted for
@@ -59,13 +79,113 @@ object KwiDataSource {
   }
 }
 
-class KwiTable(path: String) extends Table with SupportsRead {
+class KwiTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"kwi:$path"
   override def schema(): StructType = KwiDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KwiScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KwiWriteBuilder(path, info)
+}
+
+/** Append by default; `overwrite` arrives as truncate() (TRUNCATE
+  * capability), which the commit honors by deleting every pre-existing
+  * `.kwi` in the target directory before renaming the new shards in. */
+class KwiWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncating = false
+  override def truncate(): WriteBuilder = { truncating = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new KwiBatchWrite(path, info.schema(), truncating)
+  }
+}
+
+case class KwiCommitMessage(tmpPath: String, finalPath: String)
+  extends WriterCommitMessage
+
+class KwiBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  // fail fast on a shape the record format cannot hold
+  KwiBatchWrite.validate(schema)
+  // job-unique shard prefix: an `append` must not collide with shards
+  // from earlier writes already in the directory
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KwiWriterFactory(path, schema, jobId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    if (truncate)
+      KwiDataSource.filesOf(path).foreach(f => Files.deleteIfExists(Paths.get(f)))
+    Files.createDirectories(dir)
+    messages.foreach { case KwiCommitMessage(tmp, fin) =>
+      Files.move(Paths.get(tmp), Paths.get(fin), StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case KwiCommitMessage(tmp, _) => Files.deleteIfExists(Paths.get(tmp))
+      case _ => ()
+    }
+}
+
+object KwiBatchWrite {
+  private[sources] def validate(schema: StructType): Unit = {
+    def has(name: String, t: DataType): Boolean =
+      schema.fields.exists(f => f.name == name && (f.dataType match {
+        // nullability-insensitive compare (sameType is Spark-private)
+        case ArrayType(et, _) => t.isInstanceOf[ArrayType] &&
+          et == t.asInstanceOf[ArrayType].elementType
+        case dt => dt == t
+      }))
+    require(has("id", StringType) && has("embedding", ArrayType(FloatType)),
+      s"kwi write needs (id STRING, embedding ARRAY<FLOAT>[, metadata STRING]); got ${schema.simpleString}")
+    val extra = schema.fieldNames.toSet -- Set("id", "embedding", "metadata")
+    require(extra.isEmpty, s"kwi write cannot store columns $extra")
+    schema.fields.find(_.name == "metadata").foreach(f =>
+      require(f.dataType == StringType, "metadata must be STRING"))
+  }
+}
+
+class KwiWriterFactory(path: String, schema: StructType, jobId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val fin = Paths.get(path, f"part-$jobId-$partitionId%05d.kwi")
+    // attempt-unique tmp name: speculative retries of the same
+    // partition must not clobber each other mid-stream
+    val tmp = Paths.get(path, f"part-$jobId-$partitionId%05d-$taskId.kwi.tmp")
+    val idIdx = schema.fieldIndex("id")
+    val embIdx = schema.fieldIndex("embedding")
+    val metaIdx = if (schema.fieldNames.contains("metadata"))
+      schema.fieldIndex("metadata") else -1
+    new DataWriter[InternalRow] {
+      private val w = new graft.sources.KwiFormat.ShardWriter(tmp)
+      override def write(row: InternalRow): Unit = {
+        require(!row.isNullAt(idIdx) && !row.isNullAt(embIdx),
+          "kwi records need non-null id and embedding")
+        val meta =
+          if (metaIdx >= 0 && !row.isNullAt(metaIdx))
+            Some(row.getUTF8String(metaIdx).toString)
+          else None
+        w.write(row.getUTF8String(idIdx).toString,
+          row.getArray(embIdx).toFloatArray().toSeq, meta)
+      }
+      override def commit(): WriterCommitMessage = {
+        w.close()
+        KwiCommitMessage(tmp.toString, fin.toString)
+      }
+      override def abort(): Unit = {
+        try w.close() catch { case _: Exception => () }
+        Files.deleteIfExists(tmp)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class KwiScanBuilder(path: String)

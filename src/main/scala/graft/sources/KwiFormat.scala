@@ -159,6 +159,30 @@ object KwiFormat {
     bb.getLong()
   }
 
+  /** Streaming record writer for ONE `.kwi` shard — the executor-side
+    * unit of the DSv2 write path (each write task owns one shard file,
+    * mirroring the reference's one-writer-per-file append discipline,
+    * vector_db/src/binary_index.rs:103-146). Records stream through a
+    * buffered sink; `close()` patches the header's live count, so a
+    * half-written shard is recognizable (count 0 + torn tail) and the
+    * commit protocol only renames shards that closed cleanly. */
+  final class ShardWriter(path: Path) extends AutoCloseable {
+    Files.createDirectories(path.toAbsolutePath.getParent)
+    private val out = new BufferedOutputStream(new FileOutputStream(path.toFile))
+    out.write(header(0L))
+    private var n = 0L
+    def write(id: String, vec: Seq[Float], meta: Option[String]): Unit = {
+      writeRecordBytes(out, id.getBytes("UTF-8"), vec,
+        meta.map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray))
+      n += 1
+    }
+    def count: Long = n
+    def close(): Unit = {
+      out.close()
+      patchCount(path, n)
+    }
+  }
+
   // --- internals ---
 
   private def header(count: Long): Array[Byte] = {

@@ -64,6 +64,62 @@ class KwiDataSourceSpec extends SparkSpec {
     assert(after == ids)
   }
 
+  test("df.write.format(\"kwi\") round-trips through the DSv2 write path") {
+    val dir = Files.createTempDirectory("kwi-write").toString + "/out"
+    val df = (0 until 20).map(i =>
+      (s"id$i", Array(i.toFloat, i + 0.25f), if (i % 3 == 0) s"""{"k":$i}""" else null))
+      .toDF("id", "embedding", "metadata")
+    df.repartition(3).write.format("kwi").mode("append").save(dir)
+    // one shard per task, each a well-formed .kwi with its own header count
+    val shards = graft.sources.KwiDataSource.filesOf(dir)
+    assert(shards.size == 3, shards)
+    assert(shards.map(KwiFormat.count).sum == 20L)
+    val back = spark.read.format("kwi").load(dir).orderBy(col("id")).collect()
+    assert(back.length == 20)
+    val r0 = back.find(_.getString(0) == "id7").get
+    assert(r0.getSeq[Float](1) == Seq(7f, 7.25f))
+    assert(r0.isNullAt(2))
+    assert(back.find(_.getString(0) == "id9").get.getString(2) == """{"k":9}""")
+  }
+
+  test("write mode overwrite truncates prior shards; append accumulates") {
+    val dir = Files.createTempDirectory("kwi-modes").toString + "/out"
+    val a = (0 until 5).map(i => (s"a$i", Array(i.toFloat), null: String))
+      .toDF("id", "embedding", "metadata")
+    val b = (0 until 7).map(i => (s"b$i", Array(i.toFloat), null: String))
+      .toDF("id", "embedding", "metadata")
+    a.coalesce(1).write.format("kwi").mode("append").save(dir)
+    b.coalesce(1).write.format("kwi").mode("append").save(dir)
+    assert(spark.read.format("kwi").load(dir).count() == 12)
+    a.coalesce(1).write.format("kwi").mode("overwrite").save(dir)
+    val ids = spark.read.format("kwi").load(dir)
+      .select(col("id")).collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == (0 until 5).map(i => s"a$i"))
+  }
+
+  test("DSv2-written shards keep tombstone + optimize semantics") {
+    val dir = Files.createTempDirectory("kwi-wtomb").toString + "/out"
+    (0 until 6).map(i => (s"id$i", Array(i.toFloat), null: String))
+      .toDF("id", "embedding", "metadata")
+      .coalesce(1).write.format("kwi").mode("append").save(dir)
+    val shard = graft.sources.KwiDataSource.filesOf(dir).head
+    KwiFormat.appendTombstone(shard, "id3")
+    assert(KwiFormat.count(shard) == 5L)
+    assert(KwiFormat.optimize(shard) == 5L)
+    val ids = spark.read.format("kwi").load(dir)
+      .select(col("id")).collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("id0", "id1", "id2", "id4", "id5"))
+  }
+
+  test("write rejects schemas the record format cannot hold") {
+    val dir = Files.createTempDirectory("kwi-badschema").toString + "/out"
+    val bad = (0 until 3).map(i => (s"id$i", i)).toDF("id", "x")
+    val e = intercept[Exception] {
+      bad.write.format("kwi").mode("append").save(dir)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("kwi scan joins back to parquet-backed queries") {
     val dir = Files.createTempDirectory("kwi-join").toString
     writeKwi(s"$dir/a.kwi", 0 until 8)
