@@ -42,12 +42,17 @@ object IndexQueries extends QueryRegistry {
     p.toAbsolutePath.toString
   }
 
+  /** Plane count of the declared LSH store — lsh_bucket_stats derives
+    * its ≤ 2^planes bucket-count invariant from this same constant, so
+    * retuning the store can never silently stale the audit bound. */
+  private val LshStorePlanes = 16
+
   /** Persisted LSH index + its bucket histogram. The histogram is the
-    * index HEAD (≤ min(n, 2^16) entries) and answers every probe's
+    * index HEAD (≤ min(n, 2^planes) entries) and answers every probe's
     * &lt; k fallback decision without a count() job. */
   private def lshStore(s: SparkSession, dir: String): (DataFrame, Map[Long, Long]) =
     SharedBuilds.of(s, dir, "lsh16-store") {
-      val lsh = new Lsh(numPlanes = 16, seed = 42L)
+      val lsh = new Lsh(numPlanes = LshStorePlanes, seed = 42L)
       val path = buildPath(dir, "lsh16")
       lsh.build(embeddings(s, dir), path)
       val idx = s.read.parquet(path)
@@ -262,7 +267,7 @@ object IndexQueries extends QueryRegistry {
     // single job (no count() pre-pass)
     "lsh_knn" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      val lsh = new Lsh(numPlanes = 16, seed = 42L)
+      val lsh = new Lsh(numPlanes = LshStorePlanes, seed = 42L)
       val (idx, hist) = lshStore(s, dir)
       lsh.query(s, idx, firstVec(emb), 10, bucketSizes = Some(hist))
     }),
@@ -272,7 +277,7 @@ object IndexQueries extends QueryRegistry {
     // fallback fires and the result is exact (same oracle as brute).
     "lsh_multiprobe_knn" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      val lsh = new Lsh(numPlanes = 16, seed = 42L)
+      val lsh = new Lsh(numPlanes = LshStorePlanes, seed = 42L)
       val (idx, hist) = lshStore(s, dir)
       lsh.queryMultiProbe(s, idx, firstVec(emb), 10, bucketSizes = Some(hist))
     }),
@@ -312,7 +317,8 @@ object IndexQueries extends QueryRegistry {
         .agg(count(lit(1)).as("nb"), max(col("sz")).as("mx"),
           sum(col("sz")).as("tv"))
         .select(col("tv").cast("long").as("n_vectors"),
-          (col("nb") >= 1 && col("nb") <= least(lit(65536L), col("tv")))
+          (col("nb") >= 1 &&
+            col("nb") <= least(lit(1L << LshStorePlanes), col("tv")))
             .as("n_buckets_ok"),
           (col("mx") >= 1 && col("mx") <= col("tv")).as("max_bucket_ok"))
     }),

@@ -85,6 +85,11 @@ object SharedBuilds {
   // lifetime.
   private val closeables =
     new java.util.WeakHashMap[SparkSession, java.util.ArrayDeque[AutoCloseable]]
+  // the per-session close hook, tracked so evict() can remove it from
+  // the SparkContext (a leftover listener would fire for a dead session
+  // and, with a fresh register-after-evict, double up)
+  private val listeners =
+    new java.util.WeakHashMap[SparkSession, org.apache.spark.scheduler.SparkListener]
 
   /** Track `c` for closing when `s` is evicted or its application ends.
     * Returns `c` for inline use at the build site. */
@@ -94,23 +99,40 @@ object SharedBuilds {
       if (q == null) {
         q = new java.util.ArrayDeque[AutoCloseable]
         closeables.put(s, q)
-        // one close hook per session, installed with its first resource
-        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      }
+      if (listeners.get(s) == null) {
+        // the listener captures only the QUEUE, never the session: a
+        // strong session capture would pin it (and its WeakHashMap
+        // entries) for the SparkContext lifetime, defeating the weak
+        // keys — and the queue alone is all application-end needs, so
+        // the handles still close even if the session object was
+        // collected first
+        val cq = q
+        val l = new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            closeAllFor(s)
-        })
+            drain(cq)
+        }
+        listeners.put(s, l)
+        s.sparkContext.addSparkListener(l)
       }
       q.add(c)
     }
     c
   }
 
+  private def drain(q: java.util.ArrayDeque[AutoCloseable]): Unit =
+    m.synchronized {
+      var c = q.poll()
+      while (c != null) {
+        try c.close() catch { case _: Exception => () } // best-effort on teardown
+        c = q.poll()
+      }
+    }
+
   private def closeAllFor(s: SparkSession): Unit = m.synchronized {
     val q = closeables.remove(s)
-    if (q != null) q.forEach { c =>
-      try c.close() catch { case _: Exception => () } // best-effort on teardown
-    }
+    if (q != null) drain(q)
   }
   def of[T <: AnyRef](s: SparkSession, dir: String, key: String)(build: => T): T = {
     val perSession = m.synchronized {
@@ -124,9 +146,13 @@ object SharedBuilds {
     perSession.computeIfAbsent((dir, key), _ => build).asInstanceOf[T]
   }
   /** Drop every artifact built for `s` (call when stopping a session in
-    * a multi-session JVM; checkpointed blocks are then reclaimable). */
+    * a multi-session JVM; checkpointed blocks are then reclaimable).
+    * Also detaches the close hook so a later register on the same
+    * session installs a fresh one instead of doubling up. */
   def evict(s: SparkSession): Unit = m.synchronized {
     m.remove(s)
+    val l = listeners.remove(s)
+    if (l != null) s.sparkContext.removeSparkListener(l)
     closeAllFor(s)
   }
 }

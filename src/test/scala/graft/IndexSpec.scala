@@ -88,8 +88,15 @@ class IndexSpec extends SparkSpec {
       countRows = lsh.query(spark, idx, q, 10).collect()
     }
     assert(histRows.map(_.getLong(0)).toSeq === countRows.map(_.getLong(0)).toSeq)
-    assert(withHist === 1, s"hist probe ran $withHist actions (want just the top-k collect)")
-    assert(withCount === 2, s"count probe ran $withCount actions (count + collect)")
+    // bounded, not exact (r5 advisory): a stray async QueryExecution
+    // event on the shared session or a Spark-version change in
+    // actions-per-probe must not flake this — the MECHANISM under test
+    // is only that the histogram path saves the count() action, i.e.
+    // strictly fewer actions and no more than the collect itself
+    // could plausibly cost
+    assert(withHist < withCount,
+      s"hist probe ran $withHist actions vs count probe's $withCount")
+    assert(withHist <= 2, s"hist probe ran $withHist actions (want ~1)")
   }
 
   test("hnsw: adjacency degree <= M at every level; levels deterministic") {
