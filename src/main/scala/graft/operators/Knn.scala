@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
@@ -142,6 +142,19 @@ object Knn {
         col(idCol).as("id"),
         stableScore(metric.score(col(vecCol), col(queryVecCol))).as("score"))
       .as[(Long, Long, Double)]
+    topKScoredAgg(scored, k, idCol, queryIdCol)
+  }
+
+  /** Per-query bounded-heap top-k over an ALREADY-SCORED
+    * (query_id, id, score) dataset — the shared tail of
+    * `topKPerQueryAgg` and of callers whose candidate generation is
+    * narrower than the full cross product (per-query cell pruning,
+    * shortlists). Same q×k-bounded shuffle, same (score DESC, id ASC)
+    * order contract on pre-rounded scores. */
+  def topKScoredAgg(scored: Dataset[(Long, Long, Double)], k: Int,
+      idCol: String = "vec_id", queryIdCol: String = "query_id"): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     scored
       .groupByKey(_._1)
       .agg(TopKAggregate.topK[(Long, Long, Double)](k)(r => (r._2, r._3))

@@ -379,6 +379,39 @@ object IndexQueries extends QueryRegistry {
         .query(assigned, cents, firstVec(emb), 10, nprobe = 2)
     }),
 
+    // Multi-query PRUNED IVF probe — the many-query serving shape of
+    // the uncompressed tier: each of the 5 queries probes its own
+    // nearest-2 cells (driver-side from the centroid head,
+    // SQL-replayable), the single scan prunes to the UNION of probed
+    // partitions, a broadcast join hands each row only to the queries
+    // whose probe set contains its cell (array_contains — no cross
+    // product with non-probing queries), and the bounded-heap
+    // aggregate keeps 10 per query so the shuffle carries q×k rows.
+    "ivf_multi_knn" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val (cents, assigned) = ivfDataStore(s, dir)
+      val qrows = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      def probeOf(q: Seq[Float]): Seq[Int] = cents.map { case (cid, c) =>
+        var d = 0.0
+        var i = 0
+        while (i < c.length) { val x = q(i).toDouble - c(i); d += x * x; i += 1 }
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1).toSeq
+      val qdf = qrows.map { case (qid, qv) => (qid, qv, probeOf(qv)) }
+        .toSeq.toDF("query_id", "qe", "cells")
+      val allCells = qrows.flatMap(r => probeOf(r._2)).distinct.toSeq
+      val scored = assigned.filter(col("cluster").isin(allCells: _*))
+        .join(broadcast(qdf), array_contains(col("cells"), col("cluster")))
+        .select(col("query_id").as("qid"), col("vec_id").as("id"),
+          Knn.stableScore(graft.functions.VectorOps
+            .fastCosine(col("embedding"), col("qe"))).as("score"))
+        .as[(Long, Long, Double)]
+      Knn.topKScoredAgg(scored, 10)
+    }),
+
     // PRUNED single-bucket LSH probe, values hash-verified via
     // data-dependent planes (no fallback at these scales: every
     // 4-plane bucket holds >= k vectors). One partition of the
@@ -967,6 +1000,39 @@ object IndexQueries extends QueryRegistry {
          |WHERE cells.cell IN (SELECT cid FROM probe)
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
+
+    // multi-query pruned IVF: per-query nearest-2 cells by the same
+    // (distance, cid) tiebreak, exact cosine rerank of each query's
+    // probed cells only, top-10 per query
+    "ivf_multi_knn" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        list_sum(list_transform(list_zip(e.embedding, c.ce),
+         |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+         |      FROM embeddings e CROSS JOIN c),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM d) WHERE rn = 1),
+         |qd AS (SELECT qs.query_id, c.cid,
+         |        list_sum(list_transform(list_zip(qs.qe, c.ce),
+         |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+         |      FROM qs CROSS JOIN c),
+         |probe AS (SELECT query_id, cid FROM (
+         |    SELECT query_id, cid,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM qd) WHERE rn <= 2),
+         |ranked AS (SELECT qs.query_id, e.vec_id,
+         |    round(${cosine("e.embedding", "qs.qe")}, 6) + 0.0 AS score,
+         |    row_number() OVER (PARTITION BY qs.query_id
+         |      ORDER BY round(${cosine("e.embedding", "qs.qe")}, 6) DESC, e.vec_id ASC) AS rn
+         |  FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id
+         |    JOIN probe p ON p.cid = cells.cell
+         |    JOIN qs ON qs.query_id = p.query_id)
+         |SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rank
+         |FROM ranked WHERE rn <= 10
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
 
     // data-dependent planes ⇒ bucket keys replay in SQL: the probe
     // reranks exactly ONE bucket (no fallback at these scales), and
