@@ -251,6 +251,18 @@ object IndexQueries extends QueryRegistry {
       (cents, pq, books, s.read.parquet(path))
     }
 
+  /** Banded sign-LSH pair table (a, b, cos ≥ 0.3) shared by
+    * lsh_similarity_join (full listing) and embedding_near_dup
+    * (top-20) — the same build-once/probe-many contract as the index
+    * stores: one banded candidate join feeds both declared consumers
+    * (localCheckpoint-backed, reclaimed with the session). */
+  private def bandedPairs(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "banded-pairs-16x4") {
+      graft.operators.Dedup.lshEmbeddingPairs(
+        embeddings(s, dir), nPlanes = 16, bandBits = 4, threshold = 0.3)
+        .localCheckpoint()
+    }
+
   private def ivfStore(s: SparkSession, dir: String): (Array[(Int, Array[Double])], DataFrame) =
     SharedBuilds.of(s, dir, "ivf8x2-store") {
       val (cents, assigned) = new Ivf(nlist = 8, iters = 2).build(embeddings(s, dir))
@@ -586,9 +598,7 @@ object IndexQueries extends QueryRegistry {
     // banded sign-LSH embedding near-dup with data-dependent planes —
     // the Σ|bucket|² scale path; fully SQL-replayable since the planes
     // come from the data, not a PRNG
-    "lsh_similarity_join" -> ((s, dir) =>
-      graft.operators.Dedup.lshEmbeddingPairs(
-        embeddings(s, dir), nPlanes = 16, bandBits = 4, threshold = 0.3)),
+    "lsh_similarity_join" -> ((s, dir) => bandedPairs(s, dir).orderBy(col("a"), col("b"))),
 
     // approximate similarity JOIN via IVF cell co-membership: cells
     // from DATA-DEPENDENT centroids (the first 8 embeddings, no Lloyd
@@ -630,8 +640,7 @@ object IndexQueries extends QueryRegistry {
     // 100× rows it is 10,000× pairs. The banded oracle replays the
     // identical candidate set, so the 20 values stay hash-checked.
     "embedding_near_dup" -> ((s, dir) =>
-      graft.operators.Dedup.lshEmbeddingPairs(
-        embeddings(s, dir), nPlanes = 16, bandBits = 4, threshold = 0.3)
+      bandedPairs(s, dir)
         .orderBy(col("cos").desc, col("a").asc, col("b").asc)
         .limit(20)),
 

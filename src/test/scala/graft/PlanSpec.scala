@@ -186,11 +186,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("lsh_similarity_join band keys are map-only: no shuffle keyed on vec_id") {
+  test("banded-pairs build is map-only: no shuffle keyed on vec_id") {
     // the round-2 formulation crossJoined the plane rows and regrouped
     // bits with groupBy(vec_id, band) — an n×P-row shuffle. Map-only
     // band keys leave only the candidate join's (band, key) exchange.
-    val p = plan("lsh_similarity_join")
+    // Pinned on the BUILD plan itself: the declared consumers
+    // (lsh_similarity_join, embedding_near_dup) read the shared
+    // checkpointed build since round 6.
+    val built = graft.operators.Dedup.lshEmbeddingPairs(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      nPlanes = 16, bandBits = 4, threshold = 0.3)
+    val p = built.queryExecution.executedPlan.toString
     assert(!p.toLowerCase.contains("exchange hashpartitioning(vec_id"), p)
   }
 
