@@ -179,6 +179,11 @@ class Pq(val m: Int) {
     val spark = codes.sparkSession
     import spark.implicits._
     require(tables.nonEmpty, "need at least one query table")
+    // a duplicate id would collapse in the map literal while the
+    // explode still fans its rows out twice — every scanned row would
+    // score doubly and the heap would hold duplicate (vec, adc) entries
+    require(tables.map(_._1).distinct.size == tables.size,
+      "query ids must be distinct")
     val tmap = typedLit(tables.map { case (q, t) => q -> t.map(_.toSeq).toSeq }.toMap)
     val tbl = element_at(tmap, col("query_id"))
     val adc = aggregate(transform(sequence(lit(0), lit(m - 1)),

@@ -122,14 +122,17 @@ class KwiBatchWrite(path: String, schema: StructType, truncate: Boolean)
     if (truncate)
       KwiDataSource.filesOf(path).foreach(f => Files.deleteIfExists(Paths.get(f)))
     Files.createDirectories(dir)
-    messages.foreach { case KwiCommitMessage(tmp, fin) =>
-      Files.move(Paths.get(tmp), Paths.get(fin), StandardCopyOption.REPLACE_EXISTING)
+    messages.foreach {
+      case KwiCommitMessage(tmp, fin) if tmp.nonEmpty =>
+        Files.move(Paths.get(tmp), Paths.get(fin), StandardCopyOption.REPLACE_EXISTING)
+      case _ => () // empty-partition writer: nothing to move
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case KwiCommitMessage(tmp, _) => Files.deleteIfExists(Paths.get(tmp))
+      case KwiCommitMessage(tmp, _) if tmp.nonEmpty =>
+        Files.deleteIfExists(Paths.get(tmp))
       case _ => ()
     }
 }
@@ -176,8 +179,14 @@ class KwiWriterFactory(path: String, schema: StructType, jobId: String)
           row.getArray(embIdx).toFloatArray().toSeq, meta)
       }
       override def commit(): WriterCommitMessage = {
+        val n = w.count
         w.close()
-        KwiCommitMessage(tmp.toString, fin.toString)
+        if (n == 0L) {
+          // don't litter the directory with header-only shards for
+          // empty partitions (common after filters / coalesce)
+          Files.deleteIfExists(tmp)
+          KwiCommitMessage("", "")
+        } else KwiCommitMessage(tmp.toString, fin.toString)
       }
       override def abort(): Unit = {
         try w.close() catch { case _: Exception => () }

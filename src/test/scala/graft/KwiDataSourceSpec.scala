@@ -111,6 +111,17 @@ class KwiDataSourceSpec extends SparkSpec {
     assert(ids == Seq("id0", "id1", "id2", "id4", "id5"))
   }
 
+  test("empty partitions produce no shards") {
+    val dir = Files.createTempDirectory("kwi-empty").toString + "/out"
+    (0 until 4).map(i => (s"id$i", Array(i.toFloat), null: String))
+      .toDF("id", "embedding", "metadata")
+      .repartition(8).write.format("kwi").mode("append").save(dir)
+    val shards = graft.sources.KwiDataSource.filesOf(dir)
+    assert(shards.size <= 4, shards)
+    assert(shards.forall(KwiFormat.count(_) > 0L))
+    assert(spark.read.format("kwi").load(dir).count() == 4)
+  }
+
   test("write rejects schemas the record format cannot hold") {
     val dir = Files.createTempDirectory("kwi-badschema").toString + "/out"
     val bad = (0 until 3).map(i => (s"id$i", i)).toDF("id", "x")
