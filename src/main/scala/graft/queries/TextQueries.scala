@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.Dedup
+import graft.operators.{Components, Dedup}
 
 /** Declared queries for the text-analysis / deduplication surface over
   * the `documents` table: tokenization stats, language-ID heuristic,
@@ -238,6 +239,113 @@ object TextQueries extends QueryRegistry {
       val dropped = drops.agg(count(lit(1)).as("n_dropped"))
       val surviving = kept.agg(count(lit(1)).as("n_kept"))
       total.crossJoin(dropped).crossJoin(surviving)
+    }),
+
+    // dedup CLUSTERS from dedup PAIRS: alternating large-star/small-star
+    // connected components (Kiveris et al., SoCC 2014) over the minhash
+    // near-dup pair graph — the step that makes a purge keep exactly one
+    // doc per transitive chain a~b~c (pairwise drop rules over-drop).
+    // Each half-round is one node-keyed shuffle; O(log n) rounds; the
+    // unique fixed point (node → min id of component) is what the
+    // DuckDB recursive-CTE oracle replays
+    "dedup_components" -> ((s, dir) => {
+      val (hashed, cand) = sharedDedupIndex(s, dir)
+      val pairs = Dedup.minhashNearDupsFrom(hashed, cand, 0.3)
+        .select(col("a"), col("b"))
+      Components.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+        .orderBy(col("component"))
+    }),
+
+    // exact-substring duplicate SPANS (the signal behind suffix-array
+    // dedup, Lee et al. 2021 "Deduplicating Training Data Makes
+    // Language Models Better"): position-indexed shingle hashes,
+    // cross-doc equi-join on the hash (df-capped to skip stop-shingles,
+    // same discipline as winnow_containment), then consecutive matches
+    // at a constant position offset merge into maximal spans via one
+    // run-length window. Two keyed shuffles total (hash join + span
+    // window) — no pairwise text comparison anywhere
+    "dup_span_stats" -> ((s, dir) => {
+      val (hashed, _) = sharedDedupIndex(s, dir)
+      val pos = hashed
+        .select(col("doc_id"), posexplode(col("shh")))
+        .toDF("doc_id", "pos", "h")
+      val dfCap = pos.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= 10)
+      val keep = pos.join(dfCap.select(col("h")), "h")
+      val a = keep.select(col("doc_id").as("a"), col("pos").as("pa"), col("h"))
+      val b = keep.select(col("doc_id").as("b"), col("pos").as("pb"), col("h"))
+      val md = a.join(b, "h").filter(col("a") < col("b"))
+        .withColumn("diff", col("pa") - col("pb"))
+      val w = Window.partitionBy("a", "b", "diff").orderBy("pa")
+      md.withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy(col("a"), col("b"), col("diff"), col("grp"))
+        .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+          count(lit(1)).as("n_sh"))
+        .filter(col("n_sh") >= 2)
+        .select(col("a"), col("b"),
+          col("a_start").cast("long").as("a_start"),
+          col("b_start").cast("long").as("b_start"),
+          (col("n_sh") + lit(Dedup.ShingleN - 1)).cast("long").as("span_tokens"))
+        .orderBy(col("span_tokens").desc, col("a"), col("b"),
+          col("a_start"), col("b_start"))
+        .limit(30)
+    }),
+
+    // Gopher-rule quality filter (Rae et al. 2021, appendix A): the
+    // canonical pre-training document filter — word-count bounds, mean
+    // word length, symbol-to-word ratio, bullet/ellipsis line ratios,
+    // alphabetic-word ratio, stop-word presence — rolled up per lang.
+    // Map-only per doc + one lang-keyed aggregation; every ratio is an
+    // exact integer-over-integer division so the DuckDB replay is
+    // IEEE-identical without rounding
+    "gopher_quality_flags" -> ((s, dir) => {
+      val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val perDoc = documents(s, dir)
+        .withColumn("ws", filter(split(col("text"), "\\s+"), w => length(w) > lit(0)))
+        .withColumn("lns", split(col("text"), "\n"))
+        .withColumn("nw", size(col("ws")).cast("long"))
+        .withColumn("mean_len", when(col("nw") === 0, lit(0.0)).otherwise(
+          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long"))
+            .cast("double") / col("nw")))
+        .withColumn("sym_ratio", when(col("nw") === 0, lit(0.0)).otherwise(
+          ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("double") +
+            (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("double") / 3.0)
+            / col("nw")))
+        .withColumn("bullet_ratio",
+          size(filter(col("lns"), l => ltrim(l).rlike("^[-*]"))).cast("double") /
+            size(col("lns")))
+        .withColumn("ell_ratio",
+          size(filter(col("lns"), l => rtrim(l).endsWith("..."))).cast("double") /
+            size(col("lns")))
+        .withColumn("alpha_ratio", when(col("nw") === 0, lit(0.0)).otherwise(
+          size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double") / col("nw")))
+        .withColumn("n_stop", size(array_distinct(
+          filter(transform(col("ws"), w => lower(w)),
+            w => w.isin(gopherStops: _*)))).cast("long"))
+      val pWc = col("nw").between(50L, 100000L)
+      val pMl = col("mean_len") >= 3.0 && col("mean_len") <= 10.0
+      val pSy = col("sym_ratio") < 0.1
+      val pBu = col("bullet_ratio") <= 0.9
+      val pEl = col("ell_ratio") <= 0.3
+      val pAl = col("alpha_ratio") >= 0.8
+      val pSt = col("n_stop") >= 2L
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L)).cast("long")
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (round(avg(col("nw")), 6) + 0.0).as("avg_words"),
+          cnt(pWc).as("pass_word_count"),
+          cnt(pMl).as("pass_mean_len"),
+          cnt(pSy).as("pass_symbol"),
+          cnt(pBu).as("pass_bullet"),
+          cnt(pEl).as("pass_ellipsis"),
+          cnt(pAl).as("pass_alpha"),
+          cnt(pSt).as("pass_stop"),
+          cnt(pWc && pMl && pSy && pBu && pEl && pAl && pSt).as("pass_all"))
+        .orderBy(col("lang"))
     }),
 
     // distribution stats: exact interpolated quantiles of doc length
@@ -486,6 +594,84 @@ object TextQueries extends QueryRegistry {
          |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_total,
          |       CAST((SELECT count(*) FROM drops) AS BIGINT) AS n_dropped,
          |       CAST((SELECT count(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)) AS BIGINT) AS n_kept""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0, ${Dedup.MinhashH - 1}), i ->
+         |          coalesce(list_min(list_transform(shh, x -> ((i*2+1)*x + 7919*i) % ${F.P})), ${F.P})) AS sig
+         |        FROM hs),
+         |bnd AS (SELECT doc_id, b AS band,
+         |          list_reduce(list_prepend(0::BIGINT, sig[b*${Dedup.Rows}+1 : b*${Dedup.Rows}+${Dedup.Rows}]),
+         |                      (h, x) -> (h * 31 + x) % ${F.P}) AS band_hash
+         |        FROM sig, (SELECT unnest(generate_series(0, ${Dedup.Bands - 1})) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bnd x JOIN bnd y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT c.a, c.b FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
+         |          WHERE round(${F.jac("x.sh", "y.sh")}, 6) >= 0.3),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+         |reach AS (SELECT u AS node, u AS r FROM edges
+         |          UNION
+         |          SELECT e.v AS node, reach.r AS r FROM reach JOIN edges e ON reach.node = e.u),
+         |cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_docs, max(node) AS max_doc
+         |FROM cc GROUP BY component ORDER BY component""".stripMargin,
+
+    "dup_span_stats" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |pe AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(shh)),
+         |                       i -> {'pos': i - 1, 'h': shh[i]})) AS e FROM hs),
+         |p AS (SELECT doc_id, e.pos AS pos, e.h AS h FROM pe),
+         |keep AS (SELECT p.* FROM p JOIN
+         |           (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) <= 10) d USING (h)),
+         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb, x.pos - y.pos AS diff
+         |      FROM keep x JOIN keep y ON x.h = y.h AND x.doc_id < y.doc_id),
+         |r AS (SELECT a, b, diff, pa, pb,
+         |        pa - row_number() OVER (PARTITION BY a, b, diff ORDER BY pa) AS grp FROM m),
+         |spans AS (SELECT a, b, diff, grp, min(pa) AS a_start, min(pb) AS b_start, count(*) AS n_sh
+         |          FROM r GROUP BY a, b, diff, grp HAVING count(*) >= 2)
+         |SELECT a, b, CAST(a_start AS BIGINT) AS a_start, CAST(b_start AS BIGINT) AS b_start,
+         |       CAST(n_sh + ${Dedup.ShingleN - 1} AS BIGINT) AS span_tokens
+         |FROM spans ORDER BY span_tokens DESC, a, b, a_start, b_start LIMIT 30""".stripMargin,
+
+    "gopher_quality_flags" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, text,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+         |         string_split(text, chr(10)) AS lns
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    len(ws) AS nw,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) END AS mean_len,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
+         |               CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0) / len(ws) END AS sym_ratio,
+         |    CAST(len(list_filter(lns, l -> regexp_matches(ltrim(l), '^[-*]'))) AS DOUBLE) / len(lns) AS bullet_ratio,
+         |    CAST(len(list_filter(lns, l -> rtrim(l) LIKE '%...')) AS DOUBLE) / len(lns) AS ell_ratio,
+         |    CASE WHEN len(ws) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) END AS alpha_ratio,
+         |    len(list_distinct(list_filter(list_transform(ws, x -> lower(x)),
+         |          x -> x IN ('the','be','to','of','and','that','have','with')))) AS n_stop
+         |  FROM w)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(nw), 6) + 0.0 AS avg_words,
+         |  CAST(sum(CASE WHEN nw BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_word_count,
+         |  CAST(sum(CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean_len,
+         |  CAST(sum(CASE WHEN sym_ratio < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol,
+         |  CAST(sum(CASE WHEN bullet_ratio <= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS pass_bullet,
+         |  CAST(sum(CASE WHEN ell_ratio <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_ellipsis,
+         |  CAST(sum(CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+         |  CAST(sum(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+         |  CAST(sum(CASE WHEN nw BETWEEN 50 AND 100000 AND mean_len >= 3 AND mean_len <= 10
+         |       AND sym_ratio < 0.1 AND bullet_ratio <= 0.9 AND ell_ratio <= 0.3
+         |       AND alpha_ratio >= 0.8 AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     "lang_char_quantiles" ->
       """SELECT lang,

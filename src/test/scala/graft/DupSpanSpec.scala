@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TextQueries
+
+import java.nio.file.Files
+
+/** Pins the two round-6 text queries' core semantics on crafted corpora
+  * written as a documents.parquet (the declared queries read a data
+  * dir, so the fixtures go through the same loader path). */
+class DupSpanSpec extends SparkSpec {
+
+  // letter-only (TextOps.tokens splits on [^a-z]+, so digits would
+  // shred a "w7x"-style word into two tokens) and 4 chars so none
+  // collides with the 2-letter gopher stopwords
+  private def word(i: Int) = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}zz"
+
+  /** Write a crafted documents table to a fresh dir; rows are
+    * (doc_id, text, lang). */
+  private def corpus(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dupspan").toString
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("unit"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dup_span_stats finds exactly the planted shared run, correct length") {
+    // docs 0 and 1 share ONE contiguous 9-token run; doc 2 is disjoint.
+    // A 9-token run = 5 consecutive 5-shingles -> span_tokens = 5+4 = 9.
+    val shared = (100 to 108).map(word).mkString(" ")
+    val d0 = (0 to 19).map(word).mkString(" ") + " " + shared
+    val d1 = shared + " " + (40 to 59).map(word).mkString(" ")
+    val d2 = (70 to 99).map(word).mkString(" ")
+    val dir = corpus(Seq((0L, d0, "en"), (1L, d1, "en"), (2L, d2, "en")))
+    val got = TextQueries.queries("dup_span_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // one span: a=0, b=1, starting at shingle 20 in d0, 0 in d1, 9 tokens
+    assert(got.toSeq == Seq((0L, 1L, 20L, 0L, 9L)))
+  }
+
+  test("dup_span_stats merges runs but splits on a single-token edit") {
+    // identical 30-token docs except doc 1 replaces token 15 -> two
+    // spans: tokens [0..14] (11 shingles -> 15 tokens) and [16..29]
+    // (10 shingles -> 14 tokens)
+    val base = (0 to 29).map(word)
+    val edited = base.updated(15, "edited")
+    val dir = corpus(Seq(
+      (0L, base.mkString(" "), "en"), (1L, edited.mkString(" "), "en")))
+    val got = TextQueries.queries("dup_span_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((0L, 1L, 0L, 0L, 15L), (0L, 1L, 16L, 16L, 14L)))
+  }
+
+  test("gopher_quality_flags: rules discriminate as specified") {
+    // doc 0: passes everything (60 words incl. >=2 gopher stopwords)
+    val good = ("the quick brown fox jumps over and over with vigor " +
+      (0 until 50).map(word).mkString(" "))
+    // doc 1: too short (3 words)
+    val short = "tiny doc here"
+    // doc 2: symbol-heavy (## per word)
+    val symb = (0 until 60).map(i => s"${word(i)}##").mkString(" ")
+    val dir = corpus(Seq((0L, good, "en"), (1L, short, "en"), (2L, symb, "en")))
+    val r = TextQueries.queries("gopher_quality_flags")(spark, dir).collect()(0)
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    def f(n: String): Long = r.getLong(byName(n))
+    assert(f("n_docs") == 3L)
+    assert(f("pass_word_count") == 2L) // short doc fails
+    assert(f("pass_symbol") == 2L) // symbol doc fails
+    assert(f("pass_stop") == 1L) // only doc 0 has >= 2 distinct stopwords
+    assert(f("pass_all") == 1L)
+  }
+}
