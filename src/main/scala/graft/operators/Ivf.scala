@@ -136,6 +136,24 @@ class Ivf(nlist: Int, iters: Int) {
     (cents, assigned)
   }
 
+  /** Incremental maintenance: assign a NEW batch against frozen
+    * centroids and append it to the cluster-partitioned store — the
+    * serving-tier contract where centroids retrain offline and
+    * between retrains every arriving batch lands with one map-only
+    * assignment pass and partition-local file adds. The existing
+    * index rows are never read, shuffled, or rewritten (contrast a
+    * rebuild: full Lloyd + full rewrite per batch), so the append
+    * cost is O(batch), not O(corpus) — at 100 TB that is the
+    * difference between a minute and a day. Mirrors the .kwi
+    * single-writer append discipline (kowari
+    * vector_db/src/binary_index.rs:103-146): one appender at a time,
+    * readers see whole files. */
+  def append(path: String, batch: DataFrame,
+      cents: Array[(Int, Array[Double])]): Unit =
+    batch.select(col("vec_id"), col("embedding"),
+        assignExpr(col("embedding"), cents).as("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+
   /** Probe: nearest nprobe cells (driver-side centroid scan — nlist is
     * small), then exact cosine top-k inside them. With the assignment
     * parquet partitioned by cluster this scans nprobe/nlist of data. */

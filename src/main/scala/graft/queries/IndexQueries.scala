@@ -273,6 +273,23 @@ object IndexQueries extends QueryRegistry {
       (cents, s.read.parquet(path))
     }
 
+  /** Incremental-maintenance store: the IVF index is BUILT on the
+    * first half of the corpus (Lloyd runs there only), then the second
+    * half arrives as a batch APPEND against the frozen centroids —
+    * one map-only assignment pass, partition-local file adds, zero
+    * touches of the existing rows. Returns (half, merged index). */
+  private def ivfAppendStore(s: SparkSession, dir: String): (Long, DataFrame) =
+    SharedBuilds.of(s, dir, "ivf-append-store") {
+      val emb = embeddings(s, dir)
+      val half = emb.count() / 2
+      val ivf = new Ivf(nlist = 8, iters = 2)
+      val (cents, assigned) = ivf.build(emb.filter(col("vec_id") < half))
+      val path = buildPath(dir, "ivf8x2-app")
+      assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+      ivf.append(path, emb.filter(col("vec_id") >= half), cents)
+      (half, s.read.parquet(path))
+    }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // probe the PERSISTED bucket-partitioned index; the bucket
     // histogram answers the < k fallback check, so the probe is a
@@ -450,6 +467,25 @@ object IndexQueries extends QueryRegistry {
     // assignment contract is — the cells must tile the corpus exactly
     // (total = DuckDB's exact count), use at most nlist cells, and
     // leave none of the used cells empty.
+    // Index-maintenance audit, oracle-checked with exact corpus
+    // totals: after build-on-half + append-of-rest, the merged store
+    // must tile the corpus exactly (total and per-half counts =
+    // DuckDB's exact counts), keep every id unique (no double-append,
+    // no loss), and stay within the cell budget
+    "ivf_append_audit" -> ((s, dir) => {
+      val (half, idx) = ivfAppendStore(s, dir)
+      idx.agg(
+          count(lit(1)).as("total"),
+          countDistinct(col("vec_id")).as("nd"),
+          sum(when(col("vec_id") < half, 1L).otherwise(0L)).as("nb"),
+          countDistinct(col("cluster")).as("nc"))
+        .select(col("total").cast("long").as("total_vectors"),
+          col("nb").cast("long").as("n_base"),
+          (col("total") - col("nb")).cast("long").as("n_appended"),
+          (col("nd") === col("total")).as("ids_unique"),
+          (col("nc") >= 1 && col("nc") <= 8).as("n_cells_ok"))
+    }),
+
     "ivf_cell_sizes" -> ((s, dir) => {
       val (_, assigned) = ivfStore(s, dir)
       assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
@@ -724,6 +760,14 @@ object IndexQueries extends QueryRegistry {
       """SELECT CAST(count(*) AS BIGINT) AS n_level0_nodes,
         |       true AS degree_le_m, true AS levels_monotone
         |FROM embeddings""".stripMargin,
+
+    "ivf_append_audit" ->
+      """WITH n AS (SELECT count(*) AS c FROM embeddings)
+        |SELECT CAST(c AS BIGINT) AS total_vectors,
+        |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_base,
+        |       CAST(c - (SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_appended,
+        |       true AS ids_unique, true AS n_cells_ok
+        |FROM n""".stripMargin,
 
     "ivf_cell_sizes" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_vectors,

@@ -107,6 +107,43 @@ object PipelineQueries extends QueryRegistry {
             .as("centroid_norm"))
         .orderBy(col("label"))
     }),
+
+    // DSIR-style importance weighting for domain mixing (Xie et al.
+    // 2023, "Data Selection for Language Models via Importance
+    // Resampling"): hashed unigram+bigram features (4096 buckets),
+    // target = docs 0-9 (the same benchmark convention as
+    // decontamination_hits), +1-smoothed per-bucket target/corpus
+    // counts, and each corpus doc scored by how target-like its
+    // feature occurrences are. Deviation from the paper, documented:
+    // the score is a RATIO OF SUMS (Σ(n_t+1) / Σ(n_c+1) over the
+    // doc's occurrences) rather than the sum of per-feature log
+    // ratios — integer sums are exact and order-independent, so the
+    // DuckDB replay is IEEE-identical, where libm log is not
+    // guaranteed to be (same determinism rule as the N/df IDF above).
+    // Scale shape: the count table is BOUNDED at 4096 rows no matter
+    // the corpus size, so it broadcasts and the corpus is never
+    // shuffled on the feature key — one map-side join + one
+    // doc-keyed aggregation
+    "dsir_importance_top" -> ((s, dir) => {
+      val B = 4096
+      val toks = documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+      val feats = toks.select(col("doc_id"), col("lang"),
+        explode(concat(col("toks"), TextOps.shingles(col("toks"), 2))).as("feat"))
+        .withColumn("f", TextOps.md5Long(col("feat")) % B)
+      val cnt = feats.groupBy(col("f")).agg(
+        sum(when(col("doc_id") < 10, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("doc_id") >= 10, 1L).otherwise(0L)).as("n_c"))
+      feats.filter(col("doc_id") >= 10)
+        .join(broadcast(cnt), "f")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("n_t") + 1L).as("st"), sum(col("n_c") + 1L).as("sc"))
+        .withColumn("weight",
+          round(col("st").cast("double") / col("sc"), 6) + 0.0)
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(30)
+        .select(col("doc_id"), col("lang"), col("weight"))
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -166,5 +203,30 @@ object PipelineQueries extends QueryRegistry {
         |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
         |       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(m * m ORDER BY pos)), (a, x) -> a + x)), 6) AS centroid_norm
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    "dsir_importance_top" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |fe AS (
+        |  SELECT doc_id, lang, CAST(('0x'||substr(md5(feat),1,15)) AS BIGINT) % 4096 AS f
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(toks) AS feat FROM t
+        |    UNION ALL
+        |    SELECT doc_id, lang,
+        |           unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+        |                  ELSE list_transform(generate_series(1, len(toks)-1),
+        |                         i -> array_to_string(toks[i:i+1], ' ')) END) AS feat
+        |    FROM t)),
+        |cnt AS (SELECT f, sum(CASE WHEN doc_id < 10 THEN 1 ELSE 0 END) AS n_t,
+        |               sum(CASE WHEN doc_id >= 10 THEN 1 ELSE 0 END) AS n_c
+        |        FROM fe GROUP BY f),
+        |scored AS (
+        |  SELECT fe.doc_id, fe.lang, sum(cnt.n_t + 1) AS st, sum(cnt.n_c + 1) AS sd
+        |  FROM fe JOIN cnt USING (f) WHERE fe.doc_id >= 10
+        |  GROUP BY fe.doc_id, fe.lang)
+        |SELECT doc_id, lang, round(CAST(st AS DOUBLE) / sd, 6) + 0.0 AS weight
+        |FROM scored ORDER BY weight DESC, doc_id LIMIT 30""".stripMargin,
   )
 }

@@ -47,4 +47,31 @@ class IvfSpec extends SparkSpec {
     assert(approx.head == 0L) // self-recall: query vector is vec_id 0
     assert(exact.intersect(approx.toSet).size >= 7)
   }
+
+  test("append against frozen centroids equals assigning the batch directly") {
+    val half = vecs.count() / 2
+    val ivf = new Ivf(nlist = 8, iters = 2)
+    val (cents, assigned) = ivf.build(vecs.filter(col("vec_id") < half))
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf-append").resolve("idx").toString
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    ivf.append(path, vecs.filter(col("vec_id") >= half), cents)
+    val merged = spark.read.parquet(path)
+      .collect().map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getInt(r.fieldIndex("cluster"))).toMap
+    // reference: one direct assignment pass over the full corpus with
+    // the same frozen centroids
+    val direct = vecs.select(col("vec_id"),
+        ivf.assignExpr(col("embedding"), cents).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged.size == vecs.count())
+    assert(merged == direct)
+    // probing the merged store surfaces appended rows: query an
+    // appended vector, expect self-recall at rank 1
+    val qRow = vecs.filter(col("vec_id") === half).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).toArray
+    val hit = ivf.query(spark.read.parquet(path), cents, qRow, 5, nprobe = 8)
+      .collect().map(_.getLong(0))
+    assert(hit.head == half)
+  }
 }

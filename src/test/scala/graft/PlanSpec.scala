@@ -133,6 +133,16 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in declared plans: $offenders")
   }
 
+  test("dsir: bounded count table broadcasts; corpus is never feature-shuffled") {
+    // the 4096-bucket count table must join as a broadcast hash join:
+    // a SortMergeJoin here would shuffle every feature occurrence of
+    // the corpus on the feature key, which is exactly the move the
+    // bounded hash space exists to avoid
+    val p = plan("dsir_importance_top")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pq multi-query paths scan the codes parquet exactly once (no per-query union)") {
     // the round-5 formulation unioned one ADC shortlist plan per query
     // (q FileScans of the codes table); the batched adcTopKMulti path
