@@ -143,7 +143,21 @@ object SharedBuilds {
       }
       inner
     }
-    perSession.computeIfAbsent((dir, key), _ => build).asInstanceOf[T]
+    val k = (dir, key)
+    val existing = perSession.get(k)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      // build OUTSIDE computeIfAbsent: a build may request its own
+      // inputs through of() (sharedComponents → sharedDedupIndex), and
+      // a nested computeIfAbsent on the same ConcurrentHashMap throws
+      // IllegalStateException("Recursive update"). putIfAbsent keeps
+      // the first finished value if two callers race; builds are
+      // deterministic, so either result is correct and the loser is
+      // just discarded work.
+      val built = build
+      val prev = perSession.putIfAbsent(k, built)
+      (if (prev != null) prev else built).asInstanceOf[T]
+    }
   }
   /** Drop every artifact built for `s` (call when stopping a session in
     * a multi-session JVM; checkpointed blocks are then reclaimable).

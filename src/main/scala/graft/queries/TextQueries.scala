@@ -75,6 +75,18 @@ object TextQueries extends QueryRegistry {
         Dedup.simhashSketch(th, 60).localCheckpoint())
     }
 
+  /** Connected components over the minhash near-dup pair graph, built
+    * once per (session, dir): the cluster map is consumed by both
+    * dedup_components (the audit view) and curation_funnel (the
+    * canonical-doc purge stage). */
+  private def sharedComponents(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "dedup-components") {
+      val (hashed, cand) = sharedDedupIndex(s, dir)
+      Components.connectedComponents(
+        Dedup.minhashNearDupsFrom(hashed, cand, 0.3).select(col("a"), col("b")))
+        .localCheckpoint()
+    }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tokenization stats (token counting op)
     "token_stats" -> ((s, dir) => {
@@ -248,14 +260,74 @@ object TextQueries extends QueryRegistry {
     // Each half-round is one node-keyed shuffle; O(log n) rounds; the
     // unique fixed point (node → min id of component) is what the
     // DuckDB recursive-CTE oracle replays
-    "dedup_components" -> ((s, dir) => {
-      val (hashed, cand) = sharedDedupIndex(s, dir)
-      val pairs = Dedup.minhashNearDupsFrom(hashed, cand, 0.3)
-        .select(col("a"), col("b"))
-      Components.connectedComponents(pairs)
+    "dedup_components" -> ((s, dir) =>
+      sharedComponents(s, dir)
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
-        .orderBy(col("component"))
+        .orderBy(col("component"))),
+
+    // END-TO-END curation funnel — the composed pipeline a pretraining
+    // corpus actually runs, with per-stage survivor counts:
+    //   raw → exact dedup (keep-min per content hash)
+    //       → near-dup purge (keep the min SURVIVING doc per connected
+    //         component of the minhash pair graph — the component view
+    //         keeps one doc per transitive chain where pairwise drops
+    //         over-delete)
+    //       → Gopher quality rules (word count, mean length, symbol
+    //         ratio, alpha ratio; the stop-word rule is reported by
+    //         gopher_quality_flags but not gated here — the synthetic
+    //         vocab has no English function words, so gating on it
+    //         would zero the corpus)
+    //       → lexical-diversity floor (distinct/total token ratio,
+    //         the C4-family degenerate-text cut).
+    // Scale shape: the dedup flags need corpus-keyed windows (content
+    // hash, component), so those run on a THIN (doc_id, ch, component)
+    // frame — the window exchanges carry ~24-byte rows, never the
+    // documents; the quality/diversity metrics are map-only over the
+    // text and reduce to a thin (doc_id, booleans) frame before the
+    // doc_id join. One conditional aggregation closes the funnel — no
+    // per-stage jobs, no driver loops
+    "curation_funnel" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val cc = sharedComponents(s, dir).withColumnRenamed("node", "doc_id")
+      val wHash = Window.partitionBy(col("ch"))
+      val wComp = Window.partitionBy(col("component"))
+      val flags = docs
+        .select(col("doc_id"), TextOps.md5Long(col("text")).as("ch"))
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("exact_keep", col("doc_id") === min(col("doc_id")).over(wHash))
+        .withColumn("nd_keep", col("exact_keep") && (col("component").isNull ||
+          col("doc_id") ===
+            min(when(col("exact_keep"), col("doc_id"))).over(wComp)))
+        .select(col("doc_id"), col("exact_keep"), col("nd_keep"))
+      val metrics = docs
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("ws", filter(split(col("text"), "\\s+"), w => length(w) > lit(0)))
+        .withColumn("nw", size(col("ws")).cast("long"))
+        .withColumn("mean_len", when(col("nw") === 0, lit(0.0)).otherwise(
+          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long"))
+            .cast("double") / col("nw")))
+        .withColumn("sym_ratio", when(col("nw") === 0, lit(0.0)).otherwise(
+          ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("double") +
+            (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("double") / 3.0)
+            / col("nw")))
+        .withColumn("alpha_ratio", when(col("nw") === 0, lit(0.0)).otherwise(
+          size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double") / col("nw")))
+        .select(col("doc_id"),
+          (col("nw").between(50L, 100000L) &&
+            col("mean_len") >= 3.0 && col("mean_len") <= 10.0 &&
+            col("sym_ratio") < 0.1 && col("alpha_ratio") >= 0.8).as("q_pass"),
+          (size(col("toks")) === 0 ||
+            size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")) >= 0.32).as("ttr_pass"))
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L)).cast("long")
+      metrics.join(flags, "doc_id")
+        .agg(count(lit(1)).cast("long").as("n_raw"),
+          cnt(col("exact_keep")).as("n_exact"),
+          cnt(col("nd_keep")).as("n_neardup"),
+          cnt(col("nd_keep") && col("q_pass")).as("n_quality"),
+          cnt(col("nd_keep") && col("q_pass") && col("ttr_pass")).as("n_final"))
     }),
 
     // exact-substring duplicate SPANS (the signal behind suffix-array
@@ -618,6 +690,60 @@ object TextQueries extends QueryRegistry {
          |cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
          |SELECT component, CAST(count(*) AS BIGINT) AS n_docs, max(node) AS max_doc
          |FROM cc GROUP BY component ORDER BY component""".stripMargin,
+
+    "curation_funnel" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0, ${Dedup.MinhashH - 1}), i ->
+         |          coalesce(list_min(list_transform(shh, x -> ((i*2+1)*x + 7919*i) % ${F.P})), ${F.P})) AS sig
+         |        FROM hs),
+         |bnd AS (SELECT doc_id, b AS band,
+         |          list_reduce(list_prepend(0::BIGINT, sig[b*${Dedup.Rows}+1 : b*${Dedup.Rows}+${Dedup.Rows}]),
+         |                      (h, x) -> (h * 31 + x) % ${F.P}) AS band_hash
+         |        FROM sig, (SELECT unnest(generate_series(0, ${Dedup.Bands - 1})) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bnd x JOIN bnd y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT c.a, c.b FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id
+         |          WHERE round(${F.jac("x.sh", "y.sh")}, 6) >= 0.3),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+         |reach AS (SELECT u AS node, u AS r FROM edges
+         |          UNION
+         |          SELECT e.v AS node, reach.r AS r FROM reach JOIN edges e ON reach.node = e.u),
+         |cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |base AS (
+         |  SELECT d.doc_id, d.text, cc.component, ${F.md5L("d.text")} AS ch,
+         |         ${F.toks("d.text")} AS toks,
+         |         list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS ws
+         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+         |st1 AS (SELECT *, len(ws) AS nw,
+         |          (doc_id = min(doc_id) OVER (PARTITION BY ch)) AS exact_keep
+         |        FROM base),
+         |st2 AS (SELECT *,
+         |          (exact_keep AND (component IS NULL OR doc_id =
+         |             min(CASE WHEN exact_keep THEN doc_id END) OVER (PARTITION BY component))) AS nd_keep,
+         |          CASE WHEN nw = 0 THEN 0.0
+         |               ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / nw END AS mean_len,
+         |          CASE WHEN nw = 0 THEN 0.0
+         |               ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
+         |                     CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0) / nw END AS sym_ratio,
+         |          CASE WHEN nw = 0 THEN 0.0
+         |               ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / nw END AS alpha_ratio
+         |        FROM st1),
+         |st3 AS (SELECT *, (nd_keep AND nw BETWEEN 50 AND 100000
+         |          AND mean_len >= 3 AND mean_len <= 10
+         |          AND sym_ratio < 0.1 AND alpha_ratio >= 0.8) AS q_keep
+         |        FROM st2),
+         |st4 AS (SELECT *, (q_keep AND (len(toks) = 0 OR
+         |          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.32)) AS final_keep
+         |        FROM st3)
+         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |       CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN nd_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+         |       CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |       CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM st4""".stripMargin,
 
     "dup_span_stats" ->
       s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
