@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 
@@ -226,6 +226,44 @@ object Dedup {
     * as the MinHash path — followed by the exact Hamming rerank.
     * Result-identical to the all-pairs `simhashPairs` baseline below,
     * without its O(n²) crossJoin. */
+  /** Bloom-filter membership pre-filter — the 100 TB decontamination
+    * shape: the benchmark/eval shingle set is tiny by definition, so
+    * its Bloom bitmap broadcasts to every task and the corpus is
+    * screened map-only (no join, no shuffle) down to the candidate
+    * docs that an exact join then verifies. False positives cost a
+    * little verify work; false negatives are impossible (every set
+    * bit of a true member is set), so the pre-filter is sound.
+    *
+    * Deterministic by construction — k fixed affine probes over the
+    * md5-based shingle hashes (the minhash hash-family style), so the
+    * DuckDB oracle rebuilds the IDENTICAL filter and the candidate
+    * counts are exactly replayable, not merely invariant-checked.
+    * The bitmap is held as a broadcast boolean-array literal (m is a
+    * few KB here); a petabyte run sizes m up and swaps the literal
+    * for a real bitset — the probe shape is unchanged. */
+  val BloomM = 4096
+  val BloomK = 4
+
+  private def bloomPos(i: Int, h: Column): Column =
+    (lit(2L * i + 1) * h + lit(7919L * i)) % BloomM
+
+  /** Build the m-bit membership array from the (small) member-hash
+    * set. Driver-side by design: the member side of a contamination
+    * sweep is the eval set, not the corpus. */
+  def bloomBits(memberHashes: Seq[Long]): Seq[Boolean] = {
+    val bits = Array.fill(BloomM)(false)
+    for (h <- memberHashes; i <- 0 until BloomK)
+      bits((((2L * i + 1) * h + 7919L * i) % BloomM).toInt) = true
+    bits.toSeq
+  }
+
+  /** True iff every probe position of `h` is set — `h` MIGHT be a
+    * member. Pure expression over the broadcast literal (codegen,
+    * map-only). */
+  def bloomMightContain(h: Column, bits: Column): Column =
+    (0 until BloomK).map(i =>
+      element_at(bits, bloomPos(i, h).cast("int") + 1)).reduce(_ && _)
+
   /** Per-doc token-hash table (doc_id, th ARRAY&lt;BIGINT&gt;) — the shared
     * prefix of every simhash sketch width. Materialize it (localCheckpoint
     * or parquet) before feeding the per-bit folds: simhashFromHashes

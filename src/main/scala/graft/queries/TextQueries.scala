@@ -455,6 +455,43 @@ object TextQueries extends QueryRegistry {
         .orderBy(col("corpus_id"), col("bench_id"))
     }),
 
+    // Bloom-filter decontamination pre-filter: the eval set's shingle
+    // hashes build a deterministic m-bit filter (driver-side — the
+    // eval side is tiny by definition) that broadcasts and screens the
+    // corpus MAP-ONLY down to candidate docs; the exact shingle join
+    // then verifies. No false negatives (superset invariant), false
+    // positives only cost verify work — the shape that makes a
+    // contamination sweep one scan at 100 TB instead of a corpus-wide
+    // join. The filter's determinism makes candidate counts exactly
+    // DuckDB-replayable, so precision is hash-verified too
+    "decontamination_bloom" -> ((s, dir) => {
+      val (hashed, _) = sharedDedupIndex(s, dir)
+      val benchHashes = hashed.filter(col("doc_id") < 10)
+        .select(explode(array_distinct(col("shh"))).as("h"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val bits = typedLit(Dedup.bloomBits(benchHashes))
+      val corpus = hashed.filter(col("doc_id") >= 10)
+      val cand = corpus
+        .filter(exists(array_distinct(col("shh")),
+          h => Dedup.bloomMightContain(h, bits)))
+        .select(col("doc_id"))
+      val exactIds = corpus
+        .select(col("doc_id"), explode(array_distinct(col("shh"))).as("h"))
+        .join(broadcast(hashed.filter(col("doc_id") < 10)
+          .select(explode(array_distinct(col("shh"))).as("h")).distinct()), "h")
+        .select(col("doc_id")).distinct()
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val ne = exactIds.agg(count(lit(1)).as("n_exact"))
+      val missed = exactIds.join(cand, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      nc.crossJoin(ne).crossJoin(missed)
+        .select(col("n_candidates").cast("long").as("n_candidates"),
+          col("n_exact").cast("long").as("n_exact"),
+          (col("n_missed") === 0L).as("no_false_negatives"),
+          (round(col("n_exact").cast("double") /
+            greatest(col("n_candidates"), lit(1L)), 6) + 0.0).as("bloom_precision"))
+    }),
+
     // repetition scoring: per-doc ratio of the most frequent trigram to
     // all trigrams — the degenerate-text detector (C4-style quality
     // pre-filter); map-only per doc + one (doc, trigram) aggregation
@@ -822,6 +859,26 @@ object TextQueries extends QueryRegistry {
          |FROM ce JOIN be USING (h)
          |GROUP BY corpus_id, bench_id
          |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "decontamination_bloom" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |bh AS (SELECT DISTINCT unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id < 10),
+         |bset AS (SELECT DISTINCT ((2*i+1)*h + 7919*i) % ${Dedup.BloomM} AS p
+         |         FROM bh, (SELECT unnest([0,1,2,3]) AS i)),
+         |dh AS (SELECT doc_id, unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id >= 10),
+         |probes AS (SELECT doc_id, h, ((2*i+1)*h + 7919*i) % ${Dedup.BloomM} AS p
+         |           FROM dh, (SELECT unnest([0,1,2,3]) AS i)),
+         |hitsh AS (SELECT doc_id, h FROM probes GROUP BY doc_id, h
+         |          HAVING sum(CASE WHEN p IN (SELECT p FROM bset) THEN 1 ELSE 0 END) = ${Dedup.BloomK}),
+         |cand AS (SELECT DISTINCT doc_id FROM hitsh),
+         |ex AS (SELECT DISTINCT dh.doc_id FROM dh JOIN bh USING (h))
+         |SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         |       CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |       true AS no_false_negatives,
+         |       round(CAST((SELECT count(*) FROM ex) AS DOUBLE) /
+         |             greatest((SELECT count(*) FROM cand), 1), 6) + 0.0 AS bloom_precision""".stripMargin,
 
     "repetition_scores" ->
       s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),

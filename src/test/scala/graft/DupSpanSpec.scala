@@ -56,6 +56,23 @@ class DupSpanSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 0L, 0L, 15L), (0L, 1L, 16L, 16L, 14L)))
   }
 
+  test("bloom pre-filter: member hashes always might-contain (no false negatives)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val members = Seq(0L, 3L, 77777L, 123456789L, 2147483646L)
+    val bits = typedLit(Dedup.bloomBits(members))
+    val got = members.toDF("h")
+      .select(Dedup.bloomMightContain(col("h"), bits).as("m"))
+      .collect().map(_.getBoolean(0))
+    assert(got.forall(identity))
+    // and the filter is not degenerate: most non-members miss
+    val probes = (1000L to 1100L).filterNot(members.contains)
+    val hits = probes.toDF("h")
+      .select(Dedup.bloomMightContain(col("h"), bits).as("m"))
+      .collect().count(_.getBoolean(0))
+    assert(hits < probes.size / 2, s"bloom too dense: $hits of ${probes.size}")
+  }
+
   test("gopher_quality_flags: rules discriminate as specified") {
     // doc 0: passes everything (60 words incl. >=2 gopher stopwords)
     val good = ("the quick brown fox jumps over and over with vigor " +

@@ -146,4 +146,31 @@ class PropertySpec extends SparkSpec {
       assert(decoded.toSeq == pcm.map(_.toInt & 0xff).toSeq)
     }
   }
+
+  test("connected components equal union-find on every generated graph") {
+    import graft.operators.Components
+    import spark.implicits._
+    val graphGen = for {
+      nodes <- Gen.choose(2, 40)
+      nEdges <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, nodes.toLong), Gen.choose(0L, nodes.toLong)))
+    } yield edges.filter(e => e._1 != e._2)
+    cases(graphGen, n = 15).foreach { pairs =>
+      // union-find ground truth with min-id roots
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val got = Components.connectedComponents(pairs.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"diverged on ${pairs.take(10)}...")
+    }
+  }
 }
