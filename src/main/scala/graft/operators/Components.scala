@@ -31,7 +31,13 @@ object Components {
 
   /** Large-star: for every node u, attach every STRICTLY LARGER
     * neighbor v to m = min(N(u) ∪ {u}). Connectivity-preserving
-    * (SoCC 2014 lemma 1); one shuffle keyed on u. */
+    * (SoCC 2014 lemma 1); one shuffle keyed on u.
+    *
+    * The per-node min is a window over the node's partition rather
+    * than a groupBy+join: both need the same u-keyed exchange, but the
+    * window closes the round in ONE shuffle (the sort it inserts is
+    * spillable, so a mega-hub partition degrades to disk, not OOM —
+    * and hubs shrink every round, which is the algorithm's point). */
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -89,7 +95,7 @@ object Components {
       .distinct()
       .localCheckpoint()
     var fp = fingerprint(edges)
-    var converged = false
+    var converged = fp._1 == 0L // no edges -> already at the fixed point
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
@@ -99,6 +105,15 @@ object Components {
       edges = next
       it += 1
     }
+    // Fail loudly rather than return silently-wrong clusters: a
+    // non-converged edge set is not a star forest, so the node→min
+    // mapping below would be incorrect. The alternation provably
+    // converges in O(log² n) rounds worst case; 25 covers any corpus
+    // that fits in a cluster (2^25 halvings), so this fires only on a
+    // logic regression.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
     // fixed point = stars: every non-root points at its root
     edges.select(col("u").as("node"), col("v").as("component"))
       .union(edges.select(col("v").as("node"), col("v").as("component")))
