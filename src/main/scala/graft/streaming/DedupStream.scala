@@ -30,6 +30,28 @@ object DedupStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming contamination screen: drop (or route) documents whose
+    * shingles might overlap the eval set, using the SAME deterministic
+    * Bloom bitmap the batch sweep builds (Dedup.bloomBits). The bitmap
+    * is a literal baked into the plan, so the screen is stateless and
+    * map-only — no state store, no join, each micro-batch pays one
+    * expression pass; rebuilding the query with a refreshed bitmap is
+    * the redeploy-time operation, matching how eval sets actually
+    * change (rarely, versioned). Emits the stream with a
+    * `maybe_contaminated` flag so the caller chooses drop vs
+    * quarantine; false negatives are impossible, so a clean flag is
+    * trustworthy. */
+  def contaminationScreen(docs: DataFrame, bloomBits: Seq[Boolean]): DataFrame = {
+    import graft.operators.Dedup
+    val bits = typedLit(bloomBits)
+    val toks = TextOps.tokens(col("text"))
+    docs.withColumn("maybe_contaminated",
+      exists(
+        array_distinct(TextOps.shingleHashes(
+          TextOps.shingles(toks, Dedup.ShingleN))),
+        h => Dedup.bloomMightContain(h, bits)))
+  }
+
   /** Map-only MinHash band-bucket emission for a document stream:
     * (doc_id, ts, band, band_hash) — joinable by the batch rerank job. */
   def bandStream(docs: DataFrame): DataFrame = {

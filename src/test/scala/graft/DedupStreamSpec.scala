@@ -69,4 +69,35 @@ class DedupStreamSpec extends SparkSpec {
       assert(pairs.head._3 == 1.0) // identical text -> Jaccard 1
     } finally q.stop()
   }
+
+  test("streaming contamination screen flags eval overlap, passes clean docs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // eval set = one doc; its shingle hashes build the bloom
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val evalHashes = Seq(evalText).toDF("text")
+      .select(explode(TextOps.shingleHashes(
+        TextOps.shingles(TextOps.tokens(col("text")), Dedup.ShingleN))).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val bits = Dedup.bloomBits(evalHashes)
+    val in = MemoryStream[Doc]
+    val q = EventStreams.toMemorySink(
+      DedupStream.contaminationScreen(in.toDF(), bits),
+      "contam_test", OutputMode.Append())
+    try {
+      in.addData(
+        // shares the eval 5-gram run -> must flag (no false negatives)
+        Doc(0, ts(1), "prefix words alpha beta gamma delta epsilon zeta suffix"),
+        // disjoint vocabulary -> should pass clean
+        Doc(1, ts(2), "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      val flags = spark.table("contam_test").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("maybe_contaminated")))
+        .toMap
+      assert(flags(0L), "doc sharing an eval shingle must be flagged")
+      assert(!flags(1L), "disjoint doc should pass the screen")
+    } finally q.stop()
+  }
 }
