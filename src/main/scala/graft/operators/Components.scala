@@ -83,10 +83,11 @@ object Components {
     * Each round localCheckpoints the shrunken edge set — without the
     * lineage cut, round k would replay rounds 1..k-1 and the plan
     * would grow exponentially. maxIter is a safety bound only; the
-    * alternation provably converges in O(log n) rounds (SoCC 2014
-    * thm 2) and the loop exits on the first fixed point.
+    * alternation provably converges in O(log² n) rounds worst case
+    * (SoCC 2014 thm 2 — in practice a handful) and the loop exits on
+    * the first fixed point, so extra headroom costs nothing.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     var edges = pairs
       .select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -107,13 +108,16 @@ object Components {
     }
     // Fail loudly rather than return silently-wrong clusters: a
     // non-converged edge set is not a star forest, so the node→min
-    // mapping below would be incorrect. The alternation provably
-    // converges in O(log² n) rounds worst case; 25 covers any corpus
-    // that fits in a cluster (2^25 halvings), so this fires only on a
-    // logic regression.
+    // mapping below would be incorrect. Rounds needed grow with log n
+    // (the optimistic bound is ~log₂ n alternations on adversarial
+    // graphs), so the default is 50 — enough for any conceivable edge
+    // set (2^50 nodes) — and the throw fires only on a logic
+    // regression. The residual edge count rides in the error message
+    // so the bound can be tuned from the failure itself if it binds.
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter rounds")
+        s"connectedComponents did not converge within $maxIter rounds " +
+          s"(edge fingerprint still moving: count=${fp._1})")
     // fixed point = stars: every non-root points at its root
     edges.select(col("u").as("node"), col("v").as("component"))
       .union(edges.select(col("v").as("node"), col("v").as("component")))

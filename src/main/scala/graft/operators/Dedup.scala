@@ -244,8 +244,32 @@ object Dedup {
   val BloomM = 4096
   val BloomK = 4
 
-  private def bloomPos(i: Int, h: Column): Column =
-    (lit(2L * i + 1) * h + lit(7919L * i)) % BloomM
+  /** The ONE probe-position formula — hᵢ(h) = (aᵢ·h + bᵢ) mod m with
+    * aᵢ = 2i+1, bᵢ = 7919·i. The driver build side (`bloomBits`), the
+    * Column probe side (`bloomPos`) and the DuckDB oracle fragment
+    * (`bloomProbeSql`) ALL derive from these coefficients, so build
+    * and probe can never drift apart — a drift would silently break
+    * the no-false-negative guarantee the decontamination screen
+    * relies on (pinned by DedupSpec's build/probe parity test). */
+  private def bloomCoef(i: Int): (Long, Long) = (2L * i + 1, 7919L * i)
+
+  /** Scalar probe position (driver build side). */
+  def bloomProbe(i: Int, h: Long): Long = {
+    val (a, b) = bloomCoef(i); (a * h + b) % BloomM
+  }
+
+  private def bloomPos(i: Int, h: Column): Column = {
+    val (a, b) = bloomCoef(i); (lit(a) * h + lit(b)) % BloomM
+  }
+
+  /** The same probe as a DuckDB SQL fragment over variables `i`/`h`
+    * (the oracle rebuilds the identical filter from it). */
+  def bloomProbeSql(i: String, h: String): String = {
+    // coefficients written symbolically so they come from bloomCoef's
+    // shape; constants checked against it at class-init time
+    require(bloomCoef(3) == (7L, 23757L), "bloom coefficients drifted")
+    s"((2*$i+1)*$h + 7919*$i) % $BloomM"
+  }
 
   /** Build the m-bit membership array from the (small) member-hash
     * set. Driver-side by design: the member side of a contamination
@@ -253,7 +277,7 @@ object Dedup {
   def bloomBits(memberHashes: Seq[Long]): Seq[Boolean] = {
     val bits = Array.fill(BloomM)(false)
     for (h <- memberHashes; i <- 0 until BloomK)
-      bits((((2L * i + 1) * h + 7919L * i) % BloomM).toInt) = true
+      bits(bloomProbe(i, h).toInt) = true
     bits.toSeq
   }
 

@@ -761,12 +761,19 @@ object IndexQueries extends QueryRegistry {
         |       true AS degree_le_m, true AS levels_monotone
         |FROM embeddings""".stripMargin,
 
+    // ids_unique is DERIVED (count distinct = count over the SOURCE
+    // table), not a literal true: the merged store holds exactly the
+    // embeddings rows, so if the append path ever duplicated or
+    // dropped an id, the Spark side's distinct-over-store count would
+    // diverge from the oracle's distinct-over-source count and the
+    // hash check would fail. n_cells_ok stays Spark-side-only — cell
+    // assignment is the Lloyd output DuckDB cannot replay.
     "ivf_append_audit" ->
-      """WITH n AS (SELECT count(*) AS c FROM embeddings)
+      """WITH n AS (SELECT count(*) AS c, count(DISTINCT vec_id) AS d FROM embeddings)
         |SELECT CAST(c AS BIGINT) AS total_vectors,
         |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_base,
         |       CAST(c - (SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_appended,
-        |       true AS ids_unique, true AS n_cells_ok
+        |       d = c AS ids_unique, true AS n_cells_ok
         |FROM n""".stripMargin,
 
     "ivf_cell_sizes" ->

@@ -134,6 +134,10 @@ object SharedBuilds {
     val q = closeables.remove(s)
     if (q != null) drain(q)
   }
+  // Memoizing cell: the map stores these, and the build thunk runs at
+  // most once, on first force (lazy val synchronizes on the holder; a
+  // throwing build leaves the cell unpoisoned — lazy vals re-attempt).
+  private final class Holder[T](thunk: () => T) { lazy val value: T = thunk() }
   def of[T <: AnyRef](s: SparkSession, dir: String, key: String)(build: => T): T = {
     val perSession = m.synchronized {
       var inner = m.get(s)
@@ -144,20 +148,21 @@ object SharedBuilds {
       inner
     }
     val k = (dir, key)
-    val existing = perSession.get(k)
-    if (existing != null) existing.asInstanceOf[T]
-    else {
-      // build OUTSIDE computeIfAbsent: a build may request its own
-      // inputs through of() (sharedComponents → sharedDedupIndex), and
-      // a nested computeIfAbsent on the same ConcurrentHashMap throws
-      // IllegalStateException("Recursive update"). putIfAbsent keeps
-      // the first finished value if two callers race; builds are
-      // deterministic, so either result is correct and the loser is
-      // just discarded work.
-      val built = build
-      val prev = perSession.putIfAbsent(k, built)
-      (if (prev != null) prev else built).asInstanceOf[T]
+    // putIfAbsent a memoizing holder, force it OUTSIDE the map update.
+    // Builds are NOT pure (ivfStore/ivfAppendStore overwrite then append
+    // the same parquet path), so two same-key racers must not both run
+    // the thunk — the holder's lazy val serializes them to exactly one
+    // execution. Forcing outside the CHM update keeps nested of() calls
+    // legal (sharedComponents → sharedDedupIndex): a computeIfAbsent
+    // re-entering the same ConcurrentHashMap would throw
+    // IllegalStateException("Recursive update").
+    var h = perSession.get(k)
+    if (h == null) {
+      val fresh = new Holder[T](() => build)
+      val prev = perSession.putIfAbsent(k, fresh)
+      h = if (prev != null) prev else fresh
     }
+    h.asInstanceOf[Holder[T]].value
   }
   /** Drop every artifact built for `s` (call when stopping a session in
     * a multi-session JVM; checkpointed blocks are then reclaimable).

@@ -71,6 +71,26 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("bloom build/probe parity: every member bit set via both paths") {
+    // the r6 advisory: build side (scalar) and probe side (Column) must
+    // derive from ONE probe definition — this pins that a member's bits
+    // are set through the scalar formula AND found through the Column
+    // path, so a drift in either direction fails here before it can
+    // break the no-false-negative guarantee
+    val members = Seq(0L, 1L, 7919L, 1152921504606846975L, 648541476951500027L)
+    val bits = Dedup.bloomBits(members)
+    for (h <- members; i <- 0 until Dedup.BloomK)
+      assert(bits(Dedup.bloomProbe(i, h).toInt), s"scalar probe $i of $h unset")
+    val bitsCol = typedLit(bits)
+    val flagged = members.toDF("h")
+      .select(Dedup.bloomMightContain(col("h"), bitsCol).as("m"))
+      .collect().map(_.getBoolean(0))
+    assert(flagged.forall(identity), "Column probe missed a member")
+    // and the SQL fragment is the same formula
+    assert(Dedup.bloomProbeSql("i", "h") ==
+      s"((2*i+1)*h + 7919*i) % ${Dedup.BloomM}")
+  }
+
   test("exact dedup groups duplicates by content hash") {
     val docs = Seq((0L, "same text here"), (1L, "same text here"), (2L, "different"))
       .toDF("doc_id", "text")
