@@ -87,6 +87,30 @@ object TextQueries extends QueryRegistry {
         .localCheckpoint()
     }
 
+  /** Contaminated corpus doc ids (share a 5-gram shingle with the eval
+    * stand-ins, docs 0-9), computed the scale way: the eval side's
+    * Bloom bitmap broadcasts and screens the corpus MAP-ONLY down to
+    * candidates, and the exact shingle join verifies ONLY those (no
+    * false negatives, so candidates ⊇ truth). Shared by the funnel's
+    * decon stage; decontamination_bloom keeps its own copy because it
+    * audits the screen itself (candidate vs exact counts). */
+  private def sharedContaminatedIds(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "decon-exact-ids") {
+      val (hashed, _) = sharedDedupIndex(s, dir)
+      val benchHashes = hashed.filter(col("doc_id") < 10)
+        .select(explode(array_distinct(col("shh"))).as("h"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val bits = typedLit(Dedup.bloomBits(benchHashes))
+      hashed.filter(col("doc_id") >= 10)
+        .filter(exists(array_distinct(col("shh")),
+          h => Dedup.bloomMightContain(h, bits)))
+        .select(col("doc_id"), explode(array_distinct(col("shh"))).as("h"))
+        .join(broadcast(hashed.filter(col("doc_id") < 10)
+          .select(explode(array_distinct(col("shh"))).as("h")).distinct()), "h")
+        .select(col("doc_id")).distinct()
+        .localCheckpoint()
+    }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tokenization stats (token counting op)
     "token_stats" -> ((s, dir) => {
@@ -273,6 +297,10 @@ object TextQueries extends QueryRegistry {
     //         component of the minhash pair graph — the component view
     //         keeps one doc per transitive chain where pairwise drops
     //         over-delete)
+    //       → decontamination (drop corpus docs sharing an eval
+    //         shingle; Bloom screen broadcasts, the exact join
+    //         verifies only the screened candidates — the real
+    //         pipeline's dedup → decon → quality order)
     //       → Gopher quality rules (word count, mean length, symbol
     //         ratio, alpha ratio; the stop-word rule is reported by
     //         gopher_quality_flags but not gated here — the synthetic
@@ -290,6 +318,8 @@ object TextQueries extends QueryRegistry {
     "curation_funnel" -> ((s, dir) => {
       val docs = documents(s, dir)
       val cc = sharedComponents(s, dir).withColumnRenamed("node", "doc_id")
+      val contam = sharedContaminatedIds(s, dir)
+        .withColumn("contaminated", lit(true))
       val wHash = Window.partitionBy(col("ch"))
       val wComp = Window.partitionBy(col("component"))
       val flags = docs
@@ -299,7 +329,15 @@ object TextQueries extends QueryRegistry {
         .withColumn("nd_keep", col("exact_keep") && (col("component").isNull ||
           col("doc_id") ===
             min(when(col("exact_keep"), col("doc_id"))).over(wComp)))
-        .select(col("doc_id"), col("exact_keep"), col("nd_keep"))
+        // decon drops CORPUS docs that leak eval shingles; the eval
+        // stand-ins (doc_id < 10) are not on the corpus side of the
+        // sweep, so they pass this stage untouched (contam is a
+        // broadcast-size id list — a left join, never a shuffle of
+        // the funnel frame at scale)
+        .join(broadcast(contam), Seq("doc_id"), "left")
+        .withColumn("decon_keep",
+          col("nd_keep") && !coalesce(col("contaminated"), lit(false)))
+        .select(col("doc_id"), col("exact_keep"), col("nd_keep"), col("decon_keep"))
       val metrics = docs
         .withColumn("toks", TextOps.tokens(col("text")))
         .withColumn("ws", filter(split(col("text"), "\\s+"), w => length(w) > lit(0)))
@@ -326,8 +364,9 @@ object TextQueries extends QueryRegistry {
         .agg(count(lit(1)).cast("long").as("n_raw"),
           cnt(col("exact_keep")).as("n_exact"),
           cnt(col("nd_keep")).as("n_neardup"),
-          cnt(col("nd_keep") && col("q_pass")).as("n_quality"),
-          cnt(col("nd_keep") && col("q_pass") && col("ttr_pass")).as("n_final"))
+          cnt(col("decon_keep")).as("n_decontaminated"),
+          cnt(col("decon_keep") && col("q_pass")).as("n_quality"),
+          cnt(col("decon_keep") && col("q_pass") && col("ttr_pass")).as("n_final"))
     }),
 
     // exact-substring duplicate SPANS (the signal behind suffix-array
@@ -749,6 +788,9 @@ object TextQueries extends QueryRegistry {
          |          UNION
          |          SELECT e.v AS node, reach.r AS r FROM reach JOIN edges e ON reach.node = e.u),
          |cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |bh AS (SELECT DISTINCT unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id < 10),
+         |chh AS (SELECT doc_id, unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id >= 10),
+         |contam AS (SELECT DISTINCT doc_id FROM chh JOIN bh USING (h)),
          |base AS (
          |  SELECT d.doc_id, d.text, cc.component, ${F.md5L("d.text")} AS ch,
          |         ${F.toks("d.text")} AS toks,
@@ -768,16 +810,19 @@ object TextQueries extends QueryRegistry {
          |          CASE WHEN nw = 0 THEN 0.0
          |               ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / nw END AS alpha_ratio
          |        FROM st1),
-         |st3 AS (SELECT *, (nd_keep AND nw BETWEEN 50 AND 100000
+         |st2d AS (SELECT *, (nd_keep AND doc_id NOT IN (SELECT doc_id FROM contam)) AS decon_keep
+         |        FROM st2),
+         |st3 AS (SELECT *, (decon_keep AND nw BETWEEN 50 AND 100000
          |          AND mean_len >= 3 AND mean_len <= 10
          |          AND sym_ratio < 0.1 AND alpha_ratio >= 0.8) AS q_keep
-         |        FROM st2),
+         |        FROM st2d),
          |st4 AS (SELECT *, (q_keep AND (len(toks) = 0 OR
          |          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.32)) AS final_keep
          |        FROM st3)
          |SELECT CAST(count(*) AS BIGINT) AS n_raw,
          |       CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
          |       CAST(sum(CASE WHEN nd_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+         |       CAST(sum(CASE WHEN decon_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_decontaminated,
          |       CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |       CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final
          |FROM st4""".stripMargin,
@@ -865,10 +910,10 @@ object TextQueries extends QueryRegistry {
          |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
          |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
          |bh AS (SELECT DISTINCT unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id < 10),
-         |bset AS (SELECT DISTINCT ((2*i+1)*h + 7919*i) % ${Dedup.BloomM} AS p
+         |bset AS (SELECT DISTINCT ${Dedup.bloomProbeSql("i", "h")} AS p
          |         FROM bh, (SELECT unnest([0,1,2,3]) AS i)),
          |dh AS (SELECT doc_id, unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id >= 10),
-         |probes AS (SELECT doc_id, h, ((2*i+1)*h + 7919*i) % ${Dedup.BloomM} AS p
+         |probes AS (SELECT doc_id, h, ${Dedup.bloomProbeSql("i", "h")} AS p
          |           FROM dh, (SELECT unnest([0,1,2,3]) AS i)),
          |hitsh AS (SELECT doc_id, h FROM probes GROUP BY doc_id, h
          |          HAVING sum(CASE WHEN p IN (SELECT p FROM bset) THEN 1 ELSE 0 END) = ${Dedup.BloomK}),
