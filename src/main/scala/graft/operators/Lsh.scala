@@ -69,6 +69,24 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L) {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
+  /** Incremental maintenance: bucket-assign a NEW batch against the
+    * index's frozen plane matrix (planes are fixed by (numPlanes,
+    * seed) at build time — the same frozen-parameter contract as
+    * `Ivf.append`'s centroids) and add partition-local files to the
+    * bucket-partitioned store. Existing rows are never read,
+    * shuffled, or rewritten: one map-only signature pass over the
+    * batch, so the append costs O(batch), not O(corpus). Exceeds the
+    * reference's build/clear-only index lifecycle (src/index.rs:124-156)
+    * while keeping its bucket semantics; single-writer discipline as
+    * in the .kwi append path (vector_db/src/binary_index.rs:103-146). */
+  def append(path: String, batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val dim = batch.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+    batch
+      .select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
   /** In-memory variant for tests/small corpora: same frame, not written. */
   def index(vectors: DataFrame,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -58,6 +58,23 @@ object IndexQueries extends QueryRegistry {
       val idx = s.read.parquet(path)
       (idx, lsh.bucketHistogram(idx))
     }
+  /** Incremental-maintenance twin for the LSH store: planes are
+    * frozen by (numPlanes, seed) at build time, so the second half of
+    * the corpus arrives as a batch APPEND — one map-only signature
+    * pass, partition-local file adds into the bucket-partitioned
+    * store, zero touches of the existing rows. Returns
+    * (half, merged index). */
+  private def lshAppendStore(s: SparkSession, dir: String): (Long, DataFrame) =
+    SharedBuilds.of(s, dir, "lsh-append-store") {
+      val emb = embeddings(s, dir)
+      val half = emb.count() / 2
+      val lsh = new Lsh(numPlanes = LshStorePlanes, seed = 42L)
+      val path = buildPath(dir, "lsh16-app")
+      lsh.build(emb.filter(col("vec_id") < half), path)
+      lsh.append(path, emb.filter(col("vec_id") >= half))
+      (half, s.read.parquet(path))
+    }
+
   /** Declared HNSW build: FULL corpus (round 2 capped it at
     * vec_id &lt; 300), LSH-blocked candidate pairs (multi-probe 1-bit
     * expansion keeps the graph connected — see Hnsw.buildAdjacency).
@@ -486,6 +503,29 @@ object IndexQueries extends QueryRegistry {
           (col("nc") >= 1 && col("nc") <= 8).as("n_cells_ok"))
     }),
 
+    // LSH append audit, mirroring ivf_append_audit: the merged store
+    // must hold every source row exactly once (totals + id uniqueness
+    // hash-verified against the source table) with every bucket key
+    // inside the 2^planes signature space — and because the planes are
+    // frozen, append-assigned buckets are IDENTICAL to a full-build's
+    // (pinned in IndexSpec), so probes over the merged store stay
+    // correct without any rebuild
+    "lsh_append_audit" -> ((s, dir) => {
+      val (half, idx) = lshAppendStore(s, dir)
+      idx.agg(
+          count(lit(1)).as("total"),
+          countDistinct(col("vec_id")).as("nd"),
+          sum(when(col("vec_id") < half, 1L).otherwise(0L)).as("nb"),
+          min(col("bucket").cast("long")).as("mnb"),
+          max(col("bucket").cast("long")).as("mxb"))
+        .select(col("total").cast("long").as("total_vectors"),
+          col("nb").cast("long").as("n_base"),
+          (col("total") - col("nb")).cast("long").as("n_appended"),
+          (col("nd") === col("total")).as("ids_unique"),
+          (col("mnb") >= 0L && col("mxb") < lit(1L << LshStorePlanes))
+            .as("buckets_in_range"))
+    }),
+
     "ivf_cell_sizes" -> ((s, dir) => {
       val (_, assigned) = ivfStore(s, dir)
       assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
@@ -774,6 +814,17 @@ object IndexQueries extends QueryRegistry {
         |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_base,
         |       CAST(c - (SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_appended,
         |       d = c AS ids_unique, true AS n_cells_ok
+        |FROM n""".stripMargin,
+
+    // ids_unique derived as in ivf_append_audit; buckets_in_range stays
+    // Spark-side-only (the plane matrix is a seeded-PRNG artifact DuckDB
+    // cannot replay)
+    "lsh_append_audit" ->
+      """WITH n AS (SELECT count(*) AS c, count(DISTINCT vec_id) AS d FROM embeddings)
+        |SELECT CAST(c AS BIGINT) AS total_vectors,
+        |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_base,
+        |       CAST(c - (SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_appended,
+        |       d = c AS ids_unique, true AS buckets_in_range
         |FROM n""".stripMargin,
 
     "ivf_cell_sizes" ->

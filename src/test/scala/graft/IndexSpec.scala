@@ -22,6 +22,32 @@ class IndexSpec extends SparkSpec {
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
   }
 
+  test("lsh: append against frozen planes equals a full-corpus build") {
+    val small = emb.filter($"vec_id" < 400).cache()
+    val half = small.count() / 2
+    val lsh = new Lsh(numPlanes = 8, seed = 7L)
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh-append").resolve("idx").toString
+    lsh.build(small.filter($"vec_id" < half), path)
+    lsh.append(path, small.filter($"vec_id" >= half))
+    // partition-column values read back as int when they fit — cast
+    // through Number so the parity check compares longs either way
+    val merged = spark.read.parquet(path)
+      .collect().map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getAs[Number]("bucket").longValue()).toMap
+    // reference: one full-corpus assignment with the same frozen planes
+    val direct = lsh.index(small)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(merged.size == small.count())
+    assert(merged == direct)
+    // probing the merged store surfaces an appended row at rank 1
+    val q = vecOf(half)
+    val idx = spark.read.parquet(path)
+    val top = lsh.query(spark, idx, q, 5,
+      bucketSizes = Some(lsh.bucketHistogram(idx))).collect()
+    assert(top.head.getLong(0) === half)
+  }
+
   test("lsh: bucket hash is deterministic and matches driver-side hash") {
     val lsh = new Lsh()
     val idx = lsh.index(emb)
