@@ -189,6 +189,23 @@ object IndexQueries extends QueryRegistry {
       (pq, books, s.read.parquet(path))
     }
 
+  /** Seed + TRAINED codebooks at the declared PQ shape (m=4, ksub=16,
+    * one fused Lloyd round — PqSpec measures 0.66 → 0.76 mean recall).
+    * Training is deterministic (left-to-right double sums, fixed
+    * iters) but not SQL-replayable, so pq_trained_recall audits it
+    * with the sketch-oracle pattern: exact DuckDB-replayed totals for
+    * the seed side, must-be-true booleans for the trained side. */
+  private def pqTrainedBooks(s: SparkSession, dir: String)
+      : (Pq, Array[Array[Array[Double]]], Array[Array[Array[Double]]]) =
+    SharedBuilds.of(s, dir, "pq-trained-books") {
+      val emb = embeddings(s, dir)
+      val pq = new Pq(m = 4)
+      val seed = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      (pq, pq.codebooksFromSeed(seed), pq.train(emb, seed, iters = 1))
+    }
+
   /** Persisted IVF-PQ index — THE canonical petabyte ANN layout
     * (coarse cell partitioning × compressed residency): one row per
     * vector holding its cluster (partition column) and its 4 PQ codes,
@@ -653,6 +670,56 @@ object IndexQueries extends QueryRegistry {
         .orderBy(col("query_id"))
     }),
 
+    // Trained-PQ recall audit (sketch-oracle pattern, the
+    // events_value_sketches precedent): seed books and one-round-
+    // trained books each produce an ADC top-50 shortlist (one scan,
+    // bounded-heap) that exact-reranks to top-10 against the true
+    // NegEuclidean top-10. Hit counts are INTEGERS (no float-average
+    // replay risk); the seed side is fully DuckDB-recomputed, the
+    // trained side (deterministic fused Lloyd, not SQL-expressible)
+    // is pinned by must-be-true booleans: training never loses to the
+    // seed books, and clears the 0.7 mean-recall bar
+    "pq_trained_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = embeddings(s, dir)
+      val (pq, seedBooks, trainedBooks) = pqTrainedBooks(s, dir)
+      val qrows = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val exact = Knn.topKPerQueryAgg(emb, qs, 10, Knn.NegEuclidean)
+        .select(col("query_id"), col("vec_id"))
+      def hits(books: Array[Array[Array[Double]]]): DataFrame = {
+        val tables = qrows.map { case (qid, qv) => (qid, pq.adcTable(qv, books)) }.toSeq
+        val codes = emb.select(col("vec_id"),
+          pq.encodeExpr(col("embedding"), books).as("codes"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+        pq.adcTopKMulti(codes, tables, 50)
+          .select(col("query_id"), col("vec_id"))
+          .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(qs), "query_id")
+          .select(col("query_id"), col("vec_id"),
+            Knn.stableScore(Knn.NegEuclidean.score(col("embedding"), col("qe")))
+              .as("score"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .join(exact, Seq("query_id", "vec_id"))
+          .agg(coalesce(count(lit(1)), lit(0L)).cast("long").as("n_hits"))
+      }
+      val nq = qrows.length.toLong
+      emb.agg(count(lit(1)).cast("long").as("n_vectors"))
+        .crossJoin(hits(seedBooks).select(col("n_hits").as("sh")))
+        .crossJoin(hits(trainedBooks).select(col("n_hits").as("th")))
+        .select(col("n_vectors"),
+          lit(nq).as("n_queries"),
+          col("sh").as("seed_hits"),
+          (round(col("sh").cast("double") / (10.0 * nq), 6) + 0.0)
+            .as("seed_mean_recall"),
+          (col("th") >= col("sh")).as("trained_ge_seed"),
+          (col("th").cast("double") / (10.0 * nq) >= 0.7).as("trained_recall_ok"))
+    }),
+
     // Multi-query probe of the PERSISTED compressed index: q=5 ADC
     // top-10 through the batched one-scan path (adcTopKMulti) — the
     // many-query serving shape of the compressed tier on the oracle
@@ -1028,6 +1095,54 @@ object IndexQueries extends QueryRegistry {
          |       round(CAST(len(list_intersect(x.exact_ids, p.pq_ids)) AS DOUBLE) / 10.0, 6) AS recall
          |FROM pq_lists p JOIN ex_lists x ON p.query_id = x.query_id
          |ORDER BY p.query_id""".stripMargin,
+
+    // Seed side recomputed end-to-end (same replay as pq_rerank_recall,
+    // folded to integer hit counts); trained side is Spark-verified
+    // booleans (fused Lloyd is not SQL-expressible).
+    "pq_trained_recall" ->
+      s"""WITH sp AS (SELECT s FROM range(0, 4) t(s)),
+         |b AS (SELECT vec_id AS j, embedding AS be FROM embeddings WHERE vec_id < 16),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT e.vec_id, sp.s, b.j,
+         |        list_sum(list_transform(generate_series(1, 16),
+         |          i -> (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE))
+         |             * (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE)))) AS d
+         |      FROM embeddings e CROSS JOIN b CROSS JOIN sp),
+         |codes AS (SELECT vec_id, s, j AS code FROM (
+         |    SELECT vec_id, s, j,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+         |    FROM d) WHERE rn = 1),
+         |qt AS (SELECT qs.query_id, sp.s, b.j,
+         |        list_sum(list_transform(generate_series(1, 16),
+         |          i -> (CAST(qs.qe[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE))
+         |             * (CAST(qs.qe[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE)))) AS d
+         |      FROM b CROSS JOIN sp CROSS JOIN qs),
+         |adc AS (SELECT t.query_id, c.vec_id, round(sum(t.d), 6) + 0.0 AS adc
+         |        FROM codes c JOIN qt t ON c.s = t.s AND c.code = t.j
+         |        GROUP BY t.query_id, c.vec_id),
+         |short AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn
+         |    FROM adc) WHERE rn <= 50),
+         |rr AS (SELECT sh.query_id, sh.vec_id,
+         |          row_number() OVER (PARTITION BY sh.query_id
+         |            ORDER BY round(${negEuclidean("e.embedding", "qs.qe")}, 6) DESC, sh.vec_id ASC) AS rn
+         |       FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
+         |         JOIN qs ON qs.query_id = sh.query_id),
+         |ex AS (SELECT qs.query_id, e.vec_id,
+         |         row_number() OVER (PARTITION BY qs.query_id
+         |           ORDER BY round(${negEuclidean("e.embedding", "qs.qe")}, 6) DESC, e.vec_id ASC) AS rn
+         |       FROM embeddings e CROSS JOIN qs),
+         |h AS (SELECT count(*) AS sh FROM rr JOIN ex
+         |        ON rr.query_id = ex.query_id AND rr.vec_id = ex.vec_id
+         |       WHERE rr.rn <= 10 AND ex.rn <= 10),
+         |nq AS (SELECT count(*) AS n FROM qs)
+         |SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+         |       CAST(nq.n AS BIGINT) AS n_queries,
+         |       CAST(h.sh AS BIGINT) AS seed_hits,
+         |       round(CAST(h.sh AS DOUBLE) / (10.0 * nq.n), 6) + 0.0 AS seed_mean_recall,
+         |       true AS trained_ge_seed, true AS trained_recall_ok
+         |FROM h, nq""".stripMargin,
 
     // LSH fallback ⇒ exact: same oracle as brute-force cosine.
     "lsh_knn" ->
