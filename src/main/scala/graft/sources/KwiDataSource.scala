@@ -197,43 +197,94 @@ class KwiWriterFactory(path: String, schema: StructType, jobId: String)
   }
 }
 
+/** Filter pushdown accepts id-equality shapes (`id = lit`,
+  * `id IN (...)`, conjunctions thereof) and routes them through the
+  * offset-table point-read path (`KwiFormat.IndexedReader`) — the
+  * reference's O(1) lookup (vector_db/src/binary_index.rs:148-160)
+  * surfaced to SQL. Each shard then does one cheap offset-scan (the
+  * embedding/metadata bytes are SKIPPED, never deserialized) plus
+  * O(matches) seek-reads, instead of materializing every record; only
+  * the shard holding the id does real record reads. Semantics are
+  * EXACTLY the full scan's: `getAll` replays every live occurrence of
+  * an id, so duplicate live ids keep their row counts. */
 class KwiScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
   private var required: StructType = KwiDataSource.schema
+  private var accepted: Array[Filter] = Array.empty
+  private var ids: Option[Seq[String]] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new KwiScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition {
+      case EqualTo("id", _: String) => true
+      case In("id", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    if (ok.nonEmpty) {
+      accepted = ok
+      // the filter array is a CONJUNCTION: the candidate id set is the
+      // intersection of every accepted filter's id set
+      val sets = ok.map {
+        case EqualTo(_, v: String) => Set(v)
+        case In(_, vs) => vs.map(_.asInstanceOf[String]).toSet
+        case f => throw new IllegalStateException(s"unaccepted filter $f")
+      }
+      ids = Some(sets.reduce(_ intersect _).toSeq.sorted)
+    }
+    rest // accepted shapes are fully answered by the point reads
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def build(): Scan = new KwiScan(path, required, ids)
 }
 
-class KwiScan(path: String, required: StructType) extends Scan with Batch {
+class KwiScan(path: String, required: StructType,
+    pushedIds: Option[Seq[String]] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     KwiDataSource.filesOf(path).map(f => KwiInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new KwiReaderFactory(required)
+    new KwiReaderFactory(required, pushedIds)
+  // surfaces in .explain so tests/users can see the point-read route
+  override def description(): String =
+    s"kwi:$path${pushedIds.map(ids => s" PushedIds: ${ids.mkString("[", ",", "]")}").getOrElse("")}"
 }
 
 case class KwiInputPartition(file: String) extends InputPartition
 
-class KwiReaderFactory(required: StructType) extends PartitionReaderFactory {
+class KwiReaderFactory(required: StructType,
+    pushedIds: Option[Seq[String]] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[KwiInputPartition].file
-    new PartitionReader[InternalRow] {
-      private val it = KwiFormat.readRecords(Paths.get(file))
-      private var cur: (String, Array[Float], Option[String]) = _
-      override def next(): Boolean =
-        if (it.hasNext) { cur = it.next(); true } else false
-      override def get(): InternalRow =
-        InternalRow.fromSeq(required.fields.toSeq.map(_.name match {
-          case "id" => UTF8String.fromString(cur._1)
-          case "embedding" => ArrayData.toArrayData(cur._2)
-          case "metadata" => cur._3.map(UTF8String.fromString).orNull
-          case other => throw new IllegalArgumentException(s"unknown column $other")
-        }))
-      // release the underlying file handle even when the scan terminates
-      // early (limit pushdown, task cancellation)
-      override def close(): Unit = it.close()
+    def toRow(cur: (String, Array[Float], Option[String])): InternalRow =
+      InternalRow.fromSeq(required.fields.toSeq.map(_.name match {
+        case "id" => UTF8String.fromString(cur._1)
+        case "embedding" => ArrayData.toArrayData(cur._2)
+        case "metadata" => cur._3.map(UTF8String.fromString).orNull
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }))
+    pushedIds match {
+      case Some(ids) => new PartitionReader[InternalRow] {
+        private val rdr = new KwiFormat.IndexedReader(file)
+        private val it = ids.iterator.flatMap(rdr.getAll)
+        private var cur: (String, Array[Float], Option[String]) = _
+        override def next(): Boolean =
+          if (it.hasNext) { cur = it.next(); true } else false
+        override def get(): InternalRow = toRow(cur)
+        override def close(): Unit = rdr.close()
+      }
+      case None => new PartitionReader[InternalRow] {
+        private val it = KwiFormat.readRecords(Paths.get(file))
+        private var cur: (String, Array[Float], Option[String]) = _
+        override def next(): Boolean =
+          if (it.hasNext) { cur = it.next(); true } else false
+        override def get(): InternalRow = toRow(cur)
+        // release the underlying file handle even when the scan
+        // terminates early (limit pushdown, task cancellation)
+        override def close(): Unit = it.close()
+      }
     }
   }
 }

@@ -392,7 +392,15 @@ object KwiFormat {
     /** Seek-read the LATEST live record for an id; None when the id is
       * absent or dead. */
     def get(id: String): Option[(String, Array[Float], Option[String])] =
-      offsets.get(id).map(_.last).map { off =>
+      offsets.get(id).map(_.last).map(readAt)
+
+    /** EVERY live record for an id, oldest first — the exact multiset
+      * a full scan + id filter emits, so the DSv2 filter-pushdown path
+      * can never change row counts when duplicate live ids exist. */
+    def getAll(id: String): Seq[(String, Array[Float], Option[String])] =
+      offsets.get(id).getOrElse(Seq.empty).map(readAt)
+
+    private def readAt(off: Long): (String, Array[Float], Option[String]) = {
         ch.position(off)
         val in = new DataInputStream(
           new BufferedInputStream(java.nio.channels.Channels.newInputStream(ch)))

@@ -48,6 +48,49 @@ class KwiDataSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("id0", "id1", "id2", "id3"))
   }
 
+  test("id-equality filter pushdown routes through the point reader") {
+    val dir = Files.createTempDirectory("kwi-push").toString
+    writeKwi(s"$dir/p0.kwi", 0 until 50)
+    writeKwi(s"$dir/p1.kwi", 50 until 100)
+    val tbl = spark.read.format("kwi").load(dir)
+    val q = tbl.filter(col("id") === "id7")
+    // the pushed filter surfaces on the scan node (point-read route),
+    // and no Filter re-evaluation is needed above it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedIds: [id7]"), plan)
+    val rows = q.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "id7")
+    assert(rows(0).getSeq[Float](1) == Seq(7f, 7.5f))
+    // parity with the unpushed scan (filter applied after a full read)
+    val full = tbl.collect().filter(_.getString(0) == "id7")
+    assert(rows.map(_.toString).toSeq == full.map(_.toString).toSeq)
+    // IN pushdown across shards: each wanted id comes back exactly once
+    val in = tbl.filter(col("id").isin("id3", "id64", "nope"))
+    assert(in.queryExecution.executedPlan.toString.contains("PushedIds: [id3,id64,nope]"))
+    assert(in.collect().map(_.getString(0)).sorted.toSeq == Seq("id3", "id64"))
+    // contradictory conjunction prunes to the empty id set
+    assert(tbl.filter(col("id") === "id3" && col("id") === "id4").count() == 0)
+  }
+
+  test("filter pushdown preserves duplicate-live-id row counts") {
+    val dir = Files.createTempDirectory("kwi-push-dup").toString
+    val path = s"$dir/a.kwi"
+    writeKwi(path, 0 until 4)
+    // a second live record for id1 (append keeps both live; a scan +
+    // filter would emit two rows, so the point read must too)
+    KwiFormat.append(
+      Seq(("id1", Array(9f, 9.5f), "dup")).toDF("id", "embedding", "metadata"),
+      path)
+    val q = spark.read.format("kwi").load(path).filter(col("id") === "id1")
+    val rows = q.collect()
+    assert(rows.length == 2, rows.mkString(";"))
+    // non-id predicates stay above the scan and still apply
+    val narrowed = spark.read.format("kwi").load(path)
+      .filter(col("id") === "id1" && col("metadata") === "dup")
+    assert(narrowed.collect().length == 1)
+  }
+
   test("format(\"kwi\") honors tombstones: deleted records never reach the scan") {
     val dir = Files.createTempDirectory("kwi-tomb").toString
     val path = s"$dir/a.kwi"
