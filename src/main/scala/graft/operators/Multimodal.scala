@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * pandas-batch UDF: one iterator per partition, so a real codec
   * library would amortize its per-batch setup exactly the same way.
   *
-  * Decoding is a real dispatch: 24-bit BMP and PCM WAV payloads parse
-  * through zero-dependency byte-layout decoders (`decodeBmp` /
-  * `decodeWav` — real headers, padding, chunk walks), and only OPAQUE
-  * payloads fall back to the deterministic `decodeStub` (the documented
-  * stand-in for codecs this container doesn't ship, e.g. JPEG/H.264).
+  * Decoding is a real dispatch: 8-bit RGB/RGBA PNG, 24-bit BMP and
+  * PCM WAV payloads parse through zero-dependency byte-layout decoders
+  * (`decodePng` with full zlib inflate + scanline-filter
+  * reconstruction, `decodeBmp`, `decodeWav` — real headers, CRCs,
+  * padding, chunk walks), and only OPAQUE payloads fall back to the
+  * deterministic `decodeStub` (the documented stand-in for codecs this
+  * container doesn't ship, e.g. JPEG/H.264).
   * Everything Spark-side is real and tested either way: the schema, the
   * binary payload round-trip, the partition-iterator batch shape, and
   * the feature pipeline, which is what matters for the 100 TB plan
@@ -129,10 +131,118 @@ object Multimodal {
     None
   }
 
+  // PNG: 8-bit RGB (color type 2) / RGBA (type 6), non-interlaced,
+  // zlib IDAT via java.util.zip.Inflater, full scanline-filter
+  // reconstruction (None/Sub/Up/Average/Paeth, RFC 2083 §6). Chunk
+  // CRCs are VERIFIED — a corrupt chunk falls back to the stub
+  // instead of decoding garbage. This covers the real-corpus image
+  // case BMP can't (PNG is what web corpora actually contain);
+  // JPEG/H.264 stay stubbed (no dependency-free route).
+
+  private def i32be(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** 8-bit RGB/RGBA non-interlaced PNG → channel samples (r,g,b[,a]
+    * per pixel) in top-down row-major order, scanline filters
+    * reconstructed. None on anything structurally non-PNG (bad
+    * signature, chunk CRC mismatch, unsupported depth/color/interlace,
+    * truncated or over-long inflate). */
+  def decodePng(p: Array[Byte]): Option[Array[Int]] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length < 8 + 25) return None
+    var i = 0
+    while (i < 8) { if ((p(i) & 0xff) != sig(i)) return None; i += 1 }
+    var o = 8
+    var w = 0; var h = 0; var channels = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (o + 8 <= p.length && !seenIend) {
+      val len = i32be(p, o)
+      if (len < 0 || o.toLong + 12L + len > p.length) return None
+      val typ = new String(p, o + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, o + 4, 4 + len)
+      if (crc.getValue.toInt != i32be(p, o + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = i32be(p, o + 8); h = i32be(p, o + 12)
+          val depth = p(o + 16) & 0xff; val ct = p(o + 17) & 0xff
+          val comp = p(o + 18) & 0xff; val filt = p(o + 19) & 0xff
+          val inter = p(o + 20) & 0xff
+          if (depth != 8 || (ct != 2 && ct != 6) || comp != 0 ||
+              filt != 0 || inter != 0) return None
+          if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16)) return None
+          channels = if (ct == 2) 3 else 4
+          seenIhdr = true
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(p, o + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped
+      }
+      o += 12 + len
+    }
+    if (!seenIhdr || !seenIend) return None
+    val stride = w * channels
+    val raw = new Array[Byte]((1 + stride) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+      // an over-long stream is structural corruption too
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter in place, row by row (RFC 2083 §6.2-6.6)
+    val out = new Array[Int](stride * h)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (1 + stride)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < stride) {
+        val v = raw(y * (1 + stride) + 1 + x) & 0xff
+        val a = if (x >= channels) cur(x - channels) else 0
+        val b = prev(x)
+        val c = if (x >= channels) prev(x - channels) else 0
+        cur(x) = (f match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + b
+          case 3 => v + ((a + b) / 2)
+          case 4 => v + paeth(a, b, c)
+        }) & 0xff
+        x += 1
+      }
+      System.arraycopy(cur, 0, out, y * stride, stride)
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(out)
+  }
+
   /** Decode dispatch: a real container parse when the payload IS a
     * real container, the deterministic stub otherwise. */
   def decode(payload: Array[Byte]): Array[Int] =
-    decodeBmp(payload).orElse(decodeWav(payload)).getOrElse(decodeStub(payload))
+    decodePng(payload).orElse(decodeBmp(payload)).orElse(decodeWav(payload))
+      .getOrElse(decodeStub(payload))
 
   /** Encode grayscale bytes as a REAL 24-bit bottom-up BMP (r=g=b=v,
     * padded rows, full 54-byte header) — the fixture generator for the
@@ -162,6 +272,87 @@ object Multimodal {
       row -= 1
     }
     b.array()
+  }
+
+  /** Encode grayscale bytes as a REAL 8-bit RGB PNG (r=g=b=v). The
+    * IDAT zlib stream uses STORED (uncompressed) deflate blocks built
+    * by hand, so the byte count is deterministic across JVMs/zlib
+    * versions — which is what lets the DuckDB oracle pin n_bytes.
+    * `mixedFilters` cycles the scanline filter None/Sub/Up/Average/
+    * Paeth by row, so decoding these fixtures exercises the full
+    * filter reconstruction, not just the happy path. */
+  def encodePngGray(width: Int, height: Int, gray: Array[Byte],
+      mixedFilters: Boolean = false): Array[Byte] = {
+    require(gray.length == width * height,
+      s"need $width*$height bytes, got ${gray.length}")
+    val stride = width * 3
+    // filtered scanlines: filter byte + transformed row
+    val flt = new Array[Byte]((1 + stride) * height)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < stride) { cur(x) = gray(y * width + x / 3) & 0xff; x += 1 }
+      val f = if (mixedFilters) y % 5 else 0
+      flt(y * (1 + stride)) = f.toByte
+      x = 0
+      while (x < stride) {
+        val a = if (x >= 3) cur(x - 3) else 0
+        val b = prev(x)
+        val c = if (x >= 3) prev(x - 3) else 0
+        val enc = f match {
+          case 0 => cur(x)
+          case 1 => cur(x) - a
+          case 2 => cur(x) - b
+          case 3 => cur(x) - ((a + b) / 2)
+          case 4 => cur(x) - paeth(a, b, c)
+        }
+        flt(y * (1 + stride) + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    // zlib stream with stored blocks: 0x78 0x01 header, then
+    // (BFINAL|BTYPE=00, LEN, NLEN, data)*, then adler32(raw)
+    val zl = new java.io.ByteArrayOutputStream()
+    zl.write(0x78); zl.write(0x01)
+    var off = 0
+    while (off < flt.length) {
+      val n = math.min(65535, flt.length - off)
+      val last = off + n == flt.length
+      zl.write(if (last) 1 else 0)
+      zl.write(n & 0xff); zl.write((n >> 8) & 0xff)
+      zl.write(~n & 0xff); zl.write((~n >> 8) & 0xff)
+      zl.write(flt, off, n)
+      off += n
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(flt)
+    val ad = adler.getValue
+    zl.write(((ad >> 24) & 0xff).toInt); zl.write(((ad >> 16) & 0xff).toInt)
+    zl.write(((ad >> 8) & 0xff).toInt); zl.write((ad & 0xff).toInt)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length)
+      val tb = typ.getBytes("US-ASCII")
+      b.put(tb).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val outb = new java.io.ByteArrayOutputStream()
+    outb.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    outb.write(chunk("IHDR", ihdr))
+    outb.write(chunk("IDAT", zl.toByteArray))
+    outb.write(chunk("IEND", Array.empty[Byte]))
+    outb.toByteArray
   }
 
   /** Encode 8-bit unsigned PCM mono as a real WAV. */

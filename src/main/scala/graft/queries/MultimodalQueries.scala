@@ -56,9 +56,20 @@ object MultimodalQueries extends QueryRegistry {
         // via strlen (DuckDB's byte length).
         .filter(octet_length(col("head")) === 64)
         .as[(Long, String)]
-      val media = docs.map { case (id, txt) =>
-        Multimodal.MediaRow(id, "image",
-          Multimodal.encodeBmpGray(8, 8, txt.getBytes("UTF-8")), 8, 8, 1)
+      // each doc yields a BMP row AND a PNG row (media_id + 1000): the
+      // PNG fixtures cycle all five scanline filters, so the decoded
+      // values hash-matching the oracle pins the full filter
+      // reconstruction, not just container parsing. RGB triples the
+      // gray byte per pixel, so mean/bin ratios replay from the text
+      // identically for both containers; n_bytes differs (246 BMP,
+      // 268 stored-block PNG — both deterministic).
+      val media = docs.flatMap { case (id, txt) =>
+        val gray = txt.getBytes("UTF-8")
+        Seq(
+          Multimodal.MediaRow(id, "image",
+            Multimodal.encodeBmpGray(8, 8, gray), 8, 8, 1),
+          Multimodal.MediaRow(id + 1000, "image",
+            Multimodal.encodePngGray(8, 8, gray, mixedFilters = true), 8, 8, 1))
       }
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("n_bytes"),
@@ -126,18 +137,26 @@ object MultimodalQueries extends QueryRegistry {
     // gray pixels put each text byte in all 3 channels: means and
     // normalized histogram bins equal the per-char stats over the
     // 64-char head; n_bytes = 54 + 8*8*3 = 246 exactly
+    // BMP rows (246 bytes) and PNG rows (media_id + 1000, 268 bytes:
+    // 8 sig + 25 IHDR + 223 stored-block IDAT + 12 IEND) replay the
+    // SAME per-text sample stats — r=g=b triples every byte, leaving
+    // mean and bin ratios unchanged
     "media_real_decode" ->
       """WITH t AS (SELECT doc_id AS media_id, substr(text, 1, 64) AS s
         |           FROM documents WHERE doc_id < 40 AND length(text) >= 64
         |             AND strlen(substr(text, 1, 64)) = 64),
         |b AS (SELECT media_id,
         |             list_transform(generate_series(1, 64), i -> ascii(s[i])) AS bytes
-        |      FROM t)
-        |SELECT media_id, CAST(246 AS BIGINT) AS n_bytes,
+        |      FROM t),
+        |stats AS (SELECT media_id,
         |       round(CAST(list_sum(bytes) AS DOUBLE) / 64, 6) AS mean_sample,
         |       round(CAST(len(list_filter(bytes, x -> x // 16 = 2)) AS DOUBLE) / 64, 6) AS bin2,
         |       round(CAST(len(list_filter(bytes, x -> x // 16 = 6)) AS DOUBLE) / 64, 6) AS bin6
-        |FROM b ORDER BY media_id""".stripMargin,
+        |FROM b)
+        |SELECT media_id, CAST(246 AS BIGINT) AS n_bytes, mean_sample, bin2, bin6 FROM stats
+        |UNION ALL
+        |SELECT media_id + 1000 AS media_id, CAST(268 AS BIGINT) AS n_bytes, mean_sample, bin2, bin6 FROM stats
+        |ORDER BY media_id""".stripMargin,
 
     "media_resize_audit" ->
       """SELECT doc_id AS media_id,

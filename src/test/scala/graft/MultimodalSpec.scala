@@ -58,6 +58,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(huge).toSeq === huge.map(_ & 0xff).toSeq) // stub fallback
   }
 
+  test("png codec: encode → inflate → unfilter round-trips every filter type") {
+    // height 7 with mixedFilters cycles None/Sub/Up/Average/Paeth and
+    // wraps back — every reconstruction path runs, and Paeth/Average
+    // see non-trivial left/up/up-left neighbors
+    val w = 5; val h = 7
+    val gray = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val png = Multimodal.encodePngGray(w, h, gray, mixedFilters = true)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    // deterministic size: stored-block zlib, so sig + IHDR + IDAT + IEND
+    val flt = h * (1 + w * 3)
+    assert(png.length == 8 + 25 + (12 + 2 + 5 + flt + 4) + 12)
+    val samples = Multimodal.decodePng(png).get
+    assert(samples.toSeq === gray.flatMap(v => Seq.fill(3)(v.toInt & 0xff)).toSeq)
+    // unfiltered encode decodes to the same values
+    val plain = Multimodal.encodePngGray(w, h, gray)
+    assert(Multimodal.decodePng(plain).get.toSeq === samples.toSeq)
+    // structural rejection: flipped CRC, truncated stream, bad magic
+    val corrupt = png.clone(); corrupt(png.length - 5) = (corrupt(png.length - 5) ^ 1).toByte
+    assert(Multimodal.decodePng(corrupt).isEmpty)
+    assert(Multimodal.decodePng(png.dropRight(13)).isEmpty)
+    assert(Multimodal.decodePng("not a png but long enough to look at the header bytes".getBytes).isEmpty)
+    // dispatch routes PNG to the real parse
+    assert(Multimodal.decode(png).toSeq === samples.toSeq)
+  }
+
   test("decode dispatch: real containers parse, opaque payloads take the stub") {
     val gray = Array[Byte](1, 2, 3, 4)
     val bmp = Multimodal.encodeBmpGray(2, 2, gray)
