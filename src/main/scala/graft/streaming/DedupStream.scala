@@ -66,6 +66,88 @@ object DedupStream {
         TextOps.bandHash(col("sig"), col("band"), Rows).as("band_hash"))
   }
 
+  /** Rows of the banded signature stream feeding the stateful
+    * in-stream pairing. */
+  case class BandedDoc(doc_id: Long, ts: java.sql.Timestamp,
+      band: Int, band_hash: Long, sig: Seq[Long])
+
+  /** One bucket resident: enough to pair (id + signature) and to age
+    * out (event-time millis). */
+  case class BucketEntry(doc_id: Long, tsMs: Long, sig: Seq[Long])
+
+  /** In-stream candidate pair: est_jaccard is the minhash
+    * component-match estimator from the two signatures. */
+  case class CandidatePair(a: Long, b: Long, band: Int, est_jaccard: Double)
+
+  /** In-STREAM near-duplicate candidates — the stream-vs-stream half
+    * of the streaming dedup story (nearDupAgainstCorpus covers
+    * stream-vs-static). Band-keyed `flatMapGroupsWithState` keeps,
+    * per (band, band_hash) bucket, the minhash signatures of docs
+    * seen inside the state TTL; each arriving doc pairs against the
+    * bucket's residents and joins them. State is BOUNDED on both
+    * axes: at most `maxPerBucket` signatures per live bucket (oldest
+    * evicted first — a hot bucket degrades to recent-window pairing,
+    * it cannot OOM the store), and buckets age out on an event-time
+    * timeout tied to the watermark. est_jaccard = matching signature
+    * components / MinhashH (the standard estimator); candidates feed
+    * an exact downstream rerank, the same contract as the batch
+    * banded join. A pair agreeing in several bands emits once per
+    * band; the sink dedupes idempotently by (a, b), as with
+    * nearDupAgainstCorpus — a distinct here would add a second
+    * stateful aggregation for no semantic gain. */
+  def inStreamNearDups(docs: DataFrame, watermarkDelay: String = "1 hour",
+      stateTtlMs: Long = 3600L * 1000L, maxPerBucket: Int = 64): DataFrame = {
+    import graft.operators.Dedup.{Bands, MinhashH, Rows, ShingleN}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = TextOps.tokens(col("text"))
+    val banded = docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        TextOps.minhashSignature(
+          TextOps.shingleHashes(TextOps.shingles(toks, ShingleN)), MinhashH).as("sig"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("ts"), col("band"),
+        TextOps.bandHash(col("sig"), col("band"), Rows).as("band_hash"), col("sig"))
+      .as[BandedDoc]
+    def onBucket(key: (Int, Long), rows: Iterator[BandedDoc],
+        state: GroupState[List[BucketEntry]]): Iterator[CandidatePair] =
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var held = state.getOption.getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+        var maxTs = Long.MinValue
+        rows.foreach { d =>
+          maxTs = math.max(maxTs, d.ts.getTime)
+          held.foreach { e =>
+            if (e.doc_id != d.doc_id) {
+              val m = e.sig.iterator.zip(d.sig.iterator)
+                .count { case (x, y) => x == y }
+              out += CandidatePair(
+                math.min(e.doc_id, d.doc_id), math.max(e.doc_id, d.doc_id),
+                key._1,
+                math.rint(m.toDouble / MinhashH * 1e6) / 1e6)
+            }
+          }
+          // newest first; the take caps the bucket, evicting oldest
+          held = (BucketEntry(d.doc_id, d.ts.getTime, d.sig) :: held)
+            .take(maxPerBucket)
+        }
+        state.update(held)
+        // age the bucket out TTL past its newest doc (clamped ahead of
+        // the watermark — Spark rejects timeouts at or behind it)
+        state.setTimeoutTimestamp(
+          math.max(maxTs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+        out.iterator
+      }
+    banded
+      .groupByKey(d => (d.band, d.band_hash))
+      .flatMapGroupsWithState[List[BucketEntry], CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(onBucket)
+      .toDF()
+  }
+
   /** Streaming near-dup rerank against a STATIC corpus index: each
     * incoming doc's band buckets probe the corpus band table (built
     * offline, `Dedup.shingled` + `Dedup.candidatesFrom` family), and

@@ -70,6 +70,53 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-stream near-dup pairs duplicates arriving in the SAME stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val body = (1 to 40).map(i => "tok" + ('a' + i % 26).toChar + (i % 7)).mkString(" ")
+    val other = "entirely different content " + (1 to 40).map(i => "zz" + i).mkString(" ")
+    val in = MemoryStream[Doc]
+    val q = EventStreams.toMemorySink(
+      DedupStream.inStreamNearDups(in.toDF(), maxPerBucket = 8),
+      "instream_test", OutputMode.Append())
+    try {
+      // duplicate split ACROSS triggers: the pair must come from state,
+      // not from within-batch co-grouping alone
+      in.addData(Doc(0, ts(1), body), Doc(2, ts(2), other))
+      q.processAllAvailable()
+      in.addData(Doc(1, ts(3), body))
+      q.processAllAvailable()
+      val pairs = spark.table("instream_test").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toSeq
+      // identical text -> identical signatures -> every band matches;
+      // the unrelated doc never pairs
+      assert(pairs.map(_._1).distinct == Seq((0L, 1L)), pairs.mkString(";"))
+      assert(pairs.length == graft.operators.Dedup.Bands)
+      assert(pairs.forall(_._2 == 1.0))
+    } finally q.stop()
+  }
+
+  test("in-stream near-dup bucket state is capped: oldest entries evict") {
+    implicit val sqlCtx = spark.sqlContext
+    val body = (1 to 40).map(i => "cap" + ('a' + i % 26).toChar + (i % 5)).mkString(" ")
+    val in = MemoryStream[Doc]
+    // cap 1: each bucket holds only the newest doc, so doc 2 pairs with
+    // doc 1 but no (0,2) pair can emit — eviction is observable
+    val q = EventStreams.toMemorySink(
+      DedupStream.inStreamNearDups(in.toDF(), maxPerBucket = 1),
+      "instream_cap_test", OutputMode.Append())
+    try {
+      in.addData(Doc(0, ts(1), body))
+      q.processAllAvailable()
+      in.addData(Doc(1, ts(2), body))
+      q.processAllAvailable()
+      in.addData(Doc(2, ts(3), body))
+      q.processAllAvailable()
+      val got = spark.table("instream_cap_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.sorted.toSeq
+      assert(got == Seq((0L, 1L), (1L, 2L)), got.mkString(";"))
+    } finally q.stop()
+  }
+
   test("streaming contamination screen flags eval overlap, passes clean docs") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextOps
