@@ -350,4 +350,59 @@ object Hnsw {
         .select(col("neighbor_id"))
         .collect().map(_.getLong(0)).sorted.toSeq
   }
+
+  /** Exact-range bound of the 2-float neighbor-id encoding: each id
+    * splits into hi = id >> 20 and lo = id & 0xFFFFF, both < 2²⁴, and
+    * float32 represents every integer up to 2²⁴ exactly — so any id
+    * below 2⁴⁴ (≈17.6 trillion nodes) round-trips bit-exactly. */
+  val MaxEncodableId: Long = 1L << 44
+  private val LoBits = 20
+  private val LoMask = (1L << LoBits) - 1
+
+  /** Encode a neighbor list as the float payload of one kwi record
+    * (2 floats per id, exact below [[MaxEncodableId]]). Driver/test
+    * twin of the SQL expression in [[adjacencyPages]]. */
+  def encodeNeighbors(ids: Seq[Long]): Array[Float] = {
+    val out = new Array[Float](ids.length * 2)
+    var i = 0
+    ids.foreach { n =>
+      require(n >= 0 && n < MaxEncodableId,
+        s"neighbor id $n outside the exact 2-float range [0, $MaxEncodableId)")
+      out(i) = (n >> LoBits).toFloat
+      out(i + 1) = (n & LoMask).toFloat
+      i += 2
+    }
+    out
+  }
+
+  /** Decode one kwi neighbor page back to ids. */
+  def decodeNeighbors(page: Array[Float]): Seq[Long] = {
+    require(page.length % 2 == 0, s"odd neighbor page length ${page.length}")
+    val out = new Array[Long](page.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (page(2 * i).toLong << LoBits) | page(2 * i + 1).toLong
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Neighbor PAGES of the adjacency as kwi rows (id = "node:level",
+    * embedding = the sorted neighbor list in the 2-float encoding),
+    * computed DISTRIBUTED — one keyed aggregate, no driver map. Write
+    * with `KwiFormat.write` and serve through `IndexedReader.get`
+    * point reads + [[decodeNeighbors]]: the serve head then pages the
+    * GRAPH the same way it already pages the vectors (O(1) offset-table
+    * seeks, no Spark job per miss), so driver-resident state is the
+    * CachingAdjacency LRU, never O(n·M) — the kwi twin of
+    * [[parquetAdjacency]] for single-node serving. */
+  def adjacencyPages(adjacency: DataFrame): DataFrame =
+    adjacency
+      .groupBy(col("node_id"), col("level"))
+      .agg(sort_array(collect_list(col("neighbor_id"))).as("ns"))
+      .select(
+        concat(col("node_id"), lit(":"), col("level")).as("id"),
+        expr(s"flatten(transform(ns, n -> array(" +
+          s"cast(shiftright(n, $LoBits) as float), " +
+          s"cast(n % ${1L << LoBits} as float))))").as("embedding"))
 }

@@ -102,17 +102,28 @@ object IndexQueries extends QueryRegistry {
       s.read.parquet(path)
     }
 
-  /** HNSW serve head: collected adjacency + entry point + a caching
-    * point-read source over the kwi vector file — driver-resident
-    * vector bytes stay O(queries × ef), never O(n) (the round-3
-    * full-corpus `vectors.collect()` was the one guaranteed
-    * scale-killer left; see Hnsw.serveQuery scaladoc). */
+  /** HNSW serve head: FULLY PAGED — both the vectors and the GRAPH live
+    * in kwi offset-table files and arrive through LRU-cached point
+    * reads (`IndexedReader.get` seeks, no Spark job per miss). The
+    * round-6 head still collected the whole adjacency (n×M edge ids on
+    * the driver — the last corpus-sized driver structure on a declared
+    * path); now a walk pays O(visited) neighbor-page seeks and
+    * driver-resident state is the two LRU caches, independent of n.
+    * `Hnsw.collectAdjacency` remains as the tiny-corpus convenience
+    * tier only. */
   private def hnswServe(s: SparkSession, dir: String)
-      : (Map[(Long, Int), Seq[Long]], (Long, Int), Hnsw.CachingFetch) =
+      : (Hnsw.CachingAdjacency, (Long, Int), Hnsw.CachingFetch) =
     SharedBuilds.of(s, dir, "hnsw-serve") {
       val adjacency = hnswAdjacency(s, dir)
-      val adj = declaredHnsw.collectAdjacency(adjacency)
       val entry = declaredHnsw.entryPoint(adjacency)
+      val pagesPath = buildPath(dir, "hnsw-adj-pages") + ".kwi"
+      graft.sources.KwiFormat.write(Hnsw.adjacencyPages(adjacency), pagesPath)
+      val pages = SharedBuilds.registerCloseable(
+        s, new graft.sources.KwiFormat.IndexedReader(pagesPath))
+      val adj = new Hnsw.CachingAdjacency({ case (node, level) =>
+        pages.get(s"$node:$level")
+          .map(r => Hnsw.decodeNeighbors(r._2)).getOrElse(Seq.empty)
+      })
       val kwiPath = buildPath(dir, "hnsw-vectors") + ".kwi"
       graft.sources.KwiFormat.write(
         embeddings(s, dir).select(

@@ -219,6 +219,50 @@ class IndexSpec extends SparkSpec {
     assert(adjFetch.residentEdges <= adjFetch.fetched.toLong * 8)
   }
 
+  test("hnsw: kwi-paged adjacency — offset-table seeks serve the graph, ids round-trip exactly") {
+    // the round-7 declared serve head: neighbor pages live in a kwi
+    // offset-table file (2-float exact id encoding) and arrive through
+    // IndexedReader seeks — no Spark job per miss, no O(n·M) driver map
+    val small = emb.filter($"vec_id" < 120).cache()
+    val hnsw = new Hnsw(m = 8, ef = 12, seed = 42L)
+    val adjacency = hnsw.buildAdjacency(small).cache()
+    val dir = java.nio.file.Files.createTempDirectory("hnswkwiadj")
+    val pagesPath = dir.resolve("pages.kwi").toString
+    graft.sources.KwiFormat.write(Hnsw.adjacencyPages(adjacency), pagesPath)
+    val pages = new graft.sources.KwiFormat.IndexedReader(pagesPath)
+    try {
+      // SQL encoding === Scala encoding, page decode === source neighbors,
+      // for every (node, level) list — the exactness pin behind the seeks
+      val want = hnsw.collectAdjacency(adjacency)
+      want.foreach { case ((node, level), ns) =>
+        val page = pages.get(s"$node:$level")
+        assert(page.isDefined, s"missing page $node:$level")
+        assert(Hnsw.decodeNeighbors(page.get._2) === ns, s"page $node:$level")
+        assert(page.get._2.toSeq === Hnsw.encodeNeighbors(ns).toSeq)
+      }
+      // serve through the paged head end-to-end, with the same
+      // O(walk-visited) bound as the parquet-paged variant
+      val entry = hnsw.entryPoint(adjacency)
+      val adjFetch = new Hnsw.CachingAdjacency({ case (node, level) =>
+        pages.get(s"$node:$level")
+          .map(r => Hnsw.decodeNeighbors(r._2)).getOrElse(Seq.empty)
+      })
+      val vecs = vecMap(small)
+      val top = hnsw.serveQuery(adjFetch, vecs.get _, entry, vecs(7L), 1)
+      assert(top.head._1 === 7L)
+      assert(adjFetch.fetched <= 12 + 48, s"fetched ${adjFetch.fetched} lists")
+    } finally pages.close()
+  }
+
+  test("hnsw: 2-float neighbor encoding is exact across the id range, and rejects out-of-range") {
+    val ids = Seq(0L, 1L, (1L << 20) - 1, 1L << 20, (1L << 24) + 12345L,
+      (1L << 37) + 987654321L, Hnsw.MaxEncodableId - 1)
+    assert(Hnsw.decodeNeighbors(Hnsw.encodeNeighbors(ids)) === ids)
+    intercept[IllegalArgumentException](Hnsw.encodeNeighbors(Seq(Hnsw.MaxEncodableId)))
+    intercept[IllegalArgumentException](Hnsw.encodeNeighbors(Seq(-1L)))
+    intercept[IllegalArgumentException](Hnsw.decodeNeighbors(Array(1.0f)))
+  }
+
   test("hnsw: recall@10 vs brute force >= 0.5 on 200 vectors") {
     val small = emb.filter($"vec_id" < 200).cache()
     val hnsw = new Hnsw(m = 16, ef = 48)
