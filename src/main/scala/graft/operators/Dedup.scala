@@ -288,6 +288,26 @@ object Dedup {
     (0 until BloomK).map(i =>
       element_at(bits, bloomPos(i, h).cast("int") + 1)).reduce(_ && _)
 
+  /** Build the m-bit membership array DISTRIBUTED from a one-column
+    * member-hash frame: probe positions are computed executor-side via
+    * the SAME `bloomPos` expression the probe reads, then a single
+    * `collect_set` aggregate lands ≤ m distinct positions in ONE driver
+    * row. Identical bits to `bloomBits(collectedHashes)` (DedupSpec
+    * pins the parity), but the driver head is O(m) regardless of how
+    * large the member side grows — the shape that keeps even a huge
+    * eval suite off the driver, and the one the bounded-collect plan
+    * sweep can certify. */
+  def bloomBitsOf(memberHashes: DataFrame): Seq[Boolean] = {
+    val h = col(memberHashes.columns.head)
+    val pos = memberHashes
+      .select(explode(array((0 until BloomK).map(i => bloomPos(i, h)): _*)).as("p"))
+      .agg(collect_set(col("p")).as("ps"))
+      .collect()(0).getSeq[Long](0)
+    val bits = Array.fill(BloomM)(false)
+    pos.foreach(p => bits(p.toInt) = true)
+    bits.toSeq
+  }
+
   /** Per-doc token-hash table (doc_id, th ARRAY&lt;BIGINT&gt;) — the shared
     * prefix of every simhash sketch width. Materialize it (localCheckpoint
     * or parquet) before feeding the per-bit folds: simhashFromHashes

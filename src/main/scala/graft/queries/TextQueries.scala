@@ -97,10 +97,11 @@ object TextQueries extends QueryRegistry {
   private def sharedContaminatedIds(s: SparkSession, dir: String): DataFrame =
     SharedBuilds.of(s, dir, "decon-exact-ids") {
       val (hashed, _) = sharedDedupIndex(s, dir)
-      val benchHashes = hashed.filter(col("doc_id") < 10)
-        .select(explode(array_distinct(col("shh"))).as("h"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val bits = typedLit(Dedup.bloomBits(benchHashes))
+      // bits built DISTRIBUTED (one-row collect_set head) — the eval
+      // hashes themselves never land on the driver
+      val bits = typedLit(Dedup.bloomBitsOf(
+        hashed.filter(col("doc_id") < 10)
+          .select(explode(array_distinct(col("shh"))).as("h"))))
       hashed.filter(col("doc_id") >= 10)
         .filter(exists(array_distinct(col("shh")),
           h => Dedup.bloomMightContain(h, bits)))
@@ -495,8 +496,8 @@ object TextQueries extends QueryRegistry {
     }),
 
     // Bloom-filter decontamination pre-filter: the eval set's shingle
-    // hashes build a deterministic m-bit filter (driver-side — the
-    // eval side is tiny by definition) that broadcasts and screens the
+    // hashes build a deterministic m-bit filter (distributed, one-row
+    // collect_set head — see Dedup.bloomBitsOf) that broadcasts and screens the
     // corpus MAP-ONLY down to candidate docs; the exact shingle join
     // then verifies. No false negatives (superset invariant), false
     // positives only cost verify work — the shape that makes a
@@ -505,10 +506,9 @@ object TextQueries extends QueryRegistry {
     // DuckDB-replayable, so precision is hash-verified too
     "decontamination_bloom" -> ((s, dir) => {
       val (hashed, _) = sharedDedupIndex(s, dir)
-      val benchHashes = hashed.filter(col("doc_id") < 10)
-        .select(explode(array_distinct(col("shh"))).as("h"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val bits = typedLit(Dedup.bloomBits(benchHashes))
+      val bits = typedLit(Dedup.bloomBitsOf(
+        hashed.filter(col("doc_id") < 10)
+          .select(explode(array_distinct(col("shh"))).as("h"))))
       val corpus = hashed.filter(col("doc_id") >= 10)
       val cand = corpus
         .filter(exists(array_distinct(col("shh")),

@@ -89,6 +89,11 @@ class TextSpec extends SparkSpec {
     // and the SQL fragment is the same formula
     assert(Dedup.bloomProbeSql("i", "h") ==
       s"((2*i+1)*h + 7919*i) % ${Dedup.BloomM}")
+    // the distributed build (one-row collect_set head) yields the SAME
+    // bits as the driver-side build — the declared decon paths read
+    // bloomBitsOf, the streaming screen and tests read bloomBits, and
+    // this parity keeps them one filter
+    assert(Dedup.bloomBitsOf(members.toDF("h")) === bits)
   }
 
   test("exact dedup groups duplicates by content hash") {
