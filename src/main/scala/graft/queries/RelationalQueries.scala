@@ -203,6 +203,96 @@ object RelationalQueries extends QueryRegistry {
         .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
     }),
 
+    // TPC-H Q8 shape: market share of one supplier nation within a
+    // region, by ship year — the conditional-aggregation pattern
+    // (sum(CASE)/sum, exact decimal partials so the share is
+    // engine-identical) over the region-pruned fact
+    "q8_market_share" -> ((s, dir) =>
+      lineitem(s, dir)
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(
+          sum(when(col("n_name") === "NATION_7", revenue)
+            .otherwise(lit(0).cast("decimal(14,2)"))).as("nat"),
+          sum(revenue).as("tot"))
+        .select(col("ship_year"),
+          (round(col("nat").cast("double") / col("tot").cast("double"), 6) + 0.0)
+            .as("mkt_share"),
+          col("tot").cast("double").as("total_revenue"))
+        .orderBy(col("ship_year"))),
+
+    // TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    // quarter-equivalent window — returned-flag fact filter, then the
+    // order join reduced BEFORE the customer/nation broadcasts
+    "q10_returned_customers" -> ((s, dir) =>
+      lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
+    // TPC-H Q12 shape: high/low-priority line counts per linestatus in
+    // a ship-year window — the two-CASE conditional aggregation over
+    // the orderkey join (the one fact-fact join here; shuffles keys +
+    // one small int, never wide payloads)
+    "q12_priority_split" -> ((s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))),
+
+    // TPC-H Q14 shape: promo revenue share for one ship month — scalar
+    // conditional aggregate; the month predicate pushes to the scan and
+    // the part dim broadcasts
+    "q14_promo_revenue" -> ((s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast("decimal(14,2)"))).as("promo"),
+          sum(revenue).as("tot"))
+        .select(
+          (round(lit(100.0) * col("promo").cast("double") /
+            col("tot").cast("double"), 6) + 0.0).as("promo_share_pct"),
+          col("tot").cast("double").as("total_revenue"))),
+
+    // TPC-H Q19 shape: disjunction of three (brand, size-range,
+    // quantity-range) conjunction blocks — the OR-of-ANDs predicate
+    // that exercises join-condition pushdown; one-row exact total
+    "q19_disjunctive_revenue" -> ((s, dir) =>
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(5, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#20" && col("p_size").between(10, 40) &&
+            col("l_quantity").between(20, 40)))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     // anti join: segments' customers with NO order in the window
     // (NOT EXISTS; the semi-join twin of q4_priority_exists — at scale
     // both shuffle only keys, never payloads)
@@ -411,6 +501,69 @@ object RelationalQueries extends QueryRegistry {
         |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
         |GROUP BY supp_nation, cust_nation, ship_year
         |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH rev AS (
+        |  SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+        |         sum(CASE WHEN n.n_name = 'NATION_7'
+        |             THEN (CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        |             ELSE CAST(0 AS DECIMAL(14,2)) END) AS nat,
+        |         sum((CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))) AS tot
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |  GROUP BY ship_year)
+        |SELECT ship_year,
+        |       round(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS mkt_share,
+        |       CAST(tot AS DOUBLE) AS total_revenue
+        |FROM rev ORDER BY ship_year""".stripMargin,
+
+    "q10_returned_customers" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |       CAST(sum((CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q12_priority_split" ->
+      """SELECT l.l_linestatus,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY l.l_linestatus
+        |ORDER BY l.l_linestatus""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """WITH rev AS (
+        |  SELECT sum(CASE WHEN p.p_type = 'PROMO'
+        |             THEN (CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        |             ELSE CAST(0 AS DECIMAL(14,2)) END) AS promo,
+        |         sum((CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))) AS tot
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l.l_shipdate <  TIMESTAMP '1996-10-01')
+        |SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS promo_share_pct,
+        |       CAST(tot AS DOUBLE) AS total_revenue
+        |FROM rev""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum((CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 15  AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 5 AND 25  AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 40 AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     "inactive_customers" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_inactive
