@@ -127,6 +127,22 @@ class Pq(val m: Int) {
     books
   }
 
+  /** Incremental append to a persisted codes store: encode the new
+    * batch against FROZEN codebooks (one map-only expression pass —
+    * codebooks retrain offline, exactly the Ivf.append / Lsh.append
+    * maintenance contract) and add the code rows as new files. The
+    * existing codes are never read, shuffled, or rewritten, so the
+    * append costs O(batch) however large the store has grown — and
+    * because encoding is deterministic in (vector, books), an appended
+    * store is row-identical to a from-scratch encode of the union
+    * (pq_append_audit replays that equality in DuckDB; PqSpec pins it
+    * frame-to-frame). Mirrors the .kwi single-writer append discipline
+    * (kowari vector_db/src/binary_index.rs:103-146). */
+  def append(path: String, batch: DataFrame, books: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    batch.select(col(idCol), encodeExpr(col(vecCol), books).as("codes"))
+      .write.mode("append").parquet(path)
+
   /** Driver-side ADC lookup table: table(s)(j) = ‖q_s − books(s)(j)‖²,
     * accumulated left-to-right in double (matches sqDist/OracleFrag). */
   def adcTable(q: Array[Float], books: Array[Array[Array[Double]]]): Array[Array[Double]] =

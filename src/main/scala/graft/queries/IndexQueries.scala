@@ -75,6 +75,29 @@ object IndexQueries extends QueryRegistry {
       (half, s.read.parquet(path))
     }
 
+  /** PQ maintenance store: codes built on the first half against the
+    * SAME frozen seed codebooks as pqStore (the seed vectors live in
+    * the first half), then the second half appended with Pq.append.
+    * Because encoding is deterministic in (vector, books), the merged
+    * store must be ROW-IDENTICAL to a from-scratch encode of the whole
+    * corpus — which makes this the strongest of the three append
+    * audits (IVF/LSH verify invariants; pq_append_audit verifies
+    * CONTENT against a full DuckDB re-encode). */
+  private def pqAppendStore(s: SparkSession, dir: String): (Long, DataFrame) =
+    SharedBuilds.of(s, dir, "pq-append-store") {
+      val emb = embeddings(s, dir)
+      val half = emb.count() / 2
+      val (pq, books, _) = pqStore(s, dir)
+      val path = buildPath(dir, "pq4x16-app")
+      emb.filter(col("vec_id") < half)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), pq.encodeExpr(col("embedding"), books).as("codes"))
+        .write.mode("overwrite").parquet(path)
+      pq.append(path, emb.filter(col("vec_id") >= half)
+        .repartition(s.sparkContext.defaultParallelism), books)
+      (half, s.read.parquet(path))
+    }
+
   /** Declared HNSW build: FULL corpus (round 2 capped it at
     * vec_id &lt; 300), LSH-blocked candidate pairs (multi-probe 1-bit
     * expansion keeps the graph connected — see Hnsw.buildAdjacency).
@@ -554,6 +577,30 @@ object IndexQueries extends QueryRegistry {
             .as("buckets_in_range"))
     }),
 
+    // PQ append audit — the strongest of the three: encoding is
+    // deterministic in (vector, books), so beyond totals and id
+    // uniqueness the audit replays the CONTENT of the merged store —
+    // a position-weighted code sum that DuckDB recomputes from a full
+    // from-scratch re-encode. Any drift between the append path and a
+    // rebuild (stale books, dropped batch, double append, changed tie
+    // order) lands in this integer and hash-fails.
+    "pq_append_audit" -> ((s, dir) => {
+      val (half, idx) = pqAppendStore(s, dir)
+      idx.agg(
+          count(lit(1)).as("total"),
+          countDistinct(col("vec_id")).as("nd"),
+          sum(when(col("vec_id") < half, 1L).otherwise(0L)).as("nb"),
+          sum(aggregate(
+            zip_with(col("codes"), sequence(lit(1), size(col("codes"))),
+              (c, i) => c.cast("long") * i),
+            lit(0L), (a, x) => a + x)).as("cw"))
+        .select(col("total").cast("long").as("total_vectors"),
+          col("nb").cast("long").as("n_base"),
+          (col("total") - col("nb")).cast("long").as("n_appended"),
+          (col("nd") === col("total")).as("ids_unique"),
+          col("cw").cast("long").as("code_weight_sum"))
+    }),
+
     "ivf_cell_sizes" -> ((s, dir) => {
       val (_, assigned) = ivfStore(s, dir)
       assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
@@ -903,6 +950,29 @@ object IndexQueries extends QueryRegistry {
         |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_base,
         |       CAST(c - (SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_appended,
         |       d = c AS ids_unique, true AS buckets_in_range
+        |FROM n""".stripMargin,
+
+    // code_weight_sum replayed from a FULL re-encode of the corpus
+    // against the same seed codebooks (the pq_adc_knn codes CTE):
+    // append ≡ rebuild, content-checked, not just invariant-checked
+    "pq_append_audit" ->
+      """WITH sp AS (SELECT s FROM range(0, 4) t(s)),
+        |b AS (SELECT vec_id AS j, embedding AS be FROM embeddings WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, sp.s, b.j,
+        |        list_sum(list_transform(generate_series(1, 16),
+        |          i -> (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE))
+        |             * (CAST(e.embedding[sp.s * 16 + i] AS DOUBLE) - CAST(b.be[sp.s * 16 + i] AS DOUBLE)))) AS d
+        |      FROM embeddings e CROSS JOIN b CROSS JOIN sp),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+        |    FROM d) WHERE rn = 1),
+        |n AS (SELECT count(*) AS c, count(DISTINCT vec_id) AS dt FROM embeddings)
+        |SELECT CAST(c AS BIGINT) AS total_vectors,
+        |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_base,
+        |       CAST(c - (SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_appended,
+        |       dt = c AS ids_unique,
+        |       CAST((SELECT sum(code * (s + 1)) FROM codes) AS BIGINT) AS code_weight_sum
         |FROM n""".stripMargin,
 
     "ivf_cell_sizes" ->

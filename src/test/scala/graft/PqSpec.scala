@@ -45,6 +45,26 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("append against frozen codebooks equals a from-scratch encode of the union") {
+    import spark.implicits._
+    val pq = new Pq(m = 2)
+    val rows = synth(64, 8)
+    val books = pq.codebooksFromSeed(rows.take(4).map(_._2).toArray)
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqapp")
+    val path = dir.resolve("codes").toString
+    df.filter($"vec_id" < 32)
+      .select($"vec_id", pq.encodeExpr($"embedding", books).as("codes"))
+      .write.mode("overwrite").parquet(path)
+    pq.append(path, df.filter($"vec_id" >= 32), books)
+    val merged = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val full = df.select($"vec_id", pq.encodeExpr($"embedding", books).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(merged === full) // row-identical: append is a rebuild, cheaper
+    assert(merged.size === 64)
+  }
+
   test("seed vectors code to themselves (zero subspace distance)") {
     import spark.implicits._
     val pq = new Pq(m = 2)
