@@ -230,6 +230,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r7 TPC-H shapes: dims broadcast, predicates reach the scans") {
+    for (q <- Seq("q8_market_share", "q10_returned_customers",
+        "q14_promo_revenue", "q19_disjunctive_revenue")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+    // the ship-month window must prune the q14 lineitem scan
+    val f14 = pushedFilters("q14_promo_revenue")
+    assert(f14.contains("GreaterThanOrEqual(l_shipdate"), f14)
+    assert(f14.contains("LessThan(l_shipdate"), f14)
+    // the returned-flag equality must prune the q10 lineitem scan
+    assert(pushedFilters("q10_returned_customers")
+      .contains("EqualTo(l_returnflag,R)"))
+    // the ship-year window must prune the q12 lineitem scan (its
+    // orderkey join is the one fact-fact join here — type left to the
+    // planner: broadcast at test SF, sort-merge at scale)
+    val f12 = pushedFilters("q12_priority_split")
+    assert(f12.contains("GreaterThanOrEqual(l_shipdate"), f12)
+  }
+
   test("range join plans as broadcast hash join, never nested-loop") {
     val p = plan("price_band_rollup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
