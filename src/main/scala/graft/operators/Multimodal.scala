@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * pandas-batch UDF: one iterator per partition, so a real codec
   * library would amortize its per-batch setup exactly the same way.
   *
-  * Decoding is a real dispatch: 8-bit RGB/RGBA PNG, 24-bit BMP and
-  * PCM WAV payloads parse through zero-dependency byte-layout decoders
-  * (`decodePng` with full zlib inflate + scanline-filter
-  * reconstruction, `decodeBmp`, `decodeWav` — real headers, CRCs,
-  * padding, chunk walks), and only OPAQUE payloads fall back to the
-  * deterministic `decodeStub` (the documented stand-in for codecs this
-  * container doesn't ship, e.g. JPEG/H.264).
+  * Decoding is a real dispatch: 8-bit RGB/RGBA PNG, 24-bit BMP,
+  * PCM WAV and baseline JPEG payloads parse through zero-dependency
+  * byte-layout decoders (`decodePng` with full zlib inflate +
+  * scanline-filter reconstruction, `decodeBmp`, `decodeWav`,
+  * `Jpeg.decode` with general Huffman/DQT parsing, 4:2:0 upsampling
+  * and restart intervals — real headers, CRCs, padding, chunk walks),
+  * and only OPAQUE payloads fall back to the deterministic
+  * `decodeStub` (the documented stand-in for codecs this container
+  * doesn't ship, e.g. H.264).
   * Everything Spark-side is real and tested either way: the schema, the
   * binary payload round-trip, the partition-iterator batch shape, and
   * the feature pipeline, which is what matters for the 100 TB plan
@@ -239,9 +241,11 @@ object Multimodal {
   }
 
   /** Decode dispatch: a real container parse when the payload IS a
-    * real container, the deterministic stub otherwise. */
+    * real container (PNG, BMP, WAV, baseline JPEG — see `Jpeg`), the
+    * deterministic stub otherwise. */
   def decode(payload: Array[Byte]): Array[Int] =
     decodePng(payload).orElse(decodeBmp(payload)).orElse(decodeWav(payload))
+      .orElse(Jpeg.decode(payload))
       .getOrElse(decodeStub(payload))
 
   /** Encode grayscale bytes as a REAL 24-bit bottom-up BMP (r=g=b=v,

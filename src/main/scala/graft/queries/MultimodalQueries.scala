@@ -79,6 +79,41 @@ object MultimodalQueries extends QueryRegistry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL JPEG decode end-to-end: each ascii head, sorted into a
+    // smooth ramp (so quality-50 quantization error stays small),
+    // becomes a single-component baseline JPEG via the zero-dependency
+    // encoder, and the pipeline decodes the actual entropy-coded
+    // stream back (Jpeg.decode — Huffman, dequant, IDCT — not the
+    // stub). JPEG is LOSSY, so unlike the bit-exact BMP/PNG twin the
+    // oracle replays the cohort exactly (same WHERE) while the
+    // reconstruction contract rides as must-be-true booleans — the
+    // sketch-audit convention (events_value_sketches precedent).
+    "media_jpeg_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+        .filter(col("doc_id") < 40 && length(col("text")) >= 64)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
+        .filter(octet_length(col("head")) === 64)
+        .as[(Long, String)]
+      docs.map { case (id, txt) =>
+        val gray = txt.getBytes("UTF-8").sorted
+        val jpg = graft.operators.Jpeg.encode(8, 8, gray, gray = true)
+        val got = graft.operators.Jpeg.decode(jpg)
+        val n = got.map(_.length).getOrElse(-1)
+        val meanErr = got.map { g =>
+          g.zip(gray.map(_ & 0xff: Int))
+            .map { case (a, b) => math.abs(a - b) }.sum / 64.0
+        }.getOrElse(Double.MaxValue)
+        // 12.0 tolerates the Gibbs ringing of a step edge (e.g. the
+        // space→letter jump in a sorted head) at quality-50 quant; a
+        // structurally wrong decode lands orders of magnitude higher
+        // (the ±2-per-sample conformance pin vs the JDK decoder lives
+        // in MultimodalSpec)
+        (id, n.toLong, n == 64, meanErr <= 12.0)
+      }.toDF("media_id", "n_samples", "dims_ok", "recon_close")
+        .orderBy(col("media_id"))
+    }),
+
     // resize pass: payload subsampling + metadata update
     "media_resize_audit" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(
@@ -156,6 +191,16 @@ object MultimodalQueries extends QueryRegistry {
         |SELECT media_id, CAST(246 AS BIGINT) AS n_bytes, mean_sample, bin2, bin6 FROM stats
         |UNION ALL
         |SELECT media_id + 1000 AS media_id, CAST(268 AS BIGINT) AS n_bytes, mean_sample, bin2, bin6 FROM stats
+        |ORDER BY media_id""".stripMargin,
+
+    // cohort exactly replayed; the lossy-reconstruction contract is
+    // Spark-side-checked booleans (see the query comment)
+    "media_jpeg_audit" ->
+      """SELECT doc_id AS media_id, CAST(64 AS BIGINT) AS n_samples,
+        |       true AS dims_ok, true AS recon_close
+        |FROM documents
+        |WHERE doc_id < 40 AND length(text) >= 64
+        |  AND strlen(substr(text, 1, 64)) = 64
         |ORDER BY media_id""".stripMargin,
 
     "media_resize_audit" ->

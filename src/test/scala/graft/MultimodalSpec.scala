@@ -132,4 +132,101 @@ class MultimodalSpec extends SparkSpec {
     assert(m.media_id == 7L && m.kind == "audio") // 7 % 3 = 1
     assert(new String(m.payload, "UTF-8") == "hello world")
   }
+
+  // --- JPEG (lossy: closeness bounds, not bit equality — see Jpeg doc)
+
+  /** Smooth 16×12 RGB gradient — quantization error stays small on it. */
+  private def gradientRgb(w: Int, h: Int): Array[Byte] = {
+    val b = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      b(o) = (40 + 10 * x).toByte
+      b(o + 1) = (60 + 8 * y).toByte
+      b(o + 2) = (90 + 4 * (x + y)).toByte
+    }
+    b
+  }
+
+  private def meanAbsDiff(a: Array[Int], b: Array[Int]): Double = {
+    require(a.length == b.length, s"${a.length} vs ${b.length}")
+    a.iterator.zip(b.iterator).map { case (x, y) => math.abs(x - y) }.sum.toDouble / a.length
+  }
+
+  test("jpeg codec: encode → decode round-trips a smooth gradient closely") {
+    val (w, h) = (16, 12)
+    val rgb = gradientRgb(w, h)
+    val jpg = graft.operators.Jpeg.encode(w, h, rgb)
+    val got = graft.operators.Jpeg.decode(jpg).get
+    assert(got.length === w * h * 3)
+    val want = rgb.map(_ & 0xff: Int)
+    assert(meanAbsDiff(got, want) < 4.0) // Annex K quality-50 quant error
+    assert(got.zip(want).map { case (x, y) => math.abs(x - y) }.max < 32)
+  }
+
+  test("jpeg codec: grayscale single-component round-trip") {
+    val (w, h) = (10, 9)
+    // smooth 2D ramp: quantization error stays small (a sawtooth that
+    // wraps mid-block is legitimately lossy at quality-50 quant)
+    val gray = Array.tabulate(w * h)(i => (30 + 3 * (i % w) + 5 * (i / w)).toByte)
+    val jpg = graft.operators.Jpeg.encode(w, h, gray, gray = true)
+    val got = graft.operators.Jpeg.decode(jpg).get
+    assert(got.length === w * h)
+    assert(meanAbsDiff(got, gray.map(_ & 0xff: Int)) < 4.0)
+  }
+
+  test("jpeg codec: our stream decodes identically-close in the JDK decoder") {
+    // cross-decoder conformance: javax.imageio (in the JDK, used here
+    // as a REFERENCE only — the engine's decode path stays
+    // zero-dependency) must accept our stream and agree per sample up
+    // to IDCT tolerance
+    val (w, h) = (16, 12)
+    val jpg = graft.operators.Jpeg.encode(w, h, gradientRgb(w, h))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null, "JDK decoder rejected our stream")
+    assert(img.getWidth === w && img.getHeight === h)
+    val ours = graft.operators.Jpeg.decode(jpg).get
+    val ref = new Array[Int](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      ref(o) = (p >> 16) & 0xff; ref(o + 1) = (p >> 8) & 0xff; ref(o + 2) = p & 0xff
+    }
+    assert(meanAbsDiff(ours, ref) < 2.0)
+  }
+
+  test("jpeg codec: decodes a JDK-encoded 4:2:0 stream (subsampling + standard tables)") {
+    val (w, h) = (20, 14)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = gradientRgb(w, h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      img.setRGB(x, y,
+        ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpg = bos.toByteArray
+    val ours = graft.operators.Jpeg.decode(jpg).get
+    assert(ours.length === w * h * 3)
+    val ref = new Array[Int](w * h * 3)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = back.getRGB(x, y)
+      val o = (y * w + x) * 3
+      ref(o) = (p >> 16) & 0xff; ref(o + 1) = (p >> 8) & 0xff; ref(o + 2) = p & 0xff
+    }
+    // JDK upsamples chroma with interpolation, we use nearest: close,
+    // not equal — on a smooth gradient the difference stays small
+    assert(meanAbsDiff(ours, ref) < 4.0)
+  }
+
+  test("jpeg codec: malformed and progressive payloads fall back, not throw") {
+    assert(graft.operators.Jpeg.decode("not a jpeg".getBytes).isEmpty)
+    assert(graft.operators.Jpeg.decode(Array(0xff, 0xd8, 0xff).map(_.toByte)).isEmpty)
+    val jpg = graft.operators.Jpeg.encode(8, 8, gradientRgb(8, 8))
+    assert(graft.operators.Jpeg.decode(jpg.take(jpg.length / 2)).isEmpty) // truncated
+    // the dispatcher routes real JPEG to the codec (not the stub)
+    assert(Multimodal.decode(jpg).length === 8 * 8 * 3)
+  }
 }
