@@ -87,11 +87,12 @@ object IndexQueries extends QueryRegistry {
     SharedBuilds.of(s, dir, "pq-append-store") {
       val emb = embeddings(s, dir)
       val half = emb.count() / 2
-      val (pq, books, _) = pqStore(s, dir)
+      val (pq, books, codes) = pqStore(s, dir)
       val path = buildPath(dir, "pq4x16-app")
-      emb.filter(col("vec_id") < half)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), pq.encodeExpr(col("embedding"), books).as("codes"))
+      // base half: REUSE the already-encoded pqStore codes (same books,
+      // same deterministic encode) instead of paying the expression
+      // pass twice; only the appended half encodes here
+      codes.filter(col("vec_id") < half)
         .write.mode("overwrite").parquet(path)
       pq.append(path, emb.filter(col("vec_id") >= half)
         .repartition(s.sparkContext.defaultParallelism), books)

@@ -78,9 +78,37 @@ object StorageQueries extends QueryRegistry {
       import s.implicits._
       Seq((nRows, nMetaOk, e0)).toDF("n_rows", "n_meta_ok", "e0_first")
     }),
+
+    // The reference's O(1) entry-table point read surfaced to SQL
+    // (binary_index.rs:148-160): DSv2 WRITE shards the corpus to .kwi
+    // in parallel, then a plain spark.read...filter(id IN ...) routes
+    // through SupportsPushDownFilters into the offset-table
+    // IndexedReader — values hash-verified against the parquet source,
+    // so the pushdown path's row multiset is pinned by the oracle, not
+    // just by the plan test in KwiDataSourceSpec
+    "kwi_sql_point_read" -> ((s, dir) => {
+      val base = Files.createTempDirectory("graft-verify-kwisql").toString
+      val path = s"$base/store"
+      embeddings(s, dir)
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+        .write.format("kwi").mode("overwrite").save(path)
+      s.read.format("kwi").load(path)
+        .filter(col("id").isin("7", "42", "123"))
+        .select(col("id").cast("long").as("vec_id"),
+          (round(element_at(col("embedding"), 1).cast("double"), 6) + 0.0).as("e1"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
+    "kwi_sql_point_read" ->
+      """SELECT vec_id,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS e1,
+        |       CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings WHERE vec_id IN (7, 42, 123)
+        |ORDER BY vec_id""".stripMargin,
+
     "storage_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_collection,
         |       CAST(count(*) AS BIGINT) AS n_kwi,
