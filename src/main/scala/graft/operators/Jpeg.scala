@@ -214,7 +214,8 @@ object Jpeg {
     while (pos < p.length) {
       if ((p(pos) & 0xff) != 0xff) throw new IllegalArgumentException("jpeg: lost marker sync")
       val marker = p(pos + 1) & 0xff
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { pos += 2 }
+      if (marker == 0xff) { pos += 1 } // fill byte (T.81 B.1.1.2): skip
+      else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { pos += 2 }
       else if (marker == 0xd9) return None // EOI before SOS
       else {
         val len = u16(pos + 2)

@@ -133,13 +133,15 @@ object Multimodal {
     None
   }
 
-  // PNG: 8-bit RGB (color type 2) / RGBA (type 6), non-interlaced,
-  // zlib IDAT via java.util.zip.Inflater, full scanline-filter
-  // reconstruction (None/Sub/Up/Average/Paeth, RFC 2083 §6). Chunk
-  // CRCs are VERIFIED — a corrupt chunk falls back to the stub
-  // instead of decoding garbage. This covers the real-corpus image
-  // case BMP can't (PNG is what web corpora actually contain);
-  // JPEG/H.264 stay stubbed (no dependency-free route).
+  // PNG: 8-bit grayscale (color type 0), RGB (2), palette (3,
+  // expanded through PLTE), gray+alpha (4) and RGBA (6),
+  // non-interlaced, zlib IDAT via java.util.zip.Inflater, full
+  // scanline-filter reconstruction (None/Sub/Up/Average/Paeth,
+  // RFC 2083 §6). Chunk CRCs are VERIFIED — a corrupt chunk falls
+  // back to the stub instead of decoding garbage. This covers the
+  // real-corpus image case BMP can't (PNG is what web corpora
+  // actually contain); H.264 stays stubbed (no dependency-free
+  // route — JPEG decodes for real via `Jpeg`).
 
   private def i32be(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
@@ -151,18 +153,20 @@ object Multimodal {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** 8-bit RGB/RGBA non-interlaced PNG → channel samples (r,g,b[,a]
-    * per pixel) in top-down row-major order, scanline filters
+  /** 8-bit non-interlaced PNG (gray / RGB / palette / gray+alpha /
+    * RGBA) → channel samples per pixel in top-down row-major order
+    * (palette rows expand through PLTE to r,g,b), scanline filters
     * reconstructed. None on anything structurally non-PNG (bad
-    * signature, chunk CRC mismatch, unsupported depth/color/interlace,
-    * truncated or over-long inflate). */
+    * signature, chunk CRC mismatch, unsupported depth/interlace,
+    * missing or overrun palette, truncated or over-long inflate). */
   def decodePng(p: Array[Byte]): Option[Array[Int]] = {
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     if (p.length < 8 + 25) return None
     var i = 0
     while (i < 8) { if ((p(i) & 0xff) != sig(i)) return None; i += 1 }
     var o = 8
-    var w = 0; var h = 0; var channels = 0
+    var w = 0; var h = 0; var channels = 0; var colorType = -1
+    var palette: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (o + 8 <= p.length && !seenIend) {
@@ -179,11 +183,20 @@ object Multimodal {
           val depth = p(o + 16) & 0xff; val ct = p(o + 17) & 0xff
           val comp = p(o + 18) & 0xff; val filt = p(o + 19) & 0xff
           val inter = p(o + 20) & 0xff
-          if (depth != 8 || (ct != 2 && ct != 6) || comp != 0 ||
-              filt != 0 || inter != 0) return None
+          if (depth != 8 || comp != 0 || filt != 0 || inter != 0) return None
           if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16)) return None
-          channels = if (ct == 2) 3 else 4
+          channels = ct match {
+            case 0 | 3 => 1
+            case 4 => 2
+            case 2 => 3
+            case 6 => 4
+            case _ => return None
+          }
+          colorType = ct
           seenIhdr = true
+        case "PLTE" =>
+          if (!seenIhdr || len % 3 != 0 || len > 256 * 3 || len == 0) return None
+          palette = java.util.Arrays.copyOfRange(p, o + 8, o + 8 + len)
         case "IDAT" =>
           if (!seenIhdr) return None
           idat.write(p, o + 8, len)
@@ -237,7 +250,22 @@ object Multimodal {
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    Some(out)
+    if (colorType != 3) Some(out)
+    else { // palette rows expand to r,g,b through PLTE
+      if (palette == null) return None
+      val n = palette.length / 3
+      val rgb = new Array[Int](w * h * 3)
+      var i2 = 0
+      while (i2 < w * h) {
+        val idx = out(i2)
+        if (idx >= n) return None // index past the palette: corrupt
+        rgb(3 * i2) = palette(3 * idx) & 0xff
+        rgb(3 * i2 + 1) = palette(3 * idx + 1) & 0xff
+        rgb(3 * i2 + 2) = palette(3 * idx + 2) & 0xff
+        i2 += 1
+      }
+      Some(rgb)
+    }
   }
 
   /** Decode dispatch: a real container parse when the payload IS a

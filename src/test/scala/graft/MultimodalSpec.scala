@@ -83,6 +83,67 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(png).toSeq === samples.toSeq)
   }
 
+  /** Hand-built 8-bit non-interlaced PNG: arbitrary color type,
+    * unfiltered scanlines, stored-block zlib — the fixture the ct-0/3/4
+    * decoder paths need (encodePngGray only emits color type 2). */
+  private def rawPng(w: Int, h: Int, colorType: Int, channels: Int,
+      rows: Array[Byte], plte: Option[Array[Byte]] = None): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length)
+      val tb = typ.getBytes("US-ASCII")
+      b.put(tb).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val stride = w * channels
+    val flt = new Array[Byte]((1 + stride) * h)
+    for (y <- 0 until h)
+      System.arraycopy(rows, y * stride, flt, y * (1 + stride) + 1, stride)
+    val zl = new java.io.ByteArrayOutputStream()
+    zl.write(0x78); zl.write(0x01); zl.write(1)
+    zl.write(flt.length & 0xff); zl.write((flt.length >> 8) & 0xff)
+    zl.write(~flt.length & 0xff); zl.write((~flt.length >> 8) & 0xff)
+    zl.write(flt)
+    val adler = new java.util.zip.Adler32(); adler.update(flt)
+    val ad = adler.getValue
+    zl.write(((ad >> 24) & 0xff).toInt); zl.write(((ad >> 16) & 0xff).toInt)
+    zl.write(((ad >> 8) & 0xff).toInt); zl.write((ad & 0xff).toInt)
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.write(chunk("IHDR", ihdr))
+    plte.foreach(pal => out.write(chunk("PLTE", pal)))
+    out.write(chunk("IDAT", zl.toByteArray))
+    out.write(chunk("IEND", Array.empty[Byte]))
+    out.toByteArray
+  }
+
+  test("png codec: grayscale, gray+alpha and palette color types decode") {
+    // ct 0: one channel per pixel, values pass through
+    val gray = Array.tabulate(12)(i => (i * 19 + 5).toByte)
+    val g = Multimodal.decodePng(rawPng(4, 3, 0, 1, gray)).get
+    assert(g.toSeq === gray.map(_ & 0xff: Int).toSeq)
+    // ct 4: gray+alpha, two channels per pixel
+    val ga = Array.tabulate(8)(i => (40 + i).toByte)
+    val g4 = Multimodal.decodePng(rawPng(2, 2, 4, 2, ga)).get
+    assert(g4.toSeq === ga.map(_ & 0xff: Int).toSeq)
+    // ct 3: indices expand through PLTE to r,g,b
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90) // 3 entries
+    val idx = Array[Byte](0, 2, 1, 1, 0, 2, 2, 0)
+    val p3 = Multimodal.decodePng(rawPng(4, 2, 3, 1, idx, Some(pal))).get
+    assert(p3.toSeq === idx.flatMap(i =>
+      Seq(pal(3 * i) & 0xff, pal(3 * i + 1) & 0xff, pal(3 * i + 2) & 0xff)).toSeq)
+    // structural rejection: index past the palette, palette missing
+    assert(Multimodal.decodePng(
+      rawPng(4, 2, 3, 1, Array[Byte](0, 3, 1, 1, 0, 2, 2, 0), Some(pal))).isEmpty)
+    assert(Multimodal.decodePng(rawPng(4, 2, 3, 1, idx, None)).isEmpty)
+  }
+
   test("decode dispatch: real containers parse, opaque payloads take the stub") {
     val gray = Array[Byte](1, 2, 3, 4)
     val bmp = Multimodal.encodeBmpGray(2, 2, gray)
