@@ -150,13 +150,18 @@ object Jpeg {
     var planeH: Int = 0
   }
 
+  /** cosTab(x)(u) = cos((2x+1)·u·π/16) — shared by FDCT and IDCT. */
+  private val cosTab: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  /** Normalization c(0)=√½, else 1. */
+  private val cNorm: Array[Double] =
+    Array.tabulate(8)(i => if (i == 0) math.sqrt(0.5) else 1.0)
+
   /** Separable double-precision IDCT on one dequantized 8×8 block
     * (natural order), output level-shifted to 0..255. */
   private def idct(in: Array[Double], out: Array[Int]): Unit = {
     val tmp = new Array[Double](64)
-    val c = new Array[Double](8)
-    var i = 0
-    while (i < 8) { c(i) = if (i == 0) math.sqrt(0.5) else 1.0; i += 1 }
+    val c = cNorm
     // rows
     var y = 0
     while (y < 8) {
@@ -165,7 +170,7 @@ object Jpeg {
         var s = 0.0
         var u = 0
         while (u < 8) {
-          s += c(u) * in(y * 8 + u) * math.cos((2 * x + 1) * u * math.Pi / 16)
+          s += c(u) * in(y * 8 + u) * cosTab(x)(u)
           u += 1
         }
         tmp(y * 8 + x) = s / 2
@@ -181,7 +186,7 @@ object Jpeg {
         var s = 0.0
         var v = 0
         while (v < 8) {
-          s += c(v) * tmp(v * 8 + x) * math.cos((2 * y + 1) * v * math.Pi / 16)
+          s += c(v) * tmp(v * 8 + x) * cosTab(y)(v)
           v += 1
         }
         val px = math.round(s / 2 + 128).toInt
@@ -447,9 +452,7 @@ object Jpeg {
     AcSymbols.zipWithIndex.map { case (s, i) => s -> i }.toMap
 
   private def fdct(in: Array[Double], out: Array[Double]): Unit = {
-    val c = new Array[Double](8)
-    var i = 0
-    while (i < 8) { c(i) = if (i == 0) math.sqrt(0.5) else 1.0; i += 1 }
+    val c = cNorm
     val tmp = new Array[Double](64)
     var u = 0
     while (u < 8) { // rows
@@ -458,7 +461,7 @@ object Jpeg {
         var s = 0.0
         var x = 0
         while (x < 8) {
-          s += in(y * 8 + x) * math.cos((2 * x + 1) * u * math.Pi / 16)
+          s += in(y * 8 + x) * cosTab(x)(u)
           x += 1
         }
         tmp(y * 8 + u) = s * c(u) / 2
@@ -473,7 +476,7 @@ object Jpeg {
         var s = 0.0
         var y = 0
         while (y < 8) {
-          s += tmp(y * 8 + uu) * math.cos((2 * y + 1) * v * math.Pi / 16)
+          s += tmp(y * 8 + uu) * cosTab(y)(v)
           y += 1
         }
         out(v * 8 + uu) = s * c(v) / 2

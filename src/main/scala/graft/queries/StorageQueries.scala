@@ -87,11 +87,15 @@ object StorageQueries extends QueryRegistry {
     // so the pushdown path's row multiset is pinned by the oracle, not
     // just by the plan test in KwiDataSourceSpec
     "kwi_sql_point_read" -> ((s, dir) => {
-      val base = Files.createTempDirectory("graft-verify-kwisql").toString
-      val path = s"$base/store"
-      embeddings(s, dir)
-        .select(col("vec_id").cast("string").as("id"), col("embedding"))
-        .write.format("kwi").mode("overwrite").save(path)
+      // store built ONCE per session (SharedBuilds, like the other
+      // durable index artifacts); each call pays only the point reads
+      val path = SharedBuilds.of(s, dir, "kwi-sql-store") {
+        val p = Files.createTempDirectory("graft-verify-kwisql").toString + "/store"
+        embeddings(s, dir)
+          .select(col("vec_id").cast("string").as("id"), col("embedding"))
+          .write.format("kwi").mode("overwrite").save(p)
+        p
+      }
       s.read.format("kwi").load(path)
         .filter(col("id").isin("7", "42", "123"))
         .select(col("id").cast("long").as("vec_id"),
