@@ -402,7 +402,13 @@ object Hnsw {
       .agg(sort_array(collect_list(col("neighbor_id"))).as("ns"))
       .select(
         concat(col("node_id"), lit(":"), col("level")).as("id"),
+        // the if/raise_error guard is the SQL twin of encodeNeighbors'
+        // require: an id outside [0, 2^44) must FAIL the build, never
+        // round silently through the float cast and serve wrong nodes
         expr(s"flatten(transform(ns, n -> array(" +
+          s"if(n >= 0 and n < $MaxEncodableId, " +
           s"cast(shiftright(n, $LoBits) as float), " +
+          s"raise_error(concat('hnsw: neighbor id ', n, " +
+          s"' outside the exact 2-float range'))), " +
           s"cast(n % ${1L << LoBits} as float))))").as("embedding"))
 }

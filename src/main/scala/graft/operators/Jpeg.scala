@@ -260,6 +260,12 @@ object Jpeg {
             h = u16(seg + 1); w = u16(seg + 3)
             val nc = p(seg + 5) & 0xff
             if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+            // allocation bomb guard: a ~30-byte payload can DECLARE
+            // 65535×65535 and would otherwise size multi-GB planes
+            // (and w*h would overflow Int downstream) before any
+            // entropy data is read. 2^24 pixels (16 MP) is far above
+            // any fixture and keeps every buffer comfortably Int-sized.
+            if (w.toLong * h > (1L << 24)) return None
             comps = Array.tabulate(nc) { i =>
               val o = seg + 6 + 3 * i
               val hv = p(o + 1) & 0xff

@@ -81,7 +81,11 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L) {
     * in the .kwi append path (vector_db/src/binary_index.rs:103-146). */
   def append(path: String, batch: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val dim = batch.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+    // empty batch = no-op (a scheduled append tick with no new vectors
+    // must not fail the job on the dim probe)
+    val dimRow = batch.select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty) return
+    val dim = dimRow(0).getInt(0)
     batch
       .select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)

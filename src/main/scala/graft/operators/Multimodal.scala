@@ -185,6 +185,12 @@ object Multimodal {
           val inter = p(o + 20) & 0xff
           if (depth != 8 || comp != 0 || filt != 0 || inter != 0) return None
           if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16)) return None
+          // allocation bomb guard: a ~100-byte chunk-valid header can
+          // DECLARE 65536×65536×4 and would otherwise size multi-GB
+          // buffers before inflate runs ((1+stride)*h also overflows
+          // Int at that extreme). 2^24 pixels (16 MP) caps every
+          // buffer comfortably Int-sized.
+          if (w.toLong * h > (1L << 24)) return None
           channels = ct match {
             case 0 | 3 => 1
             case 4 => 2

@@ -85,10 +85,11 @@ object DedupStream {
     * per (band, band_hash) bucket, the minhash signatures of docs
     * seen inside the state TTL; each arriving doc pairs against the
     * bucket's residents and joins them. State is BOUNDED on both
-    * axes: at most `maxPerBucket` signatures per live bucket (oldest
-    * evicted first — a hot bucket degrades to recent-window pairing,
-    * it cannot OOM the store), and buckets age out on an event-time
-    * timeout tied to the watermark. est_jaccard = matching signature
+    * axes: at most `maxPerBucket` signatures per live bucket — one
+    * entry per doc_id (redeliveries refresh, never duplicate) with
+    * the oldest EVENT TIME evicted first, so a hot bucket degrades to
+    * recent-window pairing and cannot OOM the store — and buckets age
+    * out on an event-time timeout tied to the watermark. est_jaccard = matching signature
     * components / MinhashH (the standard estimator); candidates feed
     * an exact downstream rerank, the same contract as the batch
     * banded join. A pair agreeing in several bands emits once per
@@ -130,8 +131,13 @@ object DedupStream {
                 math.rint(m.toDouble / MinhashH * 1e6) / 1e6)
             }
           }
-          // newest first; the take caps the bucket, evicting oldest
-          held = (BucketEntry(d.doc_id, d.ts.getTime, d.sig) :: held)
+          // one entry per doc_id (an at-least-once redelivery refreshes
+          // the doc's entry instead of duplicating it and flushing
+          // genuine candidates), ordered newest-EVENT-TIME first so the
+          // cap evicts by event time, not arrival order
+          held = (BucketEntry(d.doc_id, d.ts.getTime, d.sig)
+              :: held.filterNot(_.doc_id == d.doc_id))
+            .sortBy(e => (-e.tsMs, e.doc_id))
             .take(maxPerBucket)
         }
         state.update(held)

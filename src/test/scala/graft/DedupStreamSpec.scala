@@ -117,6 +117,31 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-stream near-dup state dedupes redeliveries: one entry per doc_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val body = (1 to 40).map(i => "rd" + ('a' + i % 26).toChar + (i % 6)).mkString(" ")
+    val in = MemoryStream[Doc]
+    // cap 2: if the redelivered doc duplicated its entry, doc 0's two
+    // copies would fill the bucket; the dup then pairs exactly once per
+    // band either way, but the pair multiset distinguishes the cases
+    val q = EventStreams.toMemorySink(
+      DedupStream.inStreamNearDups(in.toDF(), maxPerBucket = 2),
+      "instream_redeliver_test", OutputMode.Append())
+    try {
+      in.addData(Doc(0, ts(1), body))
+      q.processAllAvailable()
+      in.addData(Doc(0, ts(2), body)) // at-least-once redelivery
+      q.processAllAvailable()
+      in.addData(Doc(1, ts(3), body))
+      q.processAllAvailable()
+      val pairs = spark.table("instream_redeliver_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // a duplicated entry would emit (0,1) TWICE per band
+      assert(pairs.distinct.toSeq == Seq((0L, 1L)), pairs.mkString(";"))
+      assert(pairs.length == graft.operators.Dedup.Bands, pairs.length)
+    } finally q.stop()
+  }
+
   test("streaming contamination screen flags eval overlap, passes clean docs") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextOps

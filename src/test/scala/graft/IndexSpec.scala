@@ -261,6 +261,29 @@ class IndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](Hnsw.encodeNeighbors(Seq(Hnsw.MaxEncodableId)))
     intercept[IllegalArgumentException](Hnsw.encodeNeighbors(Seq(-1L)))
     intercept[IllegalArgumentException](Hnsw.decodeNeighbors(Array(1.0f)))
+    // the SQL twin FAILS the build on out-of-range ids too (raise_error
+    // in the page expression) — it must never round silently through
+    // the float cast and serve wrong nodes
+    val bad = Seq((Hnsw.MaxEncodableId + 7L, 0, 1L, 0.1))
+      .toDF("node_id", "level", "neighbor_id", "dist")
+      .select(col("neighbor_id").as("node_id"), col("level"),
+        col("node_id").as("neighbor_id"), col("dist"))
+    intercept[Exception](Hnsw.adjacencyPages(bad).collect())
+    val ok = Seq((1L, 0, (1L << 37) + 987654321L, 0.1))
+      .toDF("node_id", "level", "neighbor_id", "dist")
+    val page = Hnsw.adjacencyPages(ok).collect()(0)
+    assert(Hnsw.decodeNeighbors(page.getSeq[Float](1).toArray) ===
+      Seq((1L << 37) + 987654321L))
+  }
+
+  test("lsh: append of an EMPTY batch is a no-op, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("lshempty").toString
+    val lsh = new Lsh(numPlanes = 4, seed = 42L)
+    val emb100 = emb.filter($"vec_id" < 100)
+    lsh.build(emb100, s"$dir/idx")
+    val before = spark.read.parquet(s"$dir/idx").count()
+    lsh.append(s"$dir/idx", emb.filter($"vec_id" < 0)) // zero rows
+    assert(spark.read.parquet(s"$dir/idx").count() === before)
   }
 
   test("hnsw: recall@10 vs brute force >= 0.5 on 200 vectors") {

@@ -290,4 +290,31 @@ class MultimodalSpec extends SparkSpec {
     // the dispatcher routes real JPEG to the codec (not the stub)
     assert(Multimodal.decode(jpg).length === 8 * 8 * 3)
   }
+
+  test("image decoders reject allocation-bomb headers instead of OOMing the task") {
+    // a tiny JPEG whose SOF0 DECLARES 40000×40000: must return None at
+    // the header, never size the component planes
+    val jpg = graft.operators.Jpeg.encode(8, 8, gradientRgb(8, 8))
+    // locate SOF0 (FF C0) and patch its declared dims
+    val sof = (0 until jpg.length - 1)
+      .find(i => (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0).get
+    val bomb = jpg.clone()
+    bomb(sof + 5) = 0x9c.toByte; bomb(sof + 6) = 0x40.toByte // h = 40000
+    bomb(sof + 7) = 0x9c.toByte; bomb(sof + 8) = 0x40.toByte // w = 40000
+    assert(graft.operators.Jpeg.decode(bomb).isEmpty)
+    // same for PNG: chunk-valid header declaring 19000×19000 RGBA
+    val png = rawPng(2, 2, 6, 4, Array.fill(16)(1.toByte))
+    val ihdrData = 8 + 8 // sig + len/type of IHDR
+    val pbomb = png.clone()
+    def putInt(o: Int, v: Int): Unit = {
+      pbomb(o) = (v >> 24).toByte; pbomb(o + 1) = (v >> 16).toByte
+      pbomb(o + 2) = (v >> 8).toByte; pbomb(o + 3) = v.toByte
+    }
+    putInt(ihdrData, 19000); putInt(ihdrData + 4, 19000)
+    // re-seal the IHDR CRC so only the dimension guard can reject it
+    val crc = new java.util.zip.CRC32()
+    crc.update(pbomb, 12, 4 + 13)
+    putInt(12 + 4 + 13, crc.getValue.toInt)
+    assert(Multimodal.decodePng(pbomb).isEmpty)
+  }
 }
