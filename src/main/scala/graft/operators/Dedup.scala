@@ -253,13 +253,15 @@ object Dedup {
     * relies on (pinned by DedupSpec's build/probe parity test). */
   private def bloomCoef(i: Int): (Long, Long) = (2L * i + 1, 7919L * i)
 
-  /** Scalar probe position (driver build side). */
+  /** Scalar probe position (driver build side). Non-negative by
+    * construction (floorMod): a negative member hash must land on the
+    * same bit the probe side reads, never throw or wrap differently. */
   def bloomProbe(i: Int, h: Long): Long = {
-    val (a, b) = bloomCoef(i); (a * h + b) % BloomM
+    val (a, b) = bloomCoef(i); java.lang.Math.floorMod(a * h + b, BloomM.toLong)
   }
 
   private def bloomPos(i: Int, h: Column): Column = {
-    val (a, b) = bloomCoef(i); (lit(a) * h + lit(b)) % BloomM
+    val (a, b) = bloomCoef(i); pmod(lit(a) * h + lit(b), lit(BloomM.toLong))
   }
 
   /** The same probe as a DuckDB SQL fragment over variables `i`/`h`
@@ -268,7 +270,9 @@ object Dedup {
     // coefficients written symbolically so they come from bloomCoef's
     // shape; constants checked against it at class-init time
     require(bloomCoef(3) == (7L, 23757L), "bloom coefficients drifted")
-    s"((2*$i+1)*$h + 7919*$i) % $BloomM"
+    // DuckDB's % is signed like Java's; wrap to the same non-negative
+    // residue floorMod/pmod give on the build and probe sides
+    s"((((2*$i+1)*$h + 7919*$i) % $BloomM) + $BloomM) % $BloomM"
   }
 
   /** Build the m-bit membership array from the (small) member-hash

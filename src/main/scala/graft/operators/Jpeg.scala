@@ -440,10 +440,6 @@ object Jpeg {
     }
   }
 
-  /** Canonical codes for "all `n` symbols at length `len`". */
-  private def flatCodes(n: Int, len: Int): Array[(Int, Int)] =
-    Array.tabulate(n)(i => (i, len))
-
   /** The encoder's deliberately simple tables (see object doc). */
   private val DcLen = 4 // 12 symbols
   private val AcLen = 9 // 162 symbols

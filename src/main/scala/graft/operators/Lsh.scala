@@ -86,6 +86,18 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L) {
     val dimRow = batch.select(size(col(vecCol))).limit(1).collect()
     if (dimRow.isEmpty) return
     val dim = dimRow(0).getInt(0)
+    // the plane matrix is a function of (numPlanes, seed, DIM): a batch
+    // with a different vector dimension would bucket-assign through a
+    // different matrix and silently corrupt probe results for the
+    // appended rows — read one row from the existing store and refuse
+    // a mismatched batch instead
+    val storeDimRow = batch.sparkSession.read.parquet(path)
+      .select(size(col(vecCol))).limit(1).collect()
+    if (storeDimRow.nonEmpty) {
+      val storeDim = storeDimRow(0).getInt(0)
+      require(dim == storeDim,
+        s"Lsh.append: batch dimension $dim != index dimension $storeDim at $path")
+    }
     batch
       .select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)

@@ -226,6 +226,9 @@ object Multimodal {
       if (off != raw.length) return None
       // an over-long stream is structural corruption too
       if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return None
+      // a stream that produced exactly raw.length bytes but ended
+      // mid-block (needsInput without finish) is truncated, not valid
+      if (!inf.finished()) return None
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()

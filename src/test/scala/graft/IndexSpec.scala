@@ -286,6 +286,21 @@ class IndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx").count() === before)
   }
 
+  test("lsh: append refuses a batch whose vector dimension differs") {
+    // the r7 advisory: planes are a function of (numPlanes, seed, dim) —
+    // a mismatched batch would bucket through a DIFFERENT matrix and
+    // silently corrupt probes for the appended rows; must fail loudly
+    val dir = java.nio.file.Files.createTempDirectory("lshdim").toString
+    val lsh = new Lsh(numPlanes = 4, seed = 42L)
+    lsh.build(emb.filter($"vec_id" < 50), s"$dir/idx")
+    val wrongDim = emb.filter($"vec_id" < 5)
+      .select($"vec_id", slice($"embedding", 1, 3).as("embedding"))
+    val e = intercept[IllegalArgumentException](lsh.append(s"$dir/idx", wrongDim))
+    assert(e.getMessage.contains("dimension"))
+    // the store is untouched by the refused append
+    assert(spark.read.parquet(s"$dir/idx").count() === 50)
+  }
+
   test("hnsw: recall@10 vs brute force >= 0.5 on 200 vectors") {
     val small = emb.filter($"vec_id" < 200).cache()
     val hnsw = new Hnsw(m = 16, ef = 48)

@@ -87,7 +87,8 @@ class MultimodalSpec extends SparkSpec {
     * unfiltered scanlines, stored-block zlib — the fixture the ct-0/3/4
     * decoder paths need (encodePngGray only emits color type 2). */
   private def rawPng(w: Int, h: Int, colorType: Int, channels: Int,
-      rows: Array[Byte], plte: Option[Array[Byte]] = None): Array[Byte] = {
+      rows: Array[Byte], plte: Option[Array[Byte]] = None,
+      finalBlock: Boolean = true): Array[Byte] = {
     def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(12 + data.length)
       b.putInt(data.length)
@@ -103,7 +104,7 @@ class MultimodalSpec extends SparkSpec {
     for (y <- 0 until h)
       System.arraycopy(rows, y * stride, flt, y * (1 + stride) + 1, stride)
     val zl = new java.io.ByteArrayOutputStream()
-    zl.write(0x78); zl.write(0x01); zl.write(1)
+    zl.write(0x78); zl.write(0x01); zl.write(if (finalBlock) 1 else 0)
     zl.write(flt.length & 0xff); zl.write((flt.length >> 8) & 0xff)
     zl.write(~flt.length & 0xff); zl.write((~flt.length >> 8) & 0xff)
     zl.write(flt)
@@ -142,6 +143,15 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePng(
       rawPng(4, 2, 3, 1, Array[Byte](0, 3, 1, 1, 0, 2, 2, 0), Some(pal))).isEmpty)
     assert(Multimodal.decodePng(rawPng(4, 2, 3, 1, idx, None)).isEmpty)
+  }
+
+  test("png codec: stream ending mid-block after exactly enough bytes is rejected") {
+    // the r7 advisory: a deflate stream whose LAST block is non-final
+    // produces raw.length bytes and then hits needsInput with
+    // finished()=false — that is a truncated stream, not a valid image
+    val gray = Array.tabulate(12)(i => (i * 19 + 5).toByte)
+    assert(Multimodal.decodePng(rawPng(4, 3, 0, 1, gray)).isDefined)
+    assert(Multimodal.decodePng(rawPng(4, 3, 0, 1, gray, finalBlock = false)).isEmpty)
   }
 
   test("decode dispatch: real containers parse, opaque payloads take the stub") {

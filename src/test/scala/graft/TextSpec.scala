@@ -77,7 +77,11 @@ class TextSpec extends SparkSpec {
     // are set through the scalar formula AND found through the Column
     // path, so a drift in either direction fails here before it can
     // break the no-false-negative guarantee
-    val members = Seq(0L, 1L, 7919L, 1152921504606846975L, 648541476951500027L)
+    // NEGATIVE hashes included: the r7 advisory — a signed % would make
+    // the driver build throw while the Column probe wrapped from the
+    // array end; floorMod/pmod must land both on the same bit
+    val members = Seq(0L, 1L, 7919L, 1152921504606846975L,
+      648541476951500027L, -1L, -7919L, -648541476951500027L)
     val bits = Dedup.bloomBits(members)
     for (h <- members; i <- 0 until Dedup.BloomK)
       assert(bits(Dedup.bloomProbe(i, h).toInt), s"scalar probe $i of $h unset")
@@ -86,9 +90,9 @@ class TextSpec extends SparkSpec {
       .select(Dedup.bloomMightContain(col("h"), bitsCol).as("m"))
       .collect().map(_.getBoolean(0))
     assert(flagged.forall(identity), "Column probe missed a member")
-    // and the SQL fragment is the same formula
+    // and the SQL fragment is the same formula (signed-%-safe wrap)
     assert(Dedup.bloomProbeSql("i", "h") ==
-      s"((2*i+1)*h + 7919*i) % ${Dedup.BloomM}")
+      s"((((2*i+1)*h + 7919*i) % ${Dedup.BloomM}) + ${Dedup.BloomM}) % ${Dedup.BloomM}")
     // the distributed build (one-row collect_set head) yields the SAME
     // bits as the driver-side build — the declared decon paths read
     // bloomBitsOf, the streaming screen and tests read bloomBits, and
