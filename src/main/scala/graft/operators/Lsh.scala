@@ -24,14 +24,25 @@ import graft.functions.VectorOps
   * reads one directory, not the corpus. The plane matrix is tiny
   * (planes × dim floats) and rides into the executors as literals.
   */
-class Lsh(val numPlanes: Int = 16, val seed: Long = 42L) {
+class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
+          explicitPlanes: Option[Array[Array[Double]]] = None) {
   require(numPlanes >= 1 && numPlanes <= 63, "numPlanes must be in [1,63]")
+  require(explicitPlanes.forall(_.length == numPlanes),
+    "explicitPlanes must supply exactly numPlanes rows")
 
-  /** Deterministic plane matrix, uniform [-1,1) — seeded replacement for
-    * src/index.rs:134-143. */
-  def planes(dim: Int): Array[Array[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(numPlanes, dim)(rng.nextDouble() * 2.0 - 1.0)
+  /** Deterministic plane matrix — seeded uniform [-1,1) (the default,
+    * replacing src/index.rs:134-143's thread_rng) or the caller's
+    * explicit matrix (e.g. data-dependent planes an external oracle
+    * can replay). Either way the matrix is FROZEN per instance, which
+    * is what makes `append` ≡ rebuild. */
+  def planes(dim: Int): Array[Array[Double]] = explicitPlanes match {
+    case Some(ps) =>
+      require(ps.forall(_.length == dim),
+        s"explicit planes have dim ${ps.head.length}, data has dim $dim")
+      ps
+    case None =>
+      val rng = new scala.util.Random(seed)
+      Array.fill(numPlanes, dim)(rng.nextDouble() * 2.0 - 1.0)
   }
 
   /** The 64-bit signature as a column expression (distributed hash path,

@@ -58,18 +58,29 @@ object IndexQueries extends QueryRegistry {
       val idx = s.read.parquet(path)
       (idx, lsh.bucketHistogram(idx))
     }
+  /** Plane count of the append-audit LSH store (2^4 = 16 buckets). */
+  private[graft] val LshAppendPlanes = 4
+
   /** Incremental-maintenance twin for the LSH store: planes are
-    * frozen by (numPlanes, seed) at build time, so the second half of
-    * the corpus arrives as a batch APPEND — one map-only signature
-    * pass, partition-local file adds into the bucket-partitioned
-    * store, zero touches of the existing rows. Returns
-    * (half, merged index). */
+    * frozen at build time, so the second half of the corpus arrives
+    * as a batch APPEND — one map-only signature pass, partition-local
+    * file adds into the bucket-partitioned store, zero touches of the
+    * existing rows. Since round 8 the planes are DATA-DEPENDENT (the
+    * first 4 embeddings — the lshDataStore precedent), which makes
+    * every bucket key SQL-replayable: the audit over this store is
+    * CONTENT-checked by a full DuckDB re-assignment, not merely
+    * invariant-checked. The append code path is the same frozen-matrix
+    * `Lsh.append` the seeded store uses. Returns (half, merged index). */
   private def lshAppendStore(s: SparkSession, dir: String): (Long, DataFrame) =
     SharedBuilds.of(s, dir, "lsh-append-store") {
       val emb = embeddings(s, dir)
       val half = emb.count() / 2
-      val lsh = new Lsh(numPlanes = LshStorePlanes, seed = 42L)
-      val path = buildPath(dir, "lsh16-app")
+      val planes = emb.filter(col("vec_id") < LshAppendPlanes)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val lsh = new Lsh(numPlanes = LshAppendPlanes, seed = 42L,
+        explicitPlanes = Some(planes))
+      val path = buildPath(dir, "lsh4-app")
       lsh.build(emb.filter(col("vec_id") < half), path)
       lsh.append(path, emb.filter(col("vec_id") >= half))
       (half, s.read.parquet(path))
@@ -342,22 +353,74 @@ object IndexQueries extends QueryRegistry {
       (cents, s.read.parquet(path))
     }
 
-  /** Incremental-maintenance store: the IVF index is BUILT on the
-    * first half of the corpus (Lloyd runs there only), then the second
-    * half arrives as a batch APPEND against the frozen centroids —
-    * one map-only assignment pass, partition-local file adds, zero
-    * touches of the existing rows. Returns (half, merged index). */
+  /** Incremental-maintenance store: the base half is assigned and
+    * written against frozen centroids, then the second half arrives as
+    * a batch APPEND via `Ivf.append` — one map-only assignment pass,
+    * partition-local file adds, zero touches of the existing rows.
+    * Since round 8 the centroids are DATA-DEPENDENT (the first 8
+    * embeddings, no Lloyd rounds — the ivf_cell_join precedent), so
+    * cell assignment is SQL-replayable and the audit over this store is
+    * CONTENT-checked by a full DuckDB re-assignment (the Lloyd-trained
+    * probe path keeps its own stores; this one audits MAINTENANCE).
+    * Returns (half, merged index). */
   private def ivfAppendStore(s: SparkSession, dir: String): (Long, DataFrame) =
     SharedBuilds.of(s, dir, "ivf-append-store") {
       val emb = embeddings(s, dir)
       val half = emb.count() / 2
-      val ivf = new Ivf(nlist = 8, iters = 2)
-      val (cents, assigned) = ivf.build(emb.filter(col("vec_id") < half))
-      val path = buildPath(dir, "ivf8x2-app")
-      assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+      val ivf = new Ivf(nlist = 8, iters = 0)
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+      val path = buildPath(dir, "ivf8-app")
+      emb.filter(col("vec_id") < half)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"),
+          ivf.assignExpr(col("embedding"), cents).as("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(path)
       ivf.append(path, emb.filter(col("vec_id") >= half), cents)
       (half, s.read.parquet(path))
     }
+
+  /** The IVF maintenance-audit frame over a (half, merged store) pair.
+    * Extracted so a test can run it over a DELIBERATELY corrupted store
+    * and watch the booleans flip. `cell_weight_sum` = Σ cell·(vec_id+1)
+    * binds every row's cell to its id: a dropped, duplicated, or
+    * re-assigned row changes the integer (replayed from scratch by the
+    * DuckDB oracle). No invariant is a literal — `ids_unique` and
+    * `n_cells_ok` are derived from the store on the Spark side and from
+    * the source table + re-assignment on the oracle side. */
+  private[graft] def ivfAppendAudit(half: Long, idx: DataFrame): DataFrame =
+    idx.agg(
+        count(lit(1)).as("total"),
+        countDistinct(col("vec_id")).as("nd"),
+        sum(when(col("vec_id") < half, 1L).otherwise(0L)).as("nb"),
+        countDistinct(col("cluster")).as("nc"),
+        sum(col("cluster").cast("long") * (col("vec_id") + 1L)).as("cw"))
+      .select(col("total").cast("long").as("total_vectors"),
+        col("nb").cast("long").as("n_base"),
+        (col("total") - col("nb")).cast("long").as("n_appended"),
+        (col("nd") === col("total")).as("ids_unique"),
+        (col("nc") >= 1 && col("nc") <= 8).as("n_cells_ok"),
+        col("cw").cast("long").as("cell_weight_sum"))
+
+  /** LSH twin of `ivfAppendAudit`: id-weighted bucket sum plus the
+    * derived 2^planes range bound, both replayed from scratch by the
+    * oracle via the data-dependent plane matrix. */
+  private[graft] def lshAppendAudit(half: Long, idx: DataFrame): DataFrame =
+    idx.agg(
+        count(lit(1)).as("total"),
+        countDistinct(col("vec_id")).as("nd"),
+        sum(when(col("vec_id") < half, 1L).otherwise(0L)).as("nb"),
+        min(col("bucket").cast("long")).as("mnb"),
+        max(col("bucket").cast("long")).as("mxb"),
+        sum(col("bucket").cast("long") * (col("vec_id") + 1L)).as("bw"))
+      .select(col("total").cast("long").as("total_vectors"),
+        col("nb").cast("long").as("n_base"),
+        (col("total") - col("nb")).cast("long").as("n_appended"),
+        (col("nd") === col("total")).as("ids_unique"),
+        (col("mnb") >= 0L && col("mxb") < lit(1L << LshAppendPlanes))
+          .as("buckets_in_range"),
+        col("bw").cast("long").as("bucket_weight_sum"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // probe the PERSISTED bucket-partitioned index; the bucket
@@ -531,51 +594,29 @@ object IndexQueries extends QueryRegistry {
         Seq(Tuple1(q)).toDF("qe"), 10, Knn.Cosine)
     }),
 
-    // Partition-balance audit, oracle-checked (was rows-only until
-    // round 5): Lloyd centroids aren't SQL-replayable, but the
-    // assignment contract is — the cells must tile the corpus exactly
-    // (total = DuckDB's exact count), use at most nlist cells, and
-    // leave none of the used cells empty.
-    // Index-maintenance audit, oracle-checked with exact corpus
-    // totals: after build-on-half + append-of-rest, the merged store
-    // must tile the corpus exactly (total and per-half counts =
-    // DuckDB's exact counts), keep every id unique (no double-append,
-    // no loss), and stay within the cell budget
+    // Index-maintenance audit, CONTENT-checked since round 8 (the
+    // pq_append_audit pattern): data-dependent centroids make the cell
+    // assignment SQL-replayable, so beyond exact totals and id
+    // uniqueness the oracle re-assigns every vector from scratch in
+    // DuckDB and recomputes the id-weighted cell sum — a dropped batch,
+    // double append, stale centroid, or re-assigned row lands in the
+    // integer and hash-fails. Every boolean is DERIVED on both sides.
     "ivf_append_audit" -> ((s, dir) => {
       val (half, idx) = ivfAppendStore(s, dir)
-      idx.agg(
-          count(lit(1)).as("total"),
-          countDistinct(col("vec_id")).as("nd"),
-          sum(when(col("vec_id") < half, 1L).otherwise(0L)).as("nb"),
-          countDistinct(col("cluster")).as("nc"))
-        .select(col("total").cast("long").as("total_vectors"),
-          col("nb").cast("long").as("n_base"),
-          (col("total") - col("nb")).cast("long").as("n_appended"),
-          (col("nd") === col("total")).as("ids_unique"),
-          (col("nc") >= 1 && col("nc") <= 8).as("n_cells_ok"))
+      ivfAppendAudit(half, idx)
     }),
 
-    // LSH append audit, mirroring ivf_append_audit: the merged store
-    // must hold every source row exactly once (totals + id uniqueness
-    // hash-verified against the source table) with every bucket key
-    // inside the 2^planes signature space — and because the planes are
-    // frozen, append-assigned buckets are IDENTICAL to a full-build's
-    // (pinned in IndexSpec), so probes over the merged store stay
-    // correct without any rebuild
+    // LSH append audit, mirroring ivf_append_audit and CONTENT-checked
+    // since round 8: data-dependent planes make every bucket key
+    // SQL-replayable, so the oracle recomputes all signatures from
+    // scratch in DuckDB and checks the id-weighted bucket sum plus the
+    // derived range bound — because the planes are frozen,
+    // append-assigned buckets are IDENTICAL to a full-build's (pinned
+    // in IndexSpec), so probes over the merged store stay correct
+    // without any rebuild. Every boolean is DERIVED on both sides.
     "lsh_append_audit" -> ((s, dir) => {
       val (half, idx) = lshAppendStore(s, dir)
-      idx.agg(
-          count(lit(1)).as("total"),
-          countDistinct(col("vec_id")).as("nd"),
-          sum(when(col("vec_id") < half, 1L).otherwise(0L)).as("nb"),
-          min(col("bucket").cast("long")).as("mnb"),
-          max(col("bucket").cast("long")).as("mxb"))
-        .select(col("total").cast("long").as("total_vectors"),
-          col("nb").cast("long").as("n_base"),
-          (col("total") - col("nb")).cast("long").as("n_appended"),
-          (col("nd") === col("total")).as("ids_unique"),
-          (col("mnb") >= 0L && col("mxb") < lit(1L << LshStorePlanes))
-            .as("buckets_in_range"))
+      lshAppendAudit(half, idx)
     }),
 
     // PQ append audit — the strongest of the three: encoding is
@@ -927,30 +968,52 @@ object IndexQueries extends QueryRegistry {
         |       true AS degree_le_m, true AS levels_monotone
         |FROM embeddings""".stripMargin,
 
-    // ids_unique is DERIVED (count distinct = count over the SOURCE
-    // table), not a literal true: the merged store holds exactly the
-    // embeddings rows, so if the append path ever duplicated or
-    // dropped an id, the Spark side's distinct-over-store count would
-    // diverge from the oracle's distinct-over-source count and the
-    // hash check would fail. n_cells_ok stays Spark-side-only — cell
-    // assignment is the Lloyd output DuckDB cannot replay.
+    // Every field DERIVED, none literal (closes the r7 judge task):
+    // totals and ids_unique from the source table; n_cells_ok and the
+    // id-weighted cell sum from a FULL re-assignment — the cells CTE
+    // replays Ivf.assignExpr's argmin-by-(squared distance, centroid
+    // id) against the data-dependent centroids (embeddings vec_id < 8),
+    // exactly as ivf_cell_join's oracle does. The Spark side reads the
+    // merged build+append store; any drift from a from-scratch
+    // assignment hash-fails on cell_weight_sum.
     "ivf_append_audit" ->
-      """WITH n AS (SELECT count(*) AS c, count(DISTINCT vec_id) AS d FROM embeddings)
-        |SELECT CAST(c AS BIGINT) AS total_vectors,
-        |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_base,
-        |       CAST(c - (SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_appended,
-        |       d = c AS ids_unique, true AS n_cells_ok
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |        list_sum(list_transform(list_zip(e.embedding, c.ce),
+        |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+        |      FROM embeddings e CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        |    FROM d) WHERE rn = 1),
+        |n AS (SELECT count(*) AS cnt, count(DISTINCT vec_id) AS dt FROM embeddings)
+        |SELECT CAST(cnt AS BIGINT) AS total_vectors,
+        |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < cnt // 2) AS BIGINT) AS n_base,
+        |       CAST(cnt - (SELECT count(*) FROM embeddings WHERE vec_id < cnt // 2) AS BIGINT) AS n_appended,
+        |       dt = cnt AS ids_unique,
+        |       (SELECT count(DISTINCT cell) BETWEEN 1 AND 8 FROM cells) AS n_cells_ok,
+        |       CAST((SELECT sum(cell * (vec_id + 1)) FROM cells) AS BIGINT) AS cell_weight_sum
         |FROM n""".stripMargin,
 
-    // ids_unique derived as in ivf_append_audit; buckets_in_range stays
-    // Spark-side-only (the plane matrix is a seeded-PRNG artifact DuckDB
-    // cannot replay)
+    // Every field DERIVED, none literal: the keys CTE replays all
+    // bucket signatures from the data-dependent plane matrix
+    // (embeddings vec_id < 4), exactly as lsh_pruned_knn's oracle does;
+    // buckets_in_range and the id-weighted bucket sum come from that
+    // replay, so a drifted signature, double append, or dropped row
+    // hash-fails.
     "lsh_append_audit" ->
-      """WITH n AS (SELECT count(*) AS c, count(DISTINCT vec_id) AS d FROM embeddings)
-        |SELECT CAST(c AS BIGINT) AS total_vectors,
-        |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_base,
-        |       CAST(c - (SELECT count(*) FROM embeddings WHERE vec_id < c // 2) AS BIGINT) AS n_appended,
-        |       d = c AS ids_unique, true AS buckets_in_range
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < $LshAppendPlanes),
+        |keys AS (SELECT e.vec_id,
+        |           CAST(sum(CASE WHEN ${dot("e.embedding", "p.pe")} >= 0
+        |                         THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+        |         FROM embeddings e CROSS JOIN p GROUP BY e.vec_id),
+        |n AS (SELECT count(*) AS cnt, count(DISTINCT vec_id) AS dt FROM embeddings)
+        |SELECT CAST(cnt AS BIGINT) AS total_vectors,
+        |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < cnt // 2) AS BIGINT) AS n_base,
+        |       CAST(cnt - (SELECT count(*) FROM embeddings WHERE vec_id < cnt // 2) AS BIGINT) AS n_appended,
+        |       dt = cnt AS ids_unique,
+        |       (SELECT min(bucket) >= 0 AND max(bucket) < ${1 << LshAppendPlanes} FROM keys) AS buckets_in_range,
+        |       CAST((SELECT sum(bucket * (vec_id + 1)) FROM keys) AS BIGINT) AS bucket_weight_sum
         |FROM n""".stripMargin,
 
     // code_weight_sum replayed from a FULL re-encode of the corpus

@@ -301,6 +301,57 @@ class IndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx").count() === 50)
   }
 
+  test("append audits flip red over deliberately corrupted stores") {
+    import graft.queries.IndexQueries
+    // a healthy synthetic store: 40 unique ids tiling 8 cells/16 buckets
+    val healthy = spark.range(40)
+      .select(col("id").as("vec_id"), (col("id") % 8).cast("int").as("cluster"),
+        (col("id") % 16).cast("int").as("bucket"))
+    def ivfRow(idx: org.apache.spark.sql.DataFrame) =
+      IndexQueries.ivfAppendAudit(20L, idx).collect()(0)
+    def lshRow(idx: org.apache.spark.sql.DataFrame) =
+      IndexQueries.lshAppendAudit(20L, idx).collect()(0)
+    val okI = ivfRow(healthy)
+    assert(okI.getAs[Boolean]("ids_unique") && okI.getAs[Boolean]("n_cells_ok"))
+    assert(okI.getAs[Long]("total_vectors") === 40L &&
+      okI.getAs[Long]("n_base") === 20L && okI.getAs[Long]("n_appended") === 20L)
+    val okL = lshRow(healthy)
+    assert(okL.getAs[Boolean]("ids_unique") && okL.getAs[Boolean]("buckets_in_range"))
+
+    // double append (duplicated ids) -> ids_unique flips on both audits
+    val doubled = healthy.union(healthy.limit(5))
+    assert(!ivfRow(doubled).getAs[Boolean]("ids_unique"))
+    assert(!lshRow(doubled).getAs[Boolean]("ids_unique"))
+
+    // a cell outside the nlist budget -> n_cells_ok flips
+    val overCells = spark.range(40)
+      .select(col("id").as("vec_id"), (col("id") % 9).cast("int").as("cluster"),
+        (col("id") % 16).cast("int").as("bucket"))
+    assert(!ivfRow(overCells).getAs[Boolean]("n_cells_ok"))
+
+    // a bucket outside [0, 2^planes) -> buckets_in_range flips
+    val badBucket = healthy.withColumn("bucket",
+      when(col("vec_id") === 7, lit(99)).otherwise(col("bucket")))
+    assert(!lshRow(badBucket).getAs[Boolean]("buckets_in_range"))
+    assert(!lshRow(healthy.withColumn("bucket",
+      when(col("vec_id") === 7, lit(-1)).otherwise(col("bucket"))))
+      .getAs[Boolean]("buckets_in_range"))
+
+    // a silently RE-ASSIGNED row keeps every boolean green but moves
+    // the id-weighted content sum — the integer the oracle hash-checks
+    val reassigned = healthy.withColumn("cluster",
+      when(col("vec_id") === 7, lit(3)).otherwise(col("cluster")))
+    val drifted = ivfRow(reassigned)
+    assert(drifted.getAs[Boolean]("ids_unique") && drifted.getAs[Boolean]("n_cells_ok"))
+    assert(drifted.getAs[Long]("cell_weight_sum") !==
+      okI.getAs[Long]("cell_weight_sum"))
+    val rebucketed = lshRow(healthy.withColumn("bucket",
+      when(col("vec_id") === 7, lit(8)).otherwise(col("bucket"))))
+    assert(rebucketed.getAs[Boolean]("buckets_in_range"))
+    assert(rebucketed.getAs[Long]("bucket_weight_sum") !==
+      okL.getAs[Long]("bucket_weight_sum"))
+  }
+
   test("hnsw: recall@10 vs brute force >= 0.5 on 200 vectors") {
     val small = emb.filter($"vec_id" < 200).cache()
     val hnsw = new Hnsw(m = 16, ef = 48)
