@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.functions.TextOps
+import graft.operators.Dedup
+import graft.streaming.{DedupStream, EventStreams}
+
+/** Declared queries for the STREAMING surface, via bounded replay: each
+  * runs the real Structured Streaming pipeline (state store, event-time
+  * watermark, timeouts) with `Trigger.AvailableNow` over a finite file
+  * source derived from the driver's parquet tables, sinks the output to
+  * parquet, and declares the (deterministic) sink — which a DuckDB
+  * batch twin then replays value-for-value. This brings the streaming
+  * operators under the same rows+schema+hash gate as everything else;
+  * the reference engine is batch-only (SURVEY §2.8), so the whole
+  * module is extension surface.
+  *
+  * Determinism notes (why the sinks are hash-stable):
+  *   - `stream_near_dup_replay`: with every doc in one micro-batch and
+  *     no bucket over the state cap (max same-bucket cohort at these
+  *     scales is 3 ≪ 64), the emitted candidate SET is exactly "all
+  *     same-(band, band_hash) pairs, once per shared band" regardless
+  *     of intra-batch iteration order — pair ids are min/max
+  *     normalized and est_jaccard is a pure function of the two
+  *     signatures.
+  *   - `stream_sessions_replay`: the input is split into TWO
+  *     mtime-ordered files replayed as separate micro-batches
+  *     (maxFilesPerTrigger=1), so state genuinely persists across a
+  *     batch boundary and the watermark advances between batches; the
+  *     sink aggregate (per user: final session count, events in the
+  *     final session) is invariant to how updates and timeout
+  *     re-emissions interleave because n_sessions is monotone and
+  *     events-in-session is monotone within a session.
+  *   - `stream_decontam_replay`: the screen is stateless map-only over
+  *     a broadcast Bloom bitmap — per-doc flags are order-free.
+  */
+object StreamQueries extends QueryRegistry {
+  import Tables._
+
+  private def buildPath(dir: String, name: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val p = java.nio.file.Paths.get("target", "graft-builds", s"$name-$tag")
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toAbsolutePath.toString
+  }
+
+  private def rmrf(paths: String*): Unit = paths.foreach(p =>
+    graft.sources.CollectionManager.deleteRecursively(java.nio.file.Paths.get(p)))
+
+  /** Epoch seconds of 2024-01-01T00:00:00Z — base of the synthetic
+    * per-doc event times (one doc per minute, deterministic in doc_id). */
+  private val DocTsBase = 1704067200L
+
+  /** The prepared document stream input: (doc_id, ts, text) as ONE
+    * parquet file, so the whole corpus arrives in one micro-batch (no
+    * watermark ordering concerns) with a fixed row order. Built once
+    * per (session, dir); both document streams read it with their own
+    * checkpoints. Returns (path, schema). */
+  private def docsStreamInput(s: SparkSession, dir: String)
+      : (String, org.apache.spark.sql.types.StructType) =
+    SharedBuilds.of(s, dir, "stream-docs-in") {
+      val in = buildPath(dir, "stream-docs-in")
+      rmrf(in)
+      val prepared = documents(s, dir).select(col("doc_id"),
+        timestamp_micros((lit(DocTsBase) + col("doc_id") * 60L) * 1000000L).as("ts"),
+        col("text"))
+      prepared.coalesce(1).write.mode("overwrite").parquet(in)
+      (in, prepared.schema)
+    }
+
+  /** Run the in-stream near-dup pairing (band-keyed
+    * flatMapGroupsWithState) to completion over the bounded doc stream;
+    * returns the parquet sink path. The checkpoint is recreated every
+    * build (a stale checkpoint would silently skip the replay). */
+  private def nearDupReplaySink(s: SparkSession, dir: String): String =
+    SharedBuilds.of(s, dir, "stream-near-dup-replay") {
+      val (in, schema) = docsStreamInput(s, dir)
+      val sink = buildPath(dir, "stream-nd-sink")
+      val ckpt = buildPath(dir, "stream-nd-ckpt")
+      rmrf(sink, ckpt)
+      val stream = s.readStream.schema(schema).parquet(in)
+      val q = DedupStream.inStreamNearDups(stream)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sink
+    }
+
+  /** Run the stateful sessionizer to completion over the event stream,
+    * split into two ts-ranged, mtime-ordered files so AvailableNow +
+    * maxFilesPerTrigger=1 drives TWO micro-batches — per-user state
+    * crosses a real batch boundary and event-time timeouts can fire on
+    * the second batch's advanced watermark. Per-batch Update-mode rows
+    * land in the sink via foreachBatch (the file sink itself is
+    * append-only). Returns the parquet sink path. */
+  private def sessionsReplaySink(s: SparkSession, dir: String): String =
+    SharedBuilds.of(s, dir, "stream-sessions-replay") {
+      import s.implicits._
+      val in = buildPath(dir, "stream-ev-in")
+      val sink = buildPath(dir, "stream-ev-sink")
+      val ckpt = buildPath(dir, "stream-ev-ckpt")
+      rmrf(in, sink, ckpt)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = events(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val cnt = ev.count()
+      // boundary = the (n/2)-th smallest event time; ties land in the
+      // first file, so batch order equals global (ts, event_id) order
+      val boundary = ev.select(unix_millis(col("ts")).as("ms"))
+        .orderBy(col("ms")).limit((cnt / 2).toInt.max(1))
+        .agg(max(col("ms"))).collect()(0).getLong(0)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = buildPath(dir, s"stream-ev-tmp-$name")
+        rmrf(tmp)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = java.nio.file.Paths.get(in, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.toFile.setLastModified(mtime)
+        rmrf(tmp)
+      }
+      writeOne(ev.filter(unix_millis(col("ts")) <= boundary), "00-first", 1700000000000L)
+      writeOne(ev.filter(unix_millis(col("ts")) > boundary), "01-second", 1700000100000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = EventStreams.sessionize(stream.as[EventStreams.EventIn])
+        .toDF().writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sink); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sink
+    }
+
+  /** Run the stateless streaming contamination screen (broadcast Bloom
+    * bitmap of the eval set's shingle hashes — docs with doc_id < 10,
+    * the decontamination_bloom split) over the bounded doc stream.
+    * Returns the parquet sink path. */
+  private def decontamReplaySink(s: SparkSession, dir: String): String =
+    SharedBuilds.of(s, dir, "stream-decontam-replay") {
+      val (in, schema) = docsStreamInput(s, dir)
+      val sink = buildPath(dir, "stream-dc-sink")
+      val ckpt = buildPath(dir, "stream-dc-ckpt")
+      rmrf(sink, ckpt)
+      val toks = TextOps.tokens(col("text"))
+      val bits = Dedup.bloomBitsOf(
+        documents(s, dir).filter(col("doc_id") < 10)
+          .select(explode(array_distinct(
+            TextOps.shingleHashes(TextOps.shingles(toks, Dedup.ShingleN)))).as("h")))
+      val stream = s.readStream.schema(schema).parquet(in)
+      val q = DedupStream.contaminationScreen(
+          stream.filter(col("doc_id") >= 10), bits)
+        .select(col("doc_id"), col("maybe_contaminated"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sink
+    }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // in-STREAM near-duplicate candidates, replayed to completion and
+    // value-pinned: every same-(band, band_hash) pair once per shared
+    // band with the minhash component-match estimator — the DuckDB twin
+    // recomputes signatures, band keys, and estimators from scratch
+    "stream_near_dup_replay" -> ((s, dir) => {
+      val sink = nearDupReplaySink(s, dir)
+      s.read.parquet(sink)
+        .select(col("a"), col("b"), col("band").cast("long").as("band"),
+          (round(col("est_jaccard"), 6) + 0.0).as("est_jaccard"))
+        .orderBy(col("a"), col("b"), col("band"))
+    }),
+
+    // stateful sessionization replayed across TWO micro-batches and
+    // reduced to its batch-equivalent fixpoint: per user, the final
+    // cumulative session count and the event count of the final
+    // session. n_sessions is monotone across updates and
+    // current_session_events is monotone within a session, so the
+    // aggregate is invariant to update/timeout interleaving.
+    "stream_sessions_replay" -> ((s, dir) => {
+      val sink = sessionsReplaySink(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+      s.read.parquet(sink)
+        .withColumn("mx", max(col("n_sessions")).over(w))
+        .filter(col("n_sessions") === col("mx"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n_sessions")).as("n_sessions"),
+          max(col("current_session_events")).as("last_session_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // stateless streaming decontamination screen, one flag per corpus
+    // doc — the DuckDB twin replays the Bloom build AND probe from the
+    // shared probe-position formula (Dedup.bloomProbeSql), so build/
+    // probe drift or a bitmap corruption hash-fails per-document
+    "stream_decontam_replay" -> ((s, dir) => {
+      val sink = decontamReplaySink(s, dir)
+      s.read.parquet(sink).orderBy(col("doc_id"))
+    }),
+  )
+
+  // the shared minhash signature/band CTE prefix (same fragments as
+  // TextQueries' minhash_near_dups oracle — one formula, many replays)
+  private def sigBndCtes: String =
+    s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+       |sig AS (SELECT doc_id, list_transform(generate_series(0, ${Dedup.MinhashH - 1}), i ->
+       |          coalesce(list_min(list_transform(shh, x -> ((i*2+1)*x + 7919*i) % ${F.P})), ${F.P})) AS sig
+       |        FROM hs),
+       |bnd AS (SELECT doc_id, b AS band,
+       |          list_reduce(list_prepend(0::BIGINT, sig[b*${Dedup.Rows}+1 : b*${Dedup.Rows}+${Dedup.Rows}]),
+       |                      (h, x) -> (h * 31 + x) % ${F.P}) AS band_hash
+       |        FROM sig, (SELECT unnest(generate_series(0, ${Dedup.Bands - 1})) AS b))""".stripMargin
+
+  private def F = TextQueries.F
+
+  override def oracle: Map[String, String] = Map(
+
+    "stream_near_dup_replay" ->
+      s"""$sigBndCtes,
+         |cand AS (SELECT x.doc_id AS a, y.doc_id AS b, x.band
+         |         FROM bnd x JOIN bnd y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+         |SELECT c.a, c.b, CAST(c.band AS BIGINT) AS band,
+         |       round(CAST(len(list_filter(generate_series(1, ${Dedup.MinhashH}),
+         |                     i -> sx.sig[i] = sy.sig[i])) AS DOUBLE) / ${Dedup.MinhashH}, 6) + 0.0 AS est_jaccard
+         |FROM cand c JOIN sig sx ON c.a = sx.doc_id JOIN sig sy ON c.b = sy.doc_id
+         |ORDER BY a, b, band""".stripMargin,
+
+    "stream_sessions_replay" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |s AS (
+        |  SELECT user_id, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |s2 AS (SELECT user_id, sid, max(sid) OVER (PARTITION BY user_id) AS mx FROM s)
+        |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
+        |       CAST(sum(CASE WHEN sid = mx THEN 1 ELSE 0 END) AS BIGINT) AS last_session_events
+        |FROM s2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_decontam_replay" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |bh AS (SELECT DISTINCT unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id < 10),
+         |bset AS (SELECT DISTINCT ${Dedup.bloomProbeSql("i", "h")} AS p
+         |         FROM bh, (SELECT unnest([0,1,2,3]) AS i)),
+         |dh AS (SELECT doc_id, unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id >= 10),
+         |probes AS (SELECT doc_id, h, ${Dedup.bloomProbeSql("i", "h")} AS p
+         |           FROM dh, (SELECT unnest([0,1,2,3]) AS i)),
+         |hitsh AS (SELECT doc_id, h FROM probes GROUP BY doc_id, h
+         |          HAVING sum(CASE WHEN p IN (SELECT p FROM bset) THEN 1 ELSE 0 END) = ${Dedup.BloomK}),
+         |cand AS (SELECT DISTINCT doc_id FROM hitsh)
+         |SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM cand)) AS maybe_contaminated
+         |FROM documents d WHERE d.doc_id >= 10 ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -21,7 +21,7 @@ object TextQueries extends QueryRegistry {
   import OracleFrag.cosine
 
   /** DuckDB fragments mirroring graft.functions.TextOps bit-for-bit. */
-  private object F {
+  private[queries] object F {
     val P = "2147483647"
     def toks(t: String) =
       s"list_filter(string_split_regex(lower($t), '[^a-z]+'), x -> x <> '')"

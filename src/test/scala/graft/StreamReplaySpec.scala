@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.Dedup
+import graft.queries.Tables
+import graft.streaming.EventStreams
+
+/** Spark-side cross-checks for the bounded streaming replays (the
+  * DuckDB oracle is the second, independent pin): each replay's sink
+  * must equal the batch formulation of the same operator computed with
+  * ordinary DataFrame code. */
+class StreamReplaySpec extends SparkSpec {
+
+  test("stream_near_dup_replay equals the batch banded-candidate twin") {
+    val res = SparkEntry.queries("stream_near_dup_replay")(spark, sfDir).collect()
+    val streamed = res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+      r.getDouble(3)).toMap
+    assert(streamed.nonEmpty, "vacuous: the replay emitted no candidate pairs")
+
+    val toks = TextOps.tokens(col("text"))
+    val sig = Tables.documents(spark, sfDir).select(col("doc_id"),
+      TextOps.minhashSignature(
+        TextOps.shingleHashes(TextOps.shingles(toks, Dedup.ShingleN)),
+        Dedup.MinhashH).as("sig"))
+    val bnd = sig
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(Dedup.Bands - 1))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+        TextOps.bandHash(col("sig"), col("band"), Dedup.Rows).as("bh"))
+    val x = bnd.select(col("doc_id").as("a"), col("sig").as("sa"), col("band"), col("bh"))
+    val y = bnd.select(col("doc_id").as("b"), col("sig").as("sb"), col("band"), col("bh"))
+    val batch = x.join(y, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("band").cast("long").as("band"),
+        (aggregate(zip_with(col("sa"), col("sb"),
+            (p, q) => when(p === q, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / Dedup.MinhashH).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getDouble(3)).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, v) =>
+      assert(math.abs(v - batch(k)) < 1e-6, s"est_jaccard drift at $k")
+    }
+  }
+
+  test("stream_sessions_replay equals the batch gap analysis") {
+    val res = SparkEntry.queries("stream_sessions_replay")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(res.nonEmpty)
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, sfDir)
+      .withColumn("prev", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("ns", when(col("prev").isNull ||
+        unix_millis(col("ts")) - col("prev") > EventStreams.SessionGapMs, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(w))
+      .withColumn("mx", max(col("sid")).over(Window.partitionBy(col("user_id"))))
+    val batch = sess.groupBy(col("user_id"))
+      .agg(max(col("sid")).as("n_sessions"),
+        sum(when(col("sid") === col("mx"), 1L).otherwise(0L)).as("last_session_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(res === batch)
+  }
+
+  test("stream_decontam_replay has no false negatives vs the exact overlap join") {
+    val flags = SparkEntry.queries("stream_decontam_replay")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags.nonEmpty && flags.keys.forall(_ >= 10))
+
+    // exact contaminated set: corpus docs sharing >= 1 shingle hash
+    // with the eval split (doc_id < 10) — the Bloom screen must flag
+    // every one of them (superset invariant; false positives allowed)
+    val toks = TextOps.tokens(col("text"))
+    val hashed = Tables.documents(spark, sfDir).select(col("doc_id"),
+      array_distinct(TextOps.shingleHashes(
+        TextOps.shingles(toks, Dedup.ShingleN))).as("shh"))
+    val evalH = hashed.filter(col("doc_id") < 10)
+      .select(explode(col("shh")).as("h")).distinct()
+    val exact = hashed.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(col("shh")).as("h"))
+      .join(broadcast(evalH), "h").select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "vacuous: no actually-contaminated docs at this scale")
+    exact.foreach(id => assert(flags(id), s"false negative: doc $id unflagged"))
+  }
+}
