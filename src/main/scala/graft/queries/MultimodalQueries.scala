@@ -114,6 +114,43 @@ object MultimodalQueries extends QueryRegistry {
         .orderBy(col("media_id"))
     }),
 
+    // PROGRESSIVE JPEG decode end-to-end (the round-8 gap close: most
+    // real crawled JPEGs are SOF2): the same sorted-ramp cohort as
+    // media_jpeg_audit, encoded with the five-phase progressive scan
+    // script (spectral selection + successive approximation) and
+    // decoded back through the multi-scan coefficient-accumulation
+    // path. Because the progressive stream carries the SAME quantized
+    // coefficients as the baseline one after full refinement, the
+    // decode must be BIT-IDENTICAL to the baseline decode — pinned as
+    // a boolean the oracle requires true (prog_eq_baseline), a
+    // strictly stronger contract than the closeness booleans alone.
+    "media_jpeg_progressive_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+        .filter(col("doc_id") < 40 && length(col("text")) >= 64)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
+        .filter(octet_length(col("head")) === 64)
+        .as[(Long, String)]
+      docs.map { case (id, txt) =>
+        val gray = txt.getBytes("UTF-8").sorted
+        val prog = graft.operators.Jpeg.encodeProgressive(8, 8, gray, gray = true)
+        val base = graft.operators.Jpeg.encode(8, 8, gray, gray = true)
+        val gotP = graft.operators.Jpeg.decode(prog)
+        val gotB = graft.operators.Jpeg.decode(base)
+        val n = gotP.map(_.length).getOrElse(-1)
+        val meanErr = gotP.map { g =>
+          g.zip(gray.map(_ & 0xff: Int))
+            .map { case (a, b) => math.abs(a - b) }.sum / 64.0
+        }.getOrElse(Double.MaxValue)
+        val eq = (gotP, gotB) match {
+          case (Some(a), Some(b)) => a.sameElements(b)
+          case _ => false
+        }
+        (id, n.toLong, n == 64, meanErr <= 12.0, eq)
+      }.toDF("media_id", "n_samples", "dims_ok", "recon_close", "prog_eq_baseline")
+        .orderBy(col("media_id"))
+    }),
+
     // resize pass: payload subsampling + metadata update
     "media_resize_audit" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(
@@ -198,6 +235,16 @@ object MultimodalQueries extends QueryRegistry {
     "media_jpeg_audit" ->
       """SELECT doc_id AS media_id, CAST(64 AS BIGINT) AS n_samples,
         |       true AS dims_ok, true AS recon_close
+        |FROM documents
+        |WHERE doc_id < 40 AND length(text) >= 64
+        |  AND strlen(substr(text, 1, 64)) = 64
+        |ORDER BY media_id""".stripMargin,
+
+    // same cohort replay as media_jpeg_audit; the lossy-reconstruction
+    // and progressive≡baseline contracts ride as must-be-true booleans
+    "media_jpeg_progressive_audit" ->
+      """SELECT doc_id AS media_id, CAST(64 AS BIGINT) AS n_samples,
+        |       true AS dims_ok, true AS recon_close, true AS prog_eq_baseline
         |FROM documents
         |WHERE doc_id < 40 AND length(text) >= 64
         |  AND strlen(substr(text, 1, 64)) = 64

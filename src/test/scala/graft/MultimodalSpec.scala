@@ -292,13 +292,101 @@ class MultimodalSpec extends SparkSpec {
     assert(meanAbsDiff(ours, ref) < 4.0)
   }
 
-  test("jpeg codec: malformed and progressive payloads fall back, not throw") {
+  test("jpeg codec: malformed and arithmetic payloads fall back, not throw") {
     assert(graft.operators.Jpeg.decode("not a jpeg".getBytes).isEmpty)
     assert(graft.operators.Jpeg.decode(Array(0xff, 0xd8, 0xff).map(_.toByte)).isEmpty)
     val jpg = graft.operators.Jpeg.encode(8, 8, gradientRgb(8, 8))
     assert(graft.operators.Jpeg.decode(jpg.take(jpg.length / 2)).isEmpty) // truncated
+    // arithmetic-coded frame (SOF9): unsupported, must fall back
+    val arith = jpg.clone()
+    val sof = (0 until arith.length - 1)
+      .find(i => (arith(i) & 0xff) == 0xff && (arith(i + 1) & 0xff) == 0xc0).get
+    arith(sof + 1) = 0xc9.toByte
+    assert(graft.operators.Jpeg.decode(arith).isEmpty)
     // the dispatcher routes real JPEG to the codec (not the stub)
     assert(Multimodal.decode(jpg).length === 8 * 8 * 3)
+  }
+
+  test("jpeg codec: progressive encode → decode round-trips; agrees with baseline") {
+    val (w, h) = (16, 12)
+    val gray = Array.tabulate(w * h)(i => (30 + 3 * (i % w) + 5 * (i / w)).toByte)
+    val prog = graft.operators.Jpeg.encodeProgressive(w, h, gray, gray = true)
+    val got = graft.operators.Jpeg.decode(prog).get
+    assert(got.length === w * h)
+    assert(meanAbsDiff(got, gray.map(_ & 0xff: Int)) < 4.0)
+    // same quant tables + FDCT as baseline: after full refinement the
+    // progressive stream carries the SAME coefficients, so the decode
+    // must be bit-identical to the baseline round-trip
+    val base = graft.operators.Jpeg.decode(
+      graft.operators.Jpeg.encode(w, h, gray, gray = true)).get
+    assert(got.toSeq === base.toSeq)
+    // 3-component progressive
+    val rgb = gradientRgb(w, h)
+    val progC = graft.operators.Jpeg.encodeProgressive(w, h, rgb)
+    val gotC = graft.operators.Jpeg.decode(progC).get
+    assert(gotC.length === w * h * 3)
+    val baseC = graft.operators.Jpeg.decode(
+      graft.operators.Jpeg.encode(w, h, rgb)).get
+    assert(gotC.toSeq === baseC.toSeq)
+    // the dispatcher routes progressive to the real codec too
+    assert(Multimodal.decode(progC).toSeq === gotC.toSeq)
+  }
+
+  test("jpeg codec: our progressive stream decodes identically-close in the JDK") {
+    val (w, h) = (16, 12)
+    val prog = graft.operators.Jpeg.encodeProgressive(w, h, gradientRgb(w, h))
+    // pin that the stream really is SOF2
+    assert((0 until prog.length - 1).exists(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog))
+    assert(img != null, "JDK decoder rejected our progressive stream")
+    assert(img.getWidth === w && img.getHeight === h)
+    val ours = graft.operators.Jpeg.decode(prog).get
+    val ref = new Array[Int](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      ref(o) = (p >> 16) & 0xff; ref(o + 1) = (p >> 8) & 0xff; ref(o + 2) = p & 0xff
+    }
+    assert(meanAbsDiff(ours, ref) < 2.0)
+  }
+
+  test("jpeg codec: decodes a JDK-encoded progressive stream (real scan script)") {
+    // the JDK writer's progressive mode emits a libjpeg-style scan
+    // script with successive approximation AND 4:2:0 sampling — the
+    // shape of real crawled progressive JPEGs
+    val (w, h) = (20, 14)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = gradientRgb(w, h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      img.setRGB(x, y,
+        ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val jpg = bos.toByteArray
+    assert((0 until jpg.length - 1).exists(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc2),
+      "JDK did not emit a progressive stream")
+    val ours = graft.operators.Jpeg.decode(jpg).get
+    assert(ours.length === w * h * 3)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    val ref = new Array[Int](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = back.getRGB(x, y)
+      val o = (y * w + x) * 3
+      ref(o) = (p >> 16) & 0xff; ref(o + 1) = (p >> 8) & 0xff; ref(o + 2) = p & 0xff
+    }
+    // nearest vs interpolated chroma upsampling: close, not equal
+    assert(meanAbsDiff(ours, ref) < 4.0)
   }
 
   test("image decoders reject allocation-bomb headers instead of OOMing the task") {
