@@ -36,6 +36,12 @@ import graft.streaming.{DedupStream, EventStreams}
   *     events-in-session is monotone within a session.
   *   - `stream_decontam_replay`: the screen is stateless map-only over
   *     a broadcast Bloom bitmap — per-doc flags are order-free.
+  *   - `stream_hourly_replay`: Append-mode windows are emitted exactly
+  *     when the final watermark (max event time − delay) passes their
+  *     end — a deterministic cutoff the oracle applies verbatim.
+  *   - `stream_click_attr_replay`: a bounded inner stream-stream join
+  *     emits exactly the batch join's pair set (watermarks only bound
+  *     state, never filter an in-bound match).
   */
 object StreamQueries extends QueryRegistry {
   import Tables._
@@ -83,6 +89,64 @@ object StreamQueries extends QueryRegistry {
       rmrf(sink, ckpt)
       val stream = s.readStream.schema(schema).parquet(in)
       val q = DedupStream.inStreamNearDups(stream)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sink
+    }
+
+  /** The prepared event stream input: one parquet file (single
+    * micro-batch — no watermark-ordering concerns), shared by the
+    * hourly-aggregate and click-attribution replays. */
+  private def eventsStreamInput(s: SparkSession, dir: String)
+      : (String, org.apache.spark.sql.types.StructType) =
+    SharedBuilds.of(s, dir, "stream-events-in") {
+      val in = buildPath(dir, "stream-events-in")
+      rmrf(in)
+      val prepared = events(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      prepared.coalesce(1).write.mode("overwrite").parquet(in)
+      (in, prepared.schema)
+    }
+
+  /** Run the watermarked tumbling-window aggregate to completion.
+    * Append mode only emits windows the final watermark (max event
+    * time − 2 h) has passed — the no-data batch AvailableNow runs
+    * after the last data batch finalizes them; later windows stay in
+    * state and are deterministically ABSENT from the sink (the oracle
+    * applies the same cutoff). Returns the parquet sink path. */
+  private def hourlyReplaySink(s: SparkSession, dir: String): String =
+    SharedBuilds.of(s, dir, "stream-hourly-replay") {
+      val (in, schema) = eventsStreamInput(s, dir)
+      val sink = buildPath(dir, "stream-hr-sink")
+      val ckpt = buildPath(dir, "stream-hr-ckpt")
+      rmrf(sink, ckpt)
+      val q = EventStreams.hourlyAggregate(s.readStream.schema(schema).parquet(in))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sink
+    }
+
+  /** Run the stream-stream interval join (purchases attributed to the
+    * same user's clicks in the preceding 30 min) to completion; the
+    * two sides are watermarked filters of ONE bounded source, so the
+    * inner join's emitted pair set equals the batch join exactly.
+    * Returns the parquet sink path. */
+  private def clickAttrReplaySink(s: SparkSession, dir: String): String =
+    SharedBuilds.of(s, dir, "stream-click-attr-replay") {
+      val (in, schema) = eventsStreamInput(s, dir)
+      val sink = buildPath(dir, "stream-ca-sink")
+      val ckpt = buildPath(dir, "stream-ca-ckpt")
+      rmrf(sink, ckpt)
+      val stream = s.readStream.schema(schema).parquet(in)
+      val q = EventStreams.clickToPurchaseJoin(
+          stream.filter(col("event_type") === "click"),
+          stream.filter(col("event_type") === "purchase"))
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append")
@@ -201,6 +265,30 @@ object StreamQueries extends QueryRegistry {
         .orderBy(col("user_id"))
     }),
 
+    // watermarked tumbling-window aggregate, replayed to completion:
+    // the sink holds exactly the windows the final watermark finalized
+    // (same expressions as the batch events_hourly; the oracle applies
+    // the identical end ≤ max(ts)−2h cutoff)
+    "stream_hourly_replay" -> ((s, dir) => {
+      val sink = hourlyReplaySink(s, dir)
+      s.read.parquet(sink)
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("hour"))
+    }),
+
+    // stream-stream interval join (two-sided time bound, both sides
+    // watermarked), replayed to completion: the emitted pair set must
+    // equal the batch join exactly — DuckDB replays it as a plain
+    // self-join with the same interval predicate
+    "stream_click_attr_replay" -> ((s, dir) => {
+      val sink = clickAttrReplaySink(s, dir)
+      s.read.parquet(sink)
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("gap_ms").cast("long").as("gap_ms"))
+        .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+    }),
+
     // stateless streaming decontamination screen, one flag per corpus
     // doc — the DuckDB twin replays the Bloom build AND probe from the
     // shared probe-position formula (Dedup.bloomProbeSql), so build/
@@ -257,6 +345,28 @@ object StreamQueries extends QueryRegistry {
         |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
         |       CAST(sum(CASE WHEN sid = mx THEN 1 ELSE 0 END) AS BIGINT) AS last_session_events
         |FROM s2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the batch events_hourly oracle, restricted to windows the final
+    // watermark (max event time − 2 h) finalized before the stream
+    // stopped — the deterministic emitted set of a bounded Append run
+    "stream_hourly_replay" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS hs, value FROM events)
+        |SELECT strftime(hs, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM b
+        |GROUP BY hs
+        |HAVING hs + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+        |ORDER BY hour""".stripMargin,
+
+    "stream_click_attr_replay" ->
+      """SELECT c.user_id AS user_id, p.event_id AS purchase_id,
+        |       c.event_id AS click_id,
+        |       CAST(epoch_ms(p.ts) - epoch_ms(c.ts) AS BIGINT) AS gap_ms
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, purchase_id, click_id""".stripMargin,
 
     "stream_decontam_replay" ->
       s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),

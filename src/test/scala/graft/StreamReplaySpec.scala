@@ -64,6 +64,41 @@ class StreamReplaySpec extends SparkSpec {
     assert(res === batch)
   }
 
+  test("stream_hourly_replay equals the batch hourly agg under the watermark cutoff") {
+    val res = SparkEntry.queries("stream_hourly_replay")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(res.nonEmpty, "vacuous: no window was finalized")
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - 2 * 3600 * 1000L
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("tv"))
+      .filter(unix_millis(col("w.end")) <= cut)
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"), col("n"), col("tv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(res === batch)
+    // and the cutoff really bit: some late windows exist and are absent
+    assert(ev.groupBy(window(col("ts"), "1 hour")).count().count() > batch.size)
+  }
+
+  test("stream_click_attr_replay equals the batch interval join") {
+    val res = SparkEntry.queries("stream_click_attr_replay")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(res.nonEmpty, "vacuous: no click→purchase pair inside 30 min")
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val batch = c.join(p, Seq("user_id"))
+      .filter(col("cts") < col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_millis(col("pts")) - unix_millis(col("cts"))).as("gap_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(res === batch)
+  }
+
   test("stream_decontam_replay has no false negatives vs the exact overlap join") {
     val flags = SparkEntry.queries("stream_decontam_replay")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
