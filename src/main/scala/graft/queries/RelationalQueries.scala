@@ -380,6 +380,118 @@ object RelationalQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_customers"),
           sum(col("c_acctbal").cast(Dec)).cast("double").as("total_acctbal"))
         .orderBy(col("n_name"))),
+
+    // TPC-H Q6 proper: forecast-revenue change — the purest
+    // pushdown-then-reduce shape (all three predicates reach the
+    // parquet scan, one partial-aggregated scalar comes back)
+    "q6_forecast_revenue" -> ((s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").cast("decimal(4,2)") >= lit(0.05).cast("decimal(4,2)") &&
+          col("l_discount").cast("decimal(4,2)") <= lit(0.07).cast("decimal(4,2)") &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(14,2)") *
+            col("l_discount").cast("decimal(4,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join so zero-order customers land in the c_count=0 bucket, then
+    // a second aggregation over the counts (two shuffles: custkey,
+    // then count value; both tiny key spaces at any scale)
+    "q13_order_distribution" -> ((s, dir) => {
+      val ords = orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"))
+      customer(s, dir).select(col("c_custkey"))
+        .join(ords, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count")) // count skips nulls
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape: top supplier(s) by quarterly revenue — the
+    // revenue "view" materialized once, its max taken as a 1-row
+    // broadcast scalar, and the equality join back done in EXACT
+    // decimal (a double max-equality would be engine-dependent)
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenue).as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      supplier(s, dir)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(top), col("total_rev") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q17 shape: revenue impact of small-quantity orders for one
+    // brand — the correlated per-part average DECORRELATED into an
+    // aggregate + broadcast join-back, with the 0.2·avg threshold kept
+    // EXACT by cross-multiplying integer-valued doubles
+    // (qty·5·cnt < sum ⇔ qty < 0.2·sum/cnt, no float division drift)
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val partAvg = lineitem(s, dir)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity")).as("sumq"), count(lit(1)).as("cntq"))
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir).filter(col("p_brand") === "Brand#1")),
+          col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") * 5 * col("cntq") < col("sumq"))
+        .agg((sum(col("l_extendedprice").cast(Dec)).cast("double") / 7.0)
+          .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q18 shape: large-volume customers — the HAVING-sum
+    // subquery as an aggregate + semi join on orderkey, then customer
+    // and order detail joined back; top 20 by quantity
+    "q18_large_volume_customers" -> ((s, dir) => {
+      val big = lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 180)
+      orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_totalprice").cast(Dec).cast("double").as("totalprice"),
+          col("total_qty").cast("long").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape: prospect customers — above-average balance
+    // (threshold kept exact by cross-multiplying the decimal sum) with
+    // no RECENT orders (anti join on the filtered order stream; the
+    // testdata's customers nearly all have SOME order, so the
+    // no-orders-ever variant would select zero rows), counted per
+    // nation
+    "q22_prospects" -> ((s, dir) => {
+      val pos = customer(s, dir).filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("c_acctbal").cast(Dec)).as("sum_bal"),
+          count(lit(1)).as("n_pos"))
+      customer(s, dir)
+        .crossJoin(broadcast(pos))
+        .filter(col("c_acctbal").cast(Dec) * col("n_pos") > col("sum_bal"))
+        .join(orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(Dec)).cast("double").as("totacctbal"))
+        .orderBy(col("n_name"))
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -615,6 +727,76 @@ object RelationalQueries extends QueryRegistry {
       """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers,
         |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(4,2)) >= CAST(0.05 AS DECIMAL(4,2))
+        |  AND CAST(l_discount AS DECIMAL(4,2)) <= CAST(0.07 AS DECIMAL(4,2))
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH co AS (
+        |  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN
+        |    (SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk, sum(l_quantity) AS sumq, count(*) AS cntq
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+        |JOIN pa ON l.l_partkey = pa.pk
+        |WHERE l.l_quantity * 5 * pa.cntq < pa.sumq""".stripMargin,
+
+    "q18_large_volume_customers" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS totalprice,
+        |       CAST(b.total_qty AS BIGINT) AS total_qty
+        |FROM orders o
+        |JOIN big b ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_qty DESC, o.o_orderkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q22_prospects" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_bal, count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey, pos
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * pos.n_pos > pos.sum_bal
+        |  AND c.c_custkey NOT IN
+        |      (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin,
   )
