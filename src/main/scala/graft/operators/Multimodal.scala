@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * library would amortize its per-batch setup exactly the same way.
   *
   * Decoding is a real dispatch: 8-bit RGB/RGBA PNG, 24-bit BMP,
-  * PCM WAV and baseline JPEG payloads parse through zero-dependency
-  * byte-layout decoders (`decodePng` with full zlib inflate +
-  * scanline-filter reconstruction, `decodeBmp`, `decodeWav`,
-  * `Jpeg.decode` with general Huffman/DQT parsing, 4:2:0 upsampling
-  * and restart intervals — real headers, CRCs, padding, chunk walks),
+  * PCM WAV, GIF87a/89a and baseline or progressive JPEG payloads
+  * parse through zero-dependency byte-layout decoders (`decodePng`
+  * with full zlib inflate + scanline-filter reconstruction,
+  * `decodeBmp`, `decodeWav`, `decodeGif` with variable-width LZW and
+  * de-interlacing, `Jpeg.decode` with general Huffman/DQT parsing,
+  * 4:2:0 upsampling, restart intervals and multi-scan progressive
+  * refinement — real headers, CRCs, padding, chunk walks),
   * and only OPAQUE payloads fall back to the deterministic
   * `decodeStub` (the documented stand-in for codecs this container
   * doesn't ship, e.g. H.264).
@@ -277,11 +279,237 @@ object Multimodal {
     }
   }
 
+  /** GIF87a/GIF89a FIRST FRAME → r,g,b per pixel of the frame's own
+    * w×h (top-down row-major), palette-expanded; interlaced frames are
+    * de-interlaced (the four GIF passes), extensions are skipped
+    * structurally (sub-block walk), and the variable-width LSB-first
+    * LZW stream is fully decompressed with clear/end-code handling.
+    * None on anything structurally non-GIF: bad signature, missing
+    * color table, palette-overrun index, truncated or over-producing
+    * LZW data, dictionary overflow, or a frame that declares more
+    * pixels than the decoder's allocation guard allows. */
+  def decodeGif(p: Array[Byte]): Option[Array[Int]] = {
+    if (p.length < 13) return None
+    val hdr = new String(p, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    try {
+      val packed = p(10) & 0xff
+      var pos = 13
+      var globalPal: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 3 * (2 << (packed & 7))
+        globalPal = java.util.Arrays.copyOfRange(p, pos, pos + n)
+        pos += n
+      }
+      // walk blocks to the first image descriptor
+      while (pos < p.length) {
+        (p(pos) & 0xff) match {
+          case 0x3b => return None // trailer before any image
+          case 0x21 => // extension: label byte then sub-blocks
+            pos += 2
+            while ((p(pos) & 0xff) != 0) pos += 1 + (p(pos) & 0xff)
+            pos += 1
+          case 0x2c => // image descriptor
+            val w = u16(pos + 5)
+            val h = u16(pos + 7)
+            val ipacked = p(pos + 9) & 0xff
+            val interlaced = (ipacked & 0x40) != 0
+            pos += 10
+            var pal = globalPal
+            if ((ipacked & 0x80) != 0) {
+              val n = 3 * (2 << (ipacked & 7))
+              pal = java.util.Arrays.copyOfRange(p, pos, pos + n)
+              pos += n
+            }
+            if (pal == null || w <= 0 || h <= 0) return None
+            if (w.toLong * h > (1L << 24)) return None // allocation bomb
+            // concatenate the LZW sub-blocks
+            val mcs = p(pos) & 0xff
+            if (mcs < 2 || mcs > 11) return None
+            pos += 1
+            val data = new java.io.ByteArrayOutputStream()
+            while ((p(pos) & 0xff) != 0) {
+              val n = p(pos) & 0xff
+              data.write(p, pos + 1, n)
+              pos += 1 + n
+            }
+            val idx = lzwDecode(data.toByteArray, mcs, w * h)
+              .getOrElse(return None)
+            // de-interlace + palette expand
+            val nColors = pal.length / 3
+            val out = new Array[Int](w * h * 3)
+            val rowOrder: Array[Int] =
+              if (!interlaced) Array.tabulate(h)(identity)
+              else (Seq.range(0, h, 8) ++ Seq.range(4, h, 8) ++
+                Seq.range(2, h, 4) ++ Seq.range(1, h, 2)).toArray
+            var r = 0
+            while (r < h) {
+              val destY = rowOrder(r)
+              var x = 0
+              while (x < w) {
+                val ci = idx(r * w + x)
+                if (ci >= nColors) return None // palette overrun
+                val o = (destY * w + x) * 3
+                out(o) = pal(3 * ci) & 0xff
+                out(o + 1) = pal(3 * ci + 1) & 0xff
+                out(o + 2) = pal(3 * ci + 2) & 0xff
+                x += 1
+              }
+              r += 1
+            }
+            return Some(out)
+          case _ => return None // lost block sync
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** Variable-width LSB-first GIF LZW: produce exactly `n` indices.
+    * None on truncation, over-production, or a corrupt code. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+      n: Int): Option[Array[Int]] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    // dictionary as (prefix link, last byte): entry i < clear is the
+    // literal i; entries grow to 4096 then freeze until a clear code
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var dictSize = end + 1
+    var codeSize = minCodeSize + 1
+    val out = new Array[Int](n)
+    var outPos = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    var prev = -1
+    def readCode(): Int = {
+      if (bitPos + codeSize > totalBits) return -1
+      var v = 0
+      var i = 0
+      while (i < codeSize) {
+        val bp = bitPos + i
+        if ((data(bp >> 3) & (1 << (bp & 7))) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    // expand a code to the output buffer (walk the prefix chain)
+    val stack = new Array[Int](4096)
+    def emit(code: Int): Boolean = {
+      var sp = 0
+      var c = code
+      while (c >= clear) { // composite entry
+        if (sp >= 4096) return false
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      if (outPos + sp + 1 > n) return false // over-production
+      out(outPos) = c; outPos += 1
+      while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+      true
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    while (outPos < n) {
+      val code = readCode()
+      if (code < 0 || code == end) return None // truncated mid-frame
+      if (code == clear) {
+        dictSize = end + 1
+        codeSize = minCodeSize + 1
+        prev = -1
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code must be a literal
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        if (code > dictSize || (code >= clear && code <= end)) return None
+        val cur = if (code == dictSize) {
+          // KwKwK case: new entry = prev + firstByte(prev)
+          if (dictSize >= 4096) return None
+          prefix(dictSize) = prev; suffix(dictSize) = firstByte(prev)
+          dictSize += 1
+          code
+        } else {
+          if (dictSize < 4096) {
+            prefix(dictSize) = prev; suffix(dictSize) = firstByte(code)
+            dictSize += 1
+          }
+          code
+        }
+        if (!emit(cur)) return None
+        if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = cur
+      }
+    }
+    Some(out)
+  }
+
+  /** Gray GIF87a fixture encoder: 256-entry gray global palette
+    * (r=g=b=index), one optionally INTERLACED frame, and an
+    * "uncompressed" LZW stream (a CLEAR code before every pixel
+    * literal keeps the dictionary frozen at its initial size — larger
+    * than optimal but legal, decodable by any conformant decoder).
+    * The lossless round trip `decodeGif(encodeGifGray(w,h,g))` returns
+    * each gray byte three times in LOGICAL row order regardless of
+    * interlacing, which is what lets a declared audit replay decoded
+    * values bit-exactly from the source text. */
+  def encodeGifGray(width: Int, height: Int, gray: Array[Byte],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(gray.length == width * height,
+      s"need $width*$height bytes, got ${gray.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(width); w16(height)
+    out.write(0xf7) // global table present, 8-bit color res, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor
+    w16(0); w16(0); w16(width); w16(height)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(8) // LZW minimum code size: clear=256, end=257, 9-bit codes
+    val bits = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var nb = 0
+    def put(code: Int): Unit = { // 9 bits, LSB-first
+      cur |= code << nb
+      nb += 9
+      while (nb >= 8) { bits.write(cur & 0xff); cur >>= 8; nb -= 8 }
+    }
+    val rowOrder: Array[Int] =
+      if (!interlaced) Array.tabulate(height)(identity)
+      else (Seq.range(0, height, 8) ++ Seq.range(4, height, 8) ++
+        Seq.range(2, height, 4) ++ Seq.range(1, height, 2)).toArray
+    rowOrder.foreach { y =>
+      var x = 0
+      while (x < width) { put(256); put(gray(y * width + x) & 0xff); x += 1 }
+    }
+    put(257) // end of information
+    if (nb > 0) bits.write(cur & 0xff)
+    val arr = bits.toByteArray
+    var o = 0
+    while (o < arr.length) {
+      val n = math.min(255, arr.length - o)
+      out.write(n); out.write(arr, o, n)
+      o += n
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   /** Decode dispatch: a real container parse when the payload IS a
-    * real container (PNG, BMP, WAV, baseline JPEG — see `Jpeg`), the
-    * deterministic stub otherwise. */
+    * real container (PNG, BMP, WAV, GIF, baseline or progressive
+    * JPEG — see `Jpeg`), the deterministic stub otherwise. */
   def decode(payload: Array[Byte]): Array[Int] =
     decodePng(payload).orElse(decodeBmp(payload)).orElse(decodeWav(payload))
+      .orElse(decodeGif(payload))
       .orElse(Jpeg.decode(payload))
       .getOrElse(decodeStub(payload))
 

@@ -151,6 +151,32 @@ object MultimodalQueries extends QueryRegistry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL GIF decode end-to-end, and BIT-EXACT (GIF is lossless,
+    // unlike the JPEG audits): each ascii head becomes an INTERLACED
+    // gray GIF whose LZW stream the pipeline fully decompresses and
+    // de-interlaces; the position-weighted sample sum then replays
+    // from the raw text in DuckDB (sample 3i..3i+2 = byte i, so
+    // Σ sⱼ·(j+1) = Σ bᵢ·(9i+6)) — any LZW, palette, or row-order
+    // slip moves the integer and hash-fails
+    "media_gif_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+        .filter(col("doc_id") < 40 && length(col("text")) >= 64)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
+        .filter(octet_length(col("head")) === 64)
+        .as[(Long, String)]
+      docs.map { case (id, txt) =>
+        val gray = txt.getBytes("UTF-8")
+        val gif = Multimodal.encodeGifGray(8, 8, gray, interlaced = true)
+        val got = Multimodal.decodeGif(gif)
+        val n = got.map(_.length).getOrElse(-1)
+        val wsum = got.map(_.iterator.zipWithIndex
+          .map { case (v, j) => v.toLong * (j + 1) }.sum).getOrElse(-1L)
+        (id, n.toLong, wsum)
+      }.toDF("media_id", "n_samples", "weighted_sum")
+        .orderBy(col("media_id"))
+    }),
+
     // resize pass: payload subsampling + metadata update
     "media_resize_audit" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(
@@ -245,6 +271,16 @@ object MultimodalQueries extends QueryRegistry {
     "media_jpeg_progressive_audit" ->
       """SELECT doc_id AS media_id, CAST(64 AS BIGINT) AS n_samples,
         |       true AS dims_ok, true AS recon_close, true AS prog_eq_baseline
+        |FROM documents
+        |WHERE doc_id < 40 AND length(text) >= 64
+        |  AND strlen(substr(text, 1, 64)) = 64
+        |ORDER BY media_id""".stripMargin,
+
+    // bit-exact replay from the text bytes — no booleans needed
+    "media_gif_audit" ->
+      """SELECT doc_id AS media_id, CAST(192 AS BIGINT) AS n_samples,
+        |       CAST(list_sum(list_transform(generate_series(0, 63),
+        |         i -> ascii(substr(text, CAST(i + 1 AS INT), 1)) * (9*i + 6))) AS BIGINT) AS weighted_sum
         |FROM documents
         |WHERE doc_id < 40 AND length(text) >= 64
         |  AND strlen(substr(text, 1, 64)) = 64

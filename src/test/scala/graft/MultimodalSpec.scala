@@ -389,6 +389,45 @@ class MultimodalSpec extends SparkSpec {
     assert(meanAbsDiff(ours, ref) < 4.0)
   }
 
+  test("gif codec: gray encode → LZW decode round-trips bit-exactly, incl. interlace") {
+    val (w, h) = (9, 13) // odd dims: all four interlace passes non-empty
+    val gray = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val want = gray.flatMap(v => Seq(v & 0xff, v & 0xff, v & 0xff)).toSeq
+    val plain = Multimodal.decodeGif(Multimodal.encodeGifGray(w, h, gray)).get
+    assert(plain.toSeq === want)
+    // interlaced frame: physical row order differs, logical must not
+    val inter = Multimodal.decodeGif(
+      Multimodal.encodeGifGray(w, h, gray, interlaced = true)).get
+    assert(inter.toSeq === want)
+    // structural rejections: truncated LZW, trailer-before-image, bad sig
+    val gif = Multimodal.encodeGifGray(w, h, gray)
+    assert(Multimodal.decodeGif(gif.dropRight(20)).isEmpty)
+    assert(Multimodal.decodeGif("GIF87a then junk that is long enough".getBytes).isEmpty)
+    // dispatch routes GIF to the real parse
+    assert(Multimodal.decode(gif).toSeq === want)
+  }
+
+  test("gif codec: decodes a JDK-written GIF bit-exactly (lossless cross-check)") {
+    val (w, h) = (16, 11)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 16 + y * 7) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val gif = bos.toByteArray
+    val ours = Multimodal.decodeGif(gif).get
+    assert(ours.length === w * h * 3)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = back.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(ours(o) === ((p >> 16) & 0xff), s"r at $x,$y")
+      assert(ours(o + 1) === ((p >> 8) & 0xff), s"g at $x,$y")
+      assert(ours(o + 2) === (p & 0xff), s"b at $x,$y")
+    }
+  }
+
   test("image decoders reject allocation-bomb headers instead of OOMing the task") {
     // a tiny JPEG whose SOF0 DECLARES 40000×40000: must return None at
     // the header, never size the component planes

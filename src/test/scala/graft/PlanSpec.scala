@@ -250,6 +250,24 @@ class PlanSpec extends SparkSpec {
     assert(f12.contains("GreaterThanOrEqual(l_shipdate"), f12)
   }
 
+  test("r8 TPC-H shapes: predicates pushed, dims broadcast, thresholds exact") {
+    // q6: the purest pushdown-then-reduce — all three predicates must
+    // reach the scan (discount is decimal-cast Spark-side, so only the
+    // date band and quantity push; both must)
+    val f6 = pushedFilters("q6_forecast_revenue")
+    assert(f6.contains("GreaterThanOrEqual(l_shipdate"), f6)
+    assert(f6.contains("LessThan(l_quantity,24"), f6)
+    // q17/q18/q22: dimension/scalar sides broadcast, never shuffled
+    for (q <- Seq("q17_small_qty_revenue", "q18_large_volume_customers",
+        "q22_prospects", "q15_top_supplier")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q:\n$p")
+    }
+    // q13: the outer join aggregates two-phase (map-side partials)
+    assert(plan("q13_order_distribution").contains("partial_count"))
+  }
+
   test("range join plans as broadcast hash join, never nested-loop") {
     val p = plan("price_band_rollup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
