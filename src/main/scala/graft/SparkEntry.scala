@@ -23,6 +23,7 @@ object SparkEntry {
     JoinQueries,
     PipelineQueries,
     StreamQueries,
+    RetrievalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextOps, VectorOps}
+
+/** Text retrieval over the documents corpus — the query-side operators
+  * a RAG / training-data pipeline runs next to its dedup and ANN
+  * stages: Okapi BM25 scoring with a fixed query, and hybrid fusion of
+  * the lexical and vector rankings via Reciprocal Rank Fusion
+  * (Cormack et al., SIGIR'09 — public formula, rrf = Σ 1/(k + rank)).
+  *
+  * Scale shape: scoring is MAP-ONLY over the corpus (term df counts
+  * and the average length ride in as broadcast literals from one
+  * bounded 1-row aggregate), ranking is a top-k, and fusion joins two
+  * k-row heads — nothing shuffles the corpus by term, which is what
+  * keeps BM25 one scan at 100 TB (an inverted-index variant would
+  * partition by term; for a FIXED small query the scan wins).
+  *
+  * Cross-engine float discipline (the DuckDB oracle must hash-match):
+  * all constants are written as the same decimal literals on both
+  * sides (never computed — 1.2+1 and the literal 2.2 are DIFFERENT
+  * doubles), idf is rounded to 6 decimals on both sides BEFORE use so
+  * a 1-ulp libm ln() divergence cannot propagate into every score,
+  * and both engines rank by the ROUNDED score with a doc_id tiebreak
+  * so rank assignment is identical whenever the hashes would match.
+  */
+object RetrievalQueries extends QueryRegistry {
+  import Tables._
+  import OracleFrag._
+
+  /** The fixed lexical query (terms present throughout the corpus —
+    * scoring differentiates on tf and length normalization). */
+  private val Terms = Seq("hash", "join", "filter")
+
+  /** BM25 constants as STRINGS — single source for both engines'
+    * literals (see the float-discipline note above). */
+  private val K1Plus1 = "2.2"
+  private val K1 = "1.2"
+  private val OneMinusB = "0.25"
+  private val B = "0.75"
+
+  /** (doc_id, rounded bm25 score) for the whole corpus, map-only. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dlen", size(col("toks")).cast("double"))
+    val row = docs.agg(
+      count(lit(1)).as("n"),
+      sum(col("dlen")).as("sl") +:
+        Terms.map(t => sum(when(array_contains(col("toks"), t), 1L)
+          .otherwise(0L)).as(s"df_$t")): _*)
+      .collect()(0) // 1-row head: N, Σlen, |Terms| df counts
+    val n = row.getAs[Long]("n")
+    val avglen = row.getAs[Double]("sl") / n
+    val score: Column = Terms.map { t =>
+      val df = row.getAs[Long](s"df_$t")
+      // idf pre-rounded to 6 decimals (shared with the oracle)
+      val idf = math.rint(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6) / 1e6
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      (lit(idf) * (tf * lit(K1Plus1.toDouble))) /
+        (tf + lit(K1.toDouble) *
+          (lit(OneMinusB.toDouble) + (lit(B.toDouble) * col("dlen")) / lit(avglen)))
+    }.reduce(_ + _)
+    docs.select(col("doc_id"), (round(score, 6) + 0.0).as("bm25"))
+  }
+
+  /** The same scoring as a DuckDB SQL query (shared literals/shape). */
+  private def bm25Sql: String = {
+    import graft.queries.TextQueries.{F => TF}
+    val contrib = Terms.map { t =>
+      s"""(round(ln(1 + (CAST(n.n AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5)), 6)
+         | * (tf_$t * CAST($K1Plus1 AS DOUBLE)))
+         | / (tf_$t + CAST($K1 AS DOUBLE)
+         |    * (CAST($OneMinusB AS DOUBLE) + (CAST($B AS DOUBLE) * dlen) / n.avglen))"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    val dfSel = Terms.map(t =>
+      s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(", ")
+    val tfSel = Terms.map(t =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+      .mkString(", ")
+    s"""WITH t AS (SELECT doc_id, ${TF.toks("text")} AS toks FROM documents),
+       |n AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avglen,
+       |             $dfSel
+       |      FROM t),
+       |tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dlen, $tfSel FROM t),
+       |sc AS (SELECT doc_id, round($contrib, 6) + 0.0 AS bm25 FROM tf, n)""".stripMargin
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Okapi BM25 top-15 for the fixed query — lexical retrieval as one
+    // map-only scan + TakeOrderedAndProject
+    "bm25_topk" -> ((s, dir) =>
+      bm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(15)),
+
+    // Hybrid retrieval: BM25 top-20 and cosine-ANN top-20 (query =
+    // embedding 0, doc_id ≡ vec_id as in semantic_dedup) fused with
+    // RRF (k = 60). Both rank lists are k-row heads; the fusion is a
+    // full outer join of two tiny frames — corpus touched twice,
+    // shuffled never.
+    "hybrid_rrf_fusion" -> ((s, dir) => {
+      val wB = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      val lex = bm25Scores(s, dir)
+        .withColumn("brank", row_number().over(wB))
+        .filter(col("brank") <= 20)
+        .select(col("doc_id"), col("brank"))
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val wC = Window.orderBy(col("cos").desc, col("vec_id").asc)
+      val vec = emb
+        .select(col("vec_id"),
+          (round(VectorOps.fastCosine(col("embedding"), typedLit(q)), 6) + 0.0)
+            .as("cos"))
+        .withColumn("crank", row_number().over(wC))
+        .filter(col("crank") <= 20)
+        .select(col("vec_id").as("doc_id"), col("crank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (round(
+            coalesce(lit(1.0) / (lit(60) + col("brank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("crank")), lit(0.0)), 6) + 0.0)
+            .as("rrf"),
+          col("brank").cast("long").as("bm25_rank"),
+          col("crank").cast("long").as("cos_rank"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+  )
+
+  override def oracle: Map[String, String] = Map(
+
+    "bm25_topk" ->
+      s"""$bm25Sql
+         |SELECT doc_id, bm25 FROM sc
+         |ORDER BY bm25 DESC, doc_id ASC
+         |LIMIT 15""".stripMargin,
+
+    "hybrid_rrf_fusion" ->
+      s"""$bm25Sql,
+         |lex AS (SELECT doc_id, brank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS brank
+         |    FROM sc) WHERE brank <= 20),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vec AS (SELECT vec_id AS doc_id, crank FROM (
+         |    SELECT e.vec_id,
+         |           row_number() OVER (
+         |             ORDER BY (round(${cosine("e.embedding", "q.qe")}, 6) + 0.0) DESC,
+         |                      e.vec_id ASC) AS crank
+         |    FROM embeddings e, qv q) WHERE crank <= 20)
+         |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.brank), CAST(0.0 AS DOUBLE))
+         |             + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.crank), CAST(0.0 AS DOUBLE)), 6) + 0.0 AS rrf,
+         |       CAST(l.brank AS BIGINT) AS bm25_rank,
+         |       CAST(v.crank AS BIGINT) AS cos_rank
+         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+         |ORDER BY rrf DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
+  )
+}

@@ -268,6 +268,14 @@ class PlanSpec extends SparkSpec {
     assert(plan("q13_order_distribution").contains("partial_count"))
   }
 
+  test("bm25: scoring is map-only over the corpus, top-k without global sort") {
+    val p = plan("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // df/avglen ride as literals from the 1-row head: no join, no
+    // aggregation exchange in the scoring scan
+    assert(!p.contains("Join"), p)
+  }
+
   test("range join plans as broadcast hash join, never nested-loop") {
     val p = plan("price_band_rollup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
