@@ -154,6 +154,12 @@ class Ivf(nlist: Int, iters: Int) {
         assignExpr(col("embedding"), cents).as("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(path)
 
+  /** Compact the cluster-partitioned store in place — same small-files
+    * maintenance as `Lsh.compact` (one clustered rewrite, staged and
+    * atomically swapped; content bit-preserved). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    Lsh.compactPartitioned(spark, path, "cluster")
+
   /** Probe: nearest nprobe cells (driver-side centroid scan — nlist is
     * small), then exact cosine top-k inside them. With the assignment
     * parquet partitioned by cluster this scans nprobe/nlist of data. */

@@ -114,6 +114,20 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 
+  /** Compact a bucket-partitioned parquet index in place: every
+    * `append` adds partition-local files, so a long-lived index
+    * accumulates many small files per bucket — the classic small-files
+    * problem that throttles a 100 TB scan (per-file open cost, tiny
+    * row groups, starved readers). One clustered rewrite
+    * (`repartition(bucket)` routes each bucket to one task →
+    * one output file per bucket), staged to a sibling directory and
+    * atomically swapped, so a concurrent reader sees either the old or
+    * the new complete store, never a half-written one. Content is
+    * bit-preserved — the audits' id-weighted sums are unchanged, which
+    * the lsh_compact_audit oracle hash-verifies. */
+  def compact(spark: SparkSession, path: String): Unit =
+    Lsh.compactPartitioned(spark, path, "bucket")
+
   /** In-memory variant for tests/small corpora: same frame, not written. */
   def index(vectors: DataFrame,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -189,4 +203,30 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
         count(lit(1)).as("n_buckets"),
         max(col("sz")).as("max_bucket"),
         sum(col("sz")).as("n_vectors"))
+}
+
+object Lsh {
+  /** Object-level alias of the instance `compact` (compaction needs no
+    * plane state — it is a pure layout rewrite). */
+  def compact(spark: SparkSession, path: String): Unit =
+    compactPartitioned(spark, path, "bucket")
+
+  /** Clustered in-place rewrite of a `partitionBy(partCol)` parquet
+    * store (see `Lsh.compact` doc): stage → swap → drop old. Shared by
+    * the LSH and IVF maintenance paths. */
+  private[graft] def compactPartitioned(spark: SparkSession, path: String,
+      partCol: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = path + ".compacting"
+    val old = path + ".old"
+    graft.sources.CollectionManager.deleteRecursively(Paths.get(tmp))
+    graft.sources.CollectionManager.deleteRecursively(Paths.get(old))
+    spark.read.parquet(path)
+      .repartition(col(partCol))
+      .write.partitionBy(partCol).parquet(tmp)
+    // swap: old out, new in — two renames, no window with a missing dir
+    Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    graft.sources.CollectionManager.deleteRecursively(Paths.get(old))
+  }
 }

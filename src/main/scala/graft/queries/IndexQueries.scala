@@ -86,6 +86,35 @@ object IndexQueries extends QueryRegistry {
       (half, s.read.parquet(path))
     }
 
+  /** Maintenance-lifecycle store: data-plane build on the first half,
+    * the rest appended in THREE batches (so buckets accumulate several
+    * small partition-local files — the state a long-lived index is
+    * actually in), then `Lsh.compact` rewrites it clustered (one file
+    * per bucket, staged + atomically swapped). The audit over the
+    * compacted store runs the SAME content check as lsh_append_audit:
+    * compaction must be a pure layout change, bit-preserving every
+    * (vec_id, bucket) row — any dropped file, duplicated row, or
+    * re-assigned bucket lands in the id-weighted sum and hash-fails. */
+  private def lshCompactStore(s: SparkSession, dir: String): (Long, DataFrame) =
+    SharedBuilds.of(s, dir, "lsh-compact-store") {
+      val emb = embeddings(s, dir)
+      val half = emb.count() / 2
+      val planes = emb.filter(col("vec_id") < LshAppendPlanes)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val lsh = new Lsh(numPlanes = LshAppendPlanes, seed = 42L,
+        explicitPlanes = Some(planes))
+      val path = buildPath(dir, "lsh4-compact")
+      lsh.build(emb.filter(col("vec_id") < half), path)
+      val third = (emb.count() - half) / 3 + 1
+      (0L until 3L).foreach { i =>
+        lsh.append(path, emb.filter(col("vec_id") >= half + i * third &&
+          col("vec_id") < half + (i + 1) * third))
+      }
+      Lsh.compact(s, path)
+      (half, s.read.parquet(path))
+    }
+
   /** PQ maintenance store: codes built on the first half against the
     * SAME frozen seed codebooks as pqStore (the seed vectors live in
     * the first half), then the second half appended with Pq.append.
@@ -422,6 +451,25 @@ object IndexQueries extends QueryRegistry {
           .as("buckets_in_range"),
         col("bw").cast("long").as("bucket_weight_sum"))
 
+  /** The shared maintenance oracle: a from-scratch DuckDB re-assignment
+    * of every bucket signature (data-dependent planes) with derived
+    * invariants and the id-weighted content sum — an appended store and
+    * its compacted rewrite must both hash-match it. */
+  private def lshMaintenanceOracle: String =
+    s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < $LshAppendPlanes),
+       |keys AS (SELECT e.vec_id,
+       |           CAST(sum(CASE WHEN ${dot("e.embedding", "p.pe")} >= 0
+       |                         THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+       |         FROM embeddings e CROSS JOIN p GROUP BY e.vec_id),
+       |n AS (SELECT count(*) AS cnt, count(DISTINCT vec_id) AS dt FROM embeddings)
+       |SELECT CAST(cnt AS BIGINT) AS total_vectors,
+       |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < cnt // 2) AS BIGINT) AS n_base,
+       |       CAST(cnt - (SELECT count(*) FROM embeddings WHERE vec_id < cnt // 2) AS BIGINT) AS n_appended,
+       |       dt = cnt AS ids_unique,
+       |       (SELECT min(bucket) >= 0 AND max(bucket) < ${1 << LshAppendPlanes} FROM keys) AS buckets_in_range,
+       |       CAST((SELECT sum(bucket * (vec_id + 1)) FROM keys) AS BIGINT) AS bucket_weight_sum
+       |FROM n""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // probe the PERSISTED bucket-partitioned index; the bucket
     // histogram answers the < k fallback check, so the probe is a
@@ -616,6 +664,15 @@ object IndexQueries extends QueryRegistry {
     // without any rebuild. Every boolean is DERIVED on both sides.
     "lsh_append_audit" -> ((s, dir) => {
       val (half, idx) = lshAppendStore(s, dir)
+      lshAppendAudit(half, idx)
+    }),
+
+    // compaction audit: after build + 3 appends + clustered rewrite
+    // (Lsh.compact), the store must hold the SAME content the append
+    // audit's full DuckDB re-assignment derives — compaction is layout
+    // only, and the shared oracle hash-verifies that
+    "lsh_compact_audit" -> ((s, dir) => {
+      val (half, idx) = lshCompactStore(s, dir)
       lshAppendAudit(half, idx)
     }),
 
@@ -1001,20 +1058,10 @@ object IndexQueries extends QueryRegistry {
     // buckets_in_range and the id-weighted bucket sum come from that
     // replay, so a drifted signature, double append, or dropped row
     // hash-fails.
-    "lsh_append_audit" ->
-      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < $LshAppendPlanes),
-        |keys AS (SELECT e.vec_id,
-        |           CAST(sum(CASE WHEN ${dot("e.embedding", "p.pe")} >= 0
-        |                         THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
-        |         FROM embeddings e CROSS JOIN p GROUP BY e.vec_id),
-        |n AS (SELECT count(*) AS cnt, count(DISTINCT vec_id) AS dt FROM embeddings)
-        |SELECT CAST(cnt AS BIGINT) AS total_vectors,
-        |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < cnt // 2) AS BIGINT) AS n_base,
-        |       CAST(cnt - (SELECT count(*) FROM embeddings WHERE vec_id < cnt // 2) AS BIGINT) AS n_appended,
-        |       dt = cnt AS ids_unique,
-        |       (SELECT min(bucket) >= 0 AND max(bucket) < ${1 << LshAppendPlanes} FROM keys) AS buckets_in_range,
-        |       CAST((SELECT sum(bucket * (vec_id + 1)) FROM keys) AS BIGINT) AS bucket_weight_sum
-        |FROM n""".stripMargin,
+    "lsh_append_audit" -> lshMaintenanceOracle,
+
+    // identical replay: a compacted store must carry identical content
+    "lsh_compact_audit" -> lshMaintenanceOracle,
 
     // code_weight_sum replayed from a FULL re-encode of the corpus
     // against the same seed codebooks (the pq_adc_knn codes CTE):

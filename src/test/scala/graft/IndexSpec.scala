@@ -301,6 +301,33 @@ class IndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx").count() === 50)
   }
 
+  test("lsh: compact collapses append small-files to one per bucket, content intact") {
+    val dir = java.nio.file.Files.createTempDirectory("lshcompact").toString
+    val path = s"$dir/idx"
+    val lsh = new Lsh(numPlanes = 4, seed = 42L)
+    val small = emb.filter($"vec_id" < 300).cache()
+    lsh.build(small.filter($"vec_id" < 100), path)
+    lsh.append(path, small.filter($"vec_id" >= 100 && $"vec_id" < 200))
+    lsh.append(path, small.filter($"vec_id" >= 200))
+    def contents(): Map[Long, Long] = spark.read.parquet(path).collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getAs[Number]("bucket").longValue()).toMap
+    def filesPerBucket(): Map[String, Int] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = contents()
+    assert(before.size === 300)
+    // the appends really did fragment at least one bucket
+    assert(filesPerBucket().values.exists(_ > 1),
+      "appends produced no fragmentation — the compaction test is vacuous")
+    Lsh.compact(spark, path)
+    assert(contents() === before) // pure layout change
+    val after = filesPerBucket()
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compaction left multi-file buckets: $after")
+  }
+
   test("append audits flip red over deliberately corrupted stores") {
     import graft.queries.IndexQueries
     // a healthy synthetic store: 40 unique ids tiling 8 cells/16 buckets

@@ -99,6 +99,66 @@ class StreamReplaySpec extends SparkSpec {
     assert(res === batch)
   }
 
+  test("checkpoint restart: a killed-and-resumed stream produces the one-shot sink") {
+    // exactly-once across a process "restart": run the exact-dup
+    // screen over file 1 only, stop, drop in file 2, start a FRESH
+    // query object on the SAME checkpoint — the resumed query must
+    // process only the unseen file, and the combined sink must equal
+    // a single uninterrupted run over both files
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.DedupStream
+    val base = java.nio.file.Files.createTempDirectory("restart").toString
+    val in = s"$base/in"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val docs = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"),
+        timestamp_micros((lit(1704067200L) + col("doc_id") * 60L) * 1000000L).as("ts"),
+        col("text"))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(in, s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = DedupStream.dropExactDuplicates(
+          spark.readStream.schema(docs.schema).parquet(in))
+        .select(col("doc_id"), col("content_hash"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drop(docs.filter(col("doc_id") < 50), "00-first")
+    runOnce() // phase 1: first file only, then the query object dies
+    val afterPhase1 = spark.read.parquet(sink).count()
+    drop(docs.filter(col("doc_id") >= 50), "01-second")
+    runOnce() // phase 2: fresh query, same checkpoint — resumes
+    // WHICH doc survives a dedup group is order-dependent, so compare
+    // hash MULTISETS: uniqueness proves exactly-once (a reprocessed
+    // file 1 would emit its hashes twice), set equality proves the
+    // resume covered file 2
+    val resumedHashes = spark.read.parquet(sink)
+      .collect().map(_.getLong(1)).toSeq
+    assert(afterPhase1 > 0 && resumedHashes.size > afterPhase1.toInt,
+      "phase 2 added nothing — the resume never processed file 2")
+    assert(resumedHashes.distinct.size === resumedHashes.size,
+      "a hash appeared twice — the restart reprocessed already-committed data")
+    // one-shot reference run over the same two files, fresh state
+    val sink2 = s"$base/sink2"; val ckpt2 = s"$base/ckpt2"
+    val q2 = DedupStream.dropExactDuplicates(
+        spark.readStream.schema(docs.schema).parquet(in))
+      .select(col("doc_id"), col("content_hash"))
+      .writeStream.format("parquet")
+      .option("path", sink2).option("checkpointLocation", ckpt2)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val oneShot = spark.read.parquet(sink2).collect().map(_.getLong(1)).toSet
+    assert(resumedHashes.toSet === oneShot)
+  }
+
   test("stream_decontam_replay has no false negatives vs the exact overlap join") {
     val flags = SparkEntry.queries("stream_decontam_replay")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
