@@ -105,21 +105,25 @@ object RetrievalQueries extends QueryRegistry {
     // full outer join of two tiny frames — corpus touched twice,
     // shuffled never.
     "hybrid_rrf_fusion" -> ((s, dir) => {
-      val wB = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      // top-k FIRST (distributed TakeOrderedAndProject over the
+      // corpus), ranks assigned on the 20-row head after — a global
+      // row_number window over the full corpus would single-partition
+      // the scan, the exact anti-pattern this layering avoids
       val lex = bm25Scores(s, dir)
-        .withColumn("brank", row_number().over(wB))
-        .filter(col("brank") <= 20)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+        .withColumn("brank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
         .select(col("doc_id"), col("brank"))
       val emb = embeddings(s, dir)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).collect()(0).getSeq[Float](0)
-      val wC = Window.orderBy(col("cos").desc, col("vec_id").asc)
       val vec = emb
         .select(col("vec_id"),
           (round(VectorOps.fastCosine(col("embedding"), typedLit(q)), 6) + 0.0)
             .as("cos"))
-        .withColumn("crank", row_number().over(wC))
-        .filter(col("crank") <= 20)
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(20)
+        .withColumn("crank",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc)))
         .select(col("vec_id").as("doc_id"), col("crank"))
       lex.join(vec, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
