@@ -103,6 +103,25 @@ object StorageQueries extends QueryRegistry {
           size(col("embedding")).cast("long").as("dim"))
         .orderBy(col("vec_id"))
     }),
+
+    // COUNT(*) over the kwi store answered from the shard HEADERS
+    // (DSv2 aggregate pushdown, KwiScanBuilder.pushAggregation) — the
+    // reference's O(1) get_vector_count stat surfaced to SQL; the
+    // oracle pins the value against the parquet source, and
+    // KwiDataSourceSpec pins that the plan really pushed (the scan
+    // schema collapses to the count column and tombstoned shards stay
+    // exact)
+    "kwi_sql_count" -> ((s, dir) => {
+      val path = SharedBuilds.of(s, dir, "kwi-sql-store") {
+        val p = Files.createTempDirectory("graft-verify-kwisql").toString + "/store"
+        embeddings(s, dir)
+          .select(col("vec_id").cast("string").as("id"), col("embedding"))
+          .write.format("kwi").mode("overwrite").save(p)
+        p
+      }
+      s.read.format("kwi").load(path)
+        .agg(count(lit(1)).cast("long").as("n_vectors"))
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -112,6 +131,9 @@ object StorageQueries extends QueryRegistry {
         |       CAST(len(embedding) AS BIGINT) AS dim
         |FROM embeddings WHERE vec_id IN (7, 42, 123)
         |ORDER BY vec_id""".stripMargin,
+
+    "kwi_sql_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings""".stripMargin,
 
     "storage_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_collection,

@@ -209,11 +209,35 @@ class KwiWriterFactory(path: String, schema: StructType, jobId: String)
   * an id, so duplicate live ids keep their row counts. */
 class KwiScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
   private var required: StructType = KwiDataSource.schema
   private var accepted: Array[Filter] = Array.empty
   private var ids: Option[Seq[String]] = None
+  private var countPushed = false
+
+  /** COUNT(*) answers from the kwi HEADER's live-record count — the
+    * reference's O(1) `get_vector_count` stat (local_storage.rs:350-361)
+    * surfaced through DSv2 aggregate pushdown: each shard contributes
+    * one header read, zero record bytes touched. Tombstone-exact: the
+    * header count decrements on tombstone append exactly as the record
+    * stream drops dead occurrences, so header and scan can never
+    * disagree. Partial pushdown only (Spark sums the per-shard rows);
+    * never combined with pushed id filters (point reads change the row
+    * set the header cannot see). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = ids.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -236,28 +260,42 @@ class KwiScanBuilder(path: String)
     rest // accepted shapes are fully answered by the point reads
   }
   override def pushedFilters(): Array[Filter] = accepted
-  override def build(): Scan = new KwiScan(path, required, ids)
+  override def build(): Scan = new KwiScan(path, required, ids, countPushed)
 }
 
 class KwiScan(path: String, required: StructType,
-    pushedIds: Option[Seq[String]] = None) extends Scan with Batch {
-  override def readSchema(): StructType = required
+    pushedIds: Option[Seq[String]] = None,
+    pushedCount: Boolean = false) extends Scan with Batch {
+  override def readSchema(): StructType =
+    if (pushedCount)
+      StructType(Seq(StructField("count(*)",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     KwiDataSource.filesOf(path).map(f => KwiInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new KwiReaderFactory(required, pushedIds)
+    new KwiReaderFactory(required, pushedIds, pushedCount)
   // surfaces in .explain so tests/users can see the point-read route
   override def description(): String =
-    s"kwi:$path${pushedIds.map(ids => s" PushedIds: ${ids.mkString("[", ",", "]")}").getOrElse("")}"
+    s"kwi:$path${pushedIds.map(ids => s" PushedIds: ${ids.mkString("[", ",", "]")}").getOrElse("")}${if (pushedCount) " PushedAggregates: [COUNT(*)]" else ""}"
 }
 
 case class KwiInputPartition(file: String) extends InputPartition
 
 class KwiReaderFactory(required: StructType,
-    pushedIds: Option[Seq[String]] = None) extends PartitionReaderFactory {
+    pushedIds: Option[Seq[String]] = None,
+    pushedCount: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[KwiInputPartition].file
+    if (pushedCount) return new PartitionReader[InternalRow] {
+      // one header read per shard — no record bytes touched
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = InternalRow(KwiFormat.count(file))
+      override def close(): Unit = ()
+    }
     def toRow(cur: (String, Array[Float], Option[String])): InternalRow =
       InternalRow.fromSeq(required.fields.toSeq.map(_.name match {
         case "id" => UTF8String.fromString(cur._1)

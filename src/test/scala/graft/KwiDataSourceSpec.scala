@@ -125,6 +125,37 @@ class KwiDataSourceSpec extends SparkSpec {
     assert(back.find(_.getString(0) == "id9").get.getString(2) == """{"k":9}""")
   }
 
+  test("COUNT(*) pushes to the shard headers; tombstones stay exact; filters veto") {
+    val dir = Files.createTempDirectory("kwi-count").toString + "/out"
+    val df = (0 until 30).map(i => (s"id$i", Array(i.toFloat), null: String))
+      .toDF("id", "embedding", "metadata")
+    df.repartition(3).write.format("kwi").mode("append").save(dir)
+    val counted = spark.read.format("kwi").load(dir).agg(count(lit(1)))
+    // the scan collapsed to the header count: pushed-agg schema + marker
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"), plan)
+    assert(counted.collect()(0).getLong(0) === 30L)
+    // a tombstone decrements the header the same way the record stream
+    // drops the dead occurrence — pushed count tracks it exactly
+    // (target the shard that actually HOLDS id0)
+    val shard = graft.sources.KwiDataSource.filesOf(dir).find { f =>
+      val r = new KwiFormat.IndexedReader(f)
+      try r.getAll("id0").nonEmpty finally r.close()
+    }.get
+    KwiFormat.appendTombstone(shard, "id0")
+    val counted2 = spark.read.format("kwi").load(dir).agg(count(lit(1)))
+    assert(counted2.collect()(0).getLong(0) ===
+      spark.read.format("kwi").load(dir).count() - 0L) // same route both ways
+    assert(counted2.collect()(0).getLong(0) === 29L)
+    // pushed id filter changes the row set the header can't see:
+    // aggregate pushdown must decline and the count come from the rows
+    val filtered = spark.read.format("kwi").load(dir)
+      .filter(col("id").isin("id1", "id2", "idMISSING")).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"), filtered.queryExecution.executedPlan)
+    assert(filtered.collect()(0).getLong(0) === 2L)
+  }
+
   test("write mode overwrite truncates prior shards; append accumulates") {
     val dir = Files.createTempDirectory("kwi-modes").toString + "/out"
     val a = (0 until 5).map(i => (s"a$i", Array(i.toFloat), null: String))
