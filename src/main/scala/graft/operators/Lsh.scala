@@ -78,6 +78,7 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
     vectors
       .select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    Lsh.writeDim(path, dim)
   }
 
   /** Incremental maintenance: bucket-assign a NEW batch against the
@@ -100,18 +101,24 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
     // the plane matrix is a function of (numPlanes, seed, DIM): a batch
     // with a different vector dimension would bucket-assign through a
     // different matrix and silently corrupt probe results for the
-    // appended rows — read one row from the existing store and refuse
-    // a mismatched batch instead
-    val storeDimRow = batch.sparkSession.read.parquet(path)
-      .select(size(col(vecCol))).limit(1).collect()
-    if (storeDimRow.nonEmpty) {
-      val storeDim = storeDimRow(0).getInt(0)
-      require(dim == storeDim,
-        s"Lsh.append: batch dimension $dim != index dimension $storeDim at $path")
+    // appended rows. The store's dimension comes from the `_dim`
+    // sidecar build() wrote — an O(1) read, never a partition-discovery
+    // pass over the store's files (append must stay O(batch)). Older
+    // stores without a sidecar fall back to a one-row parquet probe; a
+    // fresh path bootstraps (first append = build).
+    val storeDim: Option[Int] = Lsh.readDim(path).orElse {
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        batch.sparkSession.read.parquet(path)
+          .select(size(col(vecCol))).limit(1).collect()
+          .headOption.map(_.getInt(0))
+      else None
     }
+    storeDim.foreach(sd => require(dim == sd,
+      s"Lsh.append: batch dimension $dim != index dimension $sd at $path"))
     batch
       .select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
+    if (storeDim.isEmpty) Lsh.writeDim(path, dim) // bootstrap or backfill
   }
 
   /** Compact a bucket-partitioned parquet index in place: every
@@ -121,8 +128,9 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
     * row groups, starved readers). One clustered rewrite
     * (`repartition(bucket)` routes each bucket to one task →
     * one output file per bucket), staged to a sibling directory and
-    * atomically swapped, so a concurrent reader sees either the old or
-    * the new complete store, never a half-written one. Content is
+    * swapped via two renames — a reader can never see mixed or
+    * half-written content, and a crashed swap is recovered losslessly
+    * on the next call (see `compactPartitioned`). Content is
     * bit-preserved — the audits' id-weighted sums are unchanged, which
     * the lsh_compact_audit oracle hash-verifies. */
   def compact(spark: SparkSession, path: String): Unit =
@@ -206,6 +214,22 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
 }
 
 object Lsh {
+  /** `_dim` sidecar inside the store directory (underscore-prefixed →
+    * invisible to Spark's file listing): the store's embedding
+    * dimension, so append's mismatch guard is an O(1) read. */
+  private[graft] def writeDim(path: String, dim: Int): Unit = {
+    val p = java.nio.file.Paths.get(path, "_dim")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, dim.toString.getBytes("UTF-8"))
+  }
+
+  private[graft] def readDim(path: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(path, "_dim")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt)
+    else None
+  }
+
   /** Object-level alias of the instance `compact` (compaction needs no
     * plane state — it is a pure layout rewrite). */
   def compact(spark: SparkSession, path: String): Unit =
@@ -213,18 +237,31 @@ object Lsh {
 
   /** Clustered in-place rewrite of a `partitionBy(partCol)` parquet
     * store (see `Lsh.compact` doc): stage → swap → drop old. Shared by
-    * the LSH and IVF maintenance paths. */
+    * the LSH and IVF maintenance paths.
+    *
+    * Crash discipline: the swap is two renames, so there IS a brief
+    * window where `path` is absent — compaction is a single-writer
+    * maintenance operation and a probe racing the swap must retry (it
+    * can never see MIXED content). Crash-retry is lossless: if a
+    * previous run died between the renames, the sole copy sits at
+    * `path + ".old"` and the next call RECOVERS it before doing
+    * anything destructive — the stale-state cleanup only ever deletes
+    * a sibling when `path` itself holds a complete store. */
   private[graft] def compactPartitioned(spark: SparkSession, path: String,
       partCol: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = path + ".compacting"
     val old = path + ".old"
+    // recover a crashed swap: data moved out but never replaced
+    if (!Files.exists(Paths.get(path)) && Files.exists(Paths.get(old)))
+      Files.move(Paths.get(old), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    require(Files.exists(Paths.get(path)), s"no store at $path to compact")
     graft.sources.CollectionManager.deleteRecursively(Paths.get(tmp))
     graft.sources.CollectionManager.deleteRecursively(Paths.get(old))
     spark.read.parquet(path)
       .repartition(col(partCol))
       .write.partitionBy(partCol).parquet(tmp)
-    // swap: old out, new in — two renames, no window with a missing dir
+    readDim(path).foreach(d => writeDim(tmp, d)) // sidecar rides along
     Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     graft.sources.CollectionManager.deleteRecursively(Paths.get(old))

@@ -35,12 +35,7 @@ object IndexQueries extends QueryRegistry {
   // (pinned in PlanSpec), or the kwi point-read file for HNSW serving —
   // never an in-memory memo of the corpus. target/ keeps the artifacts
   // inside the repo tree and outside version control.
-  private def buildPath(dir: String, name: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val p = java.nio.file.Paths.get("target", "graft-builds", s"$name-$tag")
-    java.nio.file.Files.createDirectories(p.getParent)
-    p.toAbsolutePath.toString
-  }
+  // build artifacts land via the ONE shared layout rule, Tables.buildPath
 
   /** Plane count of the declared LSH store — lsh_bucket_stats derives
     * its ≤ 2^planes bucket-count invariant from this same constant, so
@@ -71,15 +66,23 @@ object IndexQueries extends QueryRegistry {
     * CONTENT-checked by a full DuckDB re-assignment, not merely
     * invariant-checked. The append code path is the same frozen-matrix
     * `Lsh.append` the seeded store uses. Returns (half, merged index). */
+  /** The data-plane Lsh instance + half split shared by the append and
+    * compact maintenance stores — ONE copy of the plane-selection rule,
+    * so the two audits that share lshMaintenanceOracle can never drift
+    * apart on it. */
+  private def dataPlanesLsh(s: SparkSession, dir: String): (Lsh, Long, DataFrame) = {
+    val emb = embeddings(s, dir)
+    val half = emb.count() / 2
+    val planes = emb.filter(col("vec_id") < LshAppendPlanes)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (new Lsh(numPlanes = LshAppendPlanes, seed = 42L,
+      explicitPlanes = Some(planes)), half, emb)
+  }
+
   private def lshAppendStore(s: SparkSession, dir: String): (Long, DataFrame) =
     SharedBuilds.of(s, dir, "lsh-append-store") {
-      val emb = embeddings(s, dir)
-      val half = emb.count() / 2
-      val planes = emb.filter(col("vec_id") < LshAppendPlanes)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      val lsh = new Lsh(numPlanes = LshAppendPlanes, seed = 42L,
-        explicitPlanes = Some(planes))
+      val (lsh, half, emb) = dataPlanesLsh(s, dir)
       val path = buildPath(dir, "lsh4-app")
       lsh.build(emb.filter(col("vec_id") < half), path)
       lsh.append(path, emb.filter(col("vec_id") >= half))
@@ -97,13 +100,7 @@ object IndexQueries extends QueryRegistry {
     * re-assigned bucket lands in the id-weighted sum and hash-fails. */
   private def lshCompactStore(s: SparkSession, dir: String): (Long, DataFrame) =
     SharedBuilds.of(s, dir, "lsh-compact-store") {
-      val emb = embeddings(s, dir)
-      val half = emb.count() / 2
-      val planes = emb.filter(col("vec_id") < LshAppendPlanes)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      val lsh = new Lsh(numPlanes = LshAppendPlanes, seed = 42L,
-        explicitPlanes = Some(planes))
+      val (lsh, half, emb) = dataPlanesLsh(s, dir)
       val path = buildPath(dir, "lsh4-compact")
       lsh.build(emb.filter(col("vec_id") < half), path)
       val third = (emb.count() - half) / 3 + 1

@@ -41,8 +41,15 @@ object RetrievalQueries extends QueryRegistry {
   private val OneMinusB = "0.25"
   private val B = "0.75"
 
-  /** (doc_id, rounded bm25 score) for the whole corpus, map-only. */
-  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, rounded bm25 score) for the whole corpus, map-only.
+    * Memoized per (session, dir): the 1-row df/avglen aggregate collect
+    * and the scored-plan construction happen once, shared by bm25_topk
+    * and hybrid_rrf_fusion (the SharedBuilds discipline every other
+    * expensive shared artifact follows). */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "bm25-scores")(bm25ScoresUncached(s, dir))
+
+  private def bm25ScoresUncached(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("dlen", size(col("toks")).cast("double"))

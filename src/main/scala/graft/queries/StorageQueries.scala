@@ -87,16 +87,7 @@ object StorageQueries extends QueryRegistry {
     // so the pushdown path's row multiset is pinned by the oracle, not
     // just by the plan test in KwiDataSourceSpec
     "kwi_sql_point_read" -> ((s, dir) => {
-      // store built ONCE per session (SharedBuilds, like the other
-      // durable index artifacts); each call pays only the point reads
-      val path = SharedBuilds.of(s, dir, "kwi-sql-store") {
-        val p = Files.createTempDirectory("graft-verify-kwisql").toString + "/store"
-        embeddings(s, dir)
-          .select(col("vec_id").cast("string").as("id"), col("embedding"))
-          .write.format("kwi").mode("overwrite").save(p)
-        p
-      }
-      s.read.format("kwi").load(path)
+      s.read.format("kwi").load(kwiSqlStore(s, dir))
         .filter(col("id").isin("7", "42", "123"))
         .select(col("id").cast("long").as("vec_id"),
           (round(element_at(col("embedding"), 1).cast("double"), 6) + 0.0).as("e1"),
@@ -111,18 +102,22 @@ object StorageQueries extends QueryRegistry {
     // KwiDataSourceSpec pins that the plan really pushed (the scan
     // schema collapses to the count column and tombstoned shards stay
     // exact)
-    "kwi_sql_count" -> ((s, dir) => {
-      val path = SharedBuilds.of(s, dir, "kwi-sql-store") {
-        val p = Files.createTempDirectory("graft-verify-kwisql").toString + "/store"
-        embeddings(s, dir)
-          .select(col("vec_id").cast("string").as("id"), col("embedding"))
-          .write.format("kwi").mode("overwrite").save(p)
-        p
-      }
-      s.read.format("kwi").load(path)
-        .agg(count(lit(1)).cast("long").as("n_vectors"))
-    }),
+    "kwi_sql_count" -> ((s, dir) =>
+      s.read.format("kwi").load(kwiSqlStore(s, dir))
+        .agg(count(lit(1)).cast("long").as("n_vectors"))),
   )
+
+  /** The embeddings table written once per session as a kwi store
+    * (SharedBuilds, like the other durable artifacts) — the single
+    * build both kwi SQL queries read. */
+  private def kwiSqlStore(s: SparkSession, dir: String): String =
+    SharedBuilds.of(s, dir, "kwi-sql-store") {
+      val p = Files.createTempDirectory("graft-verify-kwisql").toString + "/store"
+      embeddings(s, dir)
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+        .write.format("kwi").mode("overwrite").save(p)
+      p
+    }
 
   override def oracle: Map[String, String] = Map(
     "kwi_sql_point_read" ->

@@ -46,12 +46,7 @@ import graft.streaming.{DedupStream, EventStreams}
 object StreamQueries extends QueryRegistry {
   import Tables._
 
-  private def buildPath(dir: String, name: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val p = java.nio.file.Paths.get("target", "graft-builds", s"$name-$tag")
-    java.nio.file.Files.createDirectories(p.getParent)
-    p.toAbsolutePath.toString
-  }
+  // stream inputs/sinks land via the ONE shared layout rule, Tables.buildPath
 
   private def rmrf(paths: String*): Unit = paths.foreach(p =>
     graft.sources.CollectionManager.deleteRecursively(java.nio.file.Paths.get(p)))
@@ -369,18 +364,7 @@ object StreamQueries extends QueryRegistry {
         |ORDER BY c.user_id, purchase_id, click_id""".stripMargin,
 
     "stream_decontam_replay" ->
-      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
-         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
-         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
-         |bh AS (SELECT DISTINCT unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id < 10),
-         |bset AS (SELECT DISTINCT ${Dedup.bloomProbeSql("i", "h")} AS p
-         |         FROM bh, (SELECT unnest([0,1,2,3]) AS i)),
-         |dh AS (SELECT doc_id, unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id >= 10),
-         |probes AS (SELECT doc_id, h, ${Dedup.bloomProbeSql("i", "h")} AS p
-         |           FROM dh, (SELECT unnest([0,1,2,3]) AS i)),
-         |hitsh AS (SELECT doc_id, h FROM probes GROUP BY doc_id, h
-         |          HAVING sum(CASE WHEN p IN (SELECT p FROM bset) THEN 1 ELSE 0 END) = ${Dedup.BloomK}),
-         |cand AS (SELECT DISTINCT doc_id FROM hitsh)
+      s"""${TextQueries.bloomScreenCtes}
          |SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM cand)) AS maybe_contaminated
          |FROM documents d WHERE d.doc_id >= 10 ORDER BY doc_id""".stripMargin,
   )

@@ -33,6 +33,17 @@ object Tables {
     * interpreted work over embeddings opt in at the call site. */
   private def spread(df: DataFrame, s: SparkSession): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
+
+  /** Durable build-artifact path under target/graft-builds, tagged by
+    * the data dir — ONE layout rule for every index store and stream
+    * sink (a second copy of this helper drifting would scatter a dir's
+    * artifacts across inconsistent locations). */
+  def buildPath(dir: String, name: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val p = java.nio.file.Paths.get("target", "graft-builds", s"$name-$tag")
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toAbsolutePath.toString
+  }
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
   def documents(s: SparkSession, dir: String): DataFrame = spread(t(s, dir, "documents"), s)
 

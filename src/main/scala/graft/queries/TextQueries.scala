@@ -21,6 +21,28 @@ object TextQueries extends QueryRegistry {
   import OracleFrag.cosine
 
   /** DuckDB fragments mirroring graft.functions.TextOps bit-for-bit. */
+  /** The shared Bloom build+probe CTE prefix (t → cand) for the
+    * decontamination oracles — the SQL twin of Dedup's ONE probe
+    * formula, kept in one place so the batch and streaming screens can
+    * never drift apart; probe indices derive from BloomK. Eval split:
+    * doc_id < 10 builds the filter, doc_id >= 10 is the corpus. */
+  private[queries] def bloomScreenCtes: String = {
+    val probeIdx = (0 until graft.operators.Dedup.BloomK).mkString("[", ",", "]")
+    val probe = graft.operators.Dedup.bloomProbeSql("i", "h")
+    s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+       |bh AS (SELECT DISTINCT unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id < 10),
+       |bset AS (SELECT DISTINCT $probe AS p
+       |         FROM bh, (SELECT unnest($probeIdx) AS i)),
+       |dh AS (SELECT doc_id, unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id >= 10),
+       |probes AS (SELECT doc_id, h, $probe AS p
+       |           FROM dh, (SELECT unnest($probeIdx) AS i)),
+       |hitsh AS (SELECT doc_id, h FROM probes GROUP BY doc_id, h
+       |          HAVING sum(CASE WHEN p IN (SELECT p FROM bset) THEN 1 ELSE 0 END) = ${graft.operators.Dedup.BloomK}),
+       |cand AS (SELECT DISTINCT doc_id FROM hitsh)""".stripMargin
+  }
+
   private[queries] object F {
     val P = "2147483647"
     def toks(t: String) =
@@ -906,18 +928,7 @@ object TextQueries extends QueryRegistry {
          |ORDER BY corpus_id, bench_id""".stripMargin,
 
     "decontamination_bloom" ->
-      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
-         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
-         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
-         |bh AS (SELECT DISTINCT unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id < 10),
-         |bset AS (SELECT DISTINCT ${Dedup.bloomProbeSql("i", "h")} AS p
-         |         FROM bh, (SELECT unnest([0,1,2,3]) AS i)),
-         |dh AS (SELECT doc_id, unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id >= 10),
-         |probes AS (SELECT doc_id, h, ${Dedup.bloomProbeSql("i", "h")} AS p
-         |           FROM dh, (SELECT unnest([0,1,2,3]) AS i)),
-         |hitsh AS (SELECT doc_id, h FROM probes GROUP BY doc_id, h
-         |          HAVING sum(CASE WHEN p IN (SELECT p FROM bset) THEN 1 ELSE 0 END) = ${Dedup.BloomK}),
-         |cand AS (SELECT DISTINCT doc_id FROM hitsh),
+      s"""$bloomScreenCtes,
          |ex AS (SELECT DISTINCT dh.doc_id FROM dh JOIN bh USING (h))
          |SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
          |       CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,

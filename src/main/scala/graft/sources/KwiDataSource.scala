@@ -220,12 +220,16 @@ class KwiScanBuilder(path: String)
   /** COUNT(*) answers from the kwi HEADER's live-record count — the
     * reference's O(1) `get_vector_count` stat (local_storage.rs:350-361)
     * surfaced through DSv2 aggregate pushdown: each shard contributes
-    * one header read, zero record bytes touched. Tombstone-exact: the
-    * header count decrements on tombstone append exactly as the record
-    * stream drops dead occurrences, so header and scan can never
-    * disagree. Partial pushdown only (Spark sums the per-shard rows);
-    * never combined with pushed id filters (point reads change the row
-    * set the header cannot see). */
+    * one header read, zero record bytes touched. Tombstone-exact on any
+    * cleanly-committed store: the header decrements on tombstone append
+    * exactly as the record stream drops dead occurrences, and the DSv2
+    * write commit only ever renames shards whose header was patched at
+    * close. (A shard TORN mid-write outside that protocol can carry a
+    * stale header while the record stream serves its intact prefix —
+    * the same trust model as parquet footer row counts, which aggregate
+    * pushdown also reads.) Partial pushdown only (Spark sums the
+    * per-shard rows); never combined with pushed id filters (point
+    * reads change the row set the header cannot see). */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     false

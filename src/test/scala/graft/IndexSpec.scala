@@ -286,6 +286,17 @@ class IndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx").count() === before)
   }
 
+  test("lsh: append to a fresh path bootstraps the store (first append = build)") {
+    val dir = java.nio.file.Files.createTempDirectory("lshboot").toString
+    val lsh = new Lsh(numPlanes = 4, seed = 42L)
+    lsh.append(s"$dir/idx", emb.filter($"vec_id" < 20)) // no build first
+    assert(spark.read.parquet(s"$dir/idx").count() === 20)
+    // the bootstrap wrote the dim sidecar, so the guard is armed
+    val wrongDim = emb.filter($"vec_id" < 5)
+      .select($"vec_id", slice($"embedding", 1, 3).as("embedding"))
+    intercept[IllegalArgumentException](lsh.append(s"$dir/idx", wrongDim))
+  }
+
   test("lsh: append refuses a batch whose vector dimension differs") {
     // the r7 advisory: planes are a function of (numPlanes, seed, dim) —
     // a mismatched batch would bucket through a DIFFERENT matrix and
