@@ -714,6 +714,12 @@ object Jpeg {
       while (cnt != 0) put(1, 1) // pad with 1s
       out.toByteArray
     }
+    /** Byte-align (1-padded) and emit a raw marker — markers are never
+      * byte-stuffed (T.81 B.1.1.2). */
+    def marker(m: Int): Unit = {
+      while (cnt != 0) put(1, 1)
+      out.write(0xff); out.write(m)
+    }
   }
 
   /** The encoder's deliberately simple tables (see object doc). */
@@ -849,12 +855,17 @@ object Jpeg {
   }
 
   /** Encode interleaved r,g,b bytes (top-down row-major) as a baseline
-    * 4:4:4 JPEG; `gray = true` encodes channel 0 as single-component. */
+    * 4:4:4 JPEG; `gray = true` encodes channel 0 as single-component;
+    * `restartInterval > 0` emits a DRI segment and RSTn markers every
+    * that many MCUs (predictors reset — the error-resilience feature
+    * real camera/web JPEGs carry, and the decoder's restart path's
+    * fixture source). */
   def encode(width: Int, height: Int, rgb: Array[Byte],
-      gray: Boolean = false): Array[Byte] = {
+      gray: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
     val nc = if (gray) 1 else 3
     require(rgb.length == width * height * nc,
       s"need $width*$height*$nc bytes, got ${rgb.length}")
+    require(restartInterval >= 0, "restartInterval must be >= 0")
     val planes = toPlanes(width, height, rgb, nc)
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
@@ -893,17 +904,34 @@ object Jpeg {
       ci += 1
     }
     sos.write(0); sos.write(63); sos.write(0)
-    out.write(sos.toByteArray)
+    // DRI precedes SOS (T.81 B.2.4.4); RSTn markers ride in the
+    // entropy stream every restartInterval MCUs
+    if (restartInterval > 0) {
+      val dri = Array(0xff, 0xdd, 0x00, 0x04,
+        (restartInterval >> 8) & 0xff, restartInterval & 0xff)
+      // insert before SOS: write DRI bytes first
+      val sosBytes = sos.toByteArray
+      dri.foreach(out.write)
+      out.write(sosBytes)
+    } else out.write(sos.toByteArray)
     // entropy-coded data: 4:4:4 => one block per component per MCU
     val bw = new BitWriter()
     val preds = new Array[Int](nc)
     val block = new Array[Double](64)
     val bY = (height + 7) / 8
     val bX = (width + 7) / 8
+    var mcu = 0
+    var rstN = 0
     var by = 0
     while (by < bY) {
       var bx = 0
       while (bx < bX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.marker(0xd0 + rstN)
+          rstN = (rstN + 1) & 7
+          java.util.Arrays.fill(preds, 0)
+        }
+        mcu += 1
         ci = 0
         while (ci < nc) {
           var yy = 0

@@ -307,6 +307,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(jpg).length === 8 * 8 * 3)
   }
 
+  test("jpeg codec: restart intervals (DRI + RSTn) decode identically; JDK agrees") {
+    val (w, h) = (48, 16) // 6x2 MCUs at 4:4:4 -> several restarts at ri=2
+    val rgb = gradientRgb(w, h)
+    val plain = graft.operators.Jpeg.encode(w, h, rgb)
+    val rst = graft.operators.Jpeg.encode(w, h, rgb, restartInterval = 2)
+    // the stream really carries DRI and at least one wrapped RSTn marker
+    def hasMarker(p: Array[Byte], m: Int): Boolean =
+      (0 until p.length - 1).exists(i =>
+        (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == m)
+    assert(hasMarker(rst, 0xdd) && hasMarker(rst, 0xd0) && hasMarker(rst, 0xd1))
+    // restart markers change the entropy framing, never the pixels
+    assert(graft.operators.Jpeg.decode(rst).get.toSeq ===
+      graft.operators.Jpeg.decode(plain).get.toSeq)
+    // and the JDK accepts the restart-framed stream
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rst))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+  }
+
   test("jpeg codec: progressive encode → decode round-trips; agrees with baseline") {
     val (w, h) = (16, 12)
     val gray = Array.tabulate(w * h)(i => (30 + 3 * (i % w) + 5 * (i / w)).toByte)
