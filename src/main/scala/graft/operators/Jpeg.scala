@@ -1048,7 +1048,7 @@ object Jpeg {
     * decodable by any conformant decoder (MultimodalSpec pins ImageIO
     * agreement both ways). */
   def encodeProgressive(width: Int, height: Int, rgb: Array[Byte],
-      gray: Boolean = false): Array[Byte] = {
+      gray: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
     val nc = if (gray) 1 else 3
     require(rgb.length == width * height * nc,
       s"need $width*$height*$nc bytes, got ${rgb.length}")
@@ -1123,12 +1123,30 @@ object Jpeg {
       s.write(ss); s.write(se); s.write((ah << 4) | al)
       out.write(s.toByteArray)
     }
+    if (restartInterval > 0) {
+      out.write(0xff); out.write(0xdd); out.write(0); out.write(4)
+      out.write((restartInterval >> 8) & 0xff); out.write(restartInterval & 0xff)
+    }
+    // per-scan restart cadence: byte-align + RSTn every `ri` units
+    // (MCUs for the interleaved DC scans, blocks for the per-component
+    // AC scans), with the per-scan decoder state (DC predictors /
+    // EOB runs) reset — exercising the progressive restart path
+    var bw: BitWriter = null
+    var rstN = 0
+    def restartTick(unit: Int)(reset: => Unit): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        bw.marker(0xd0 + rstN)
+        rstN = (rstN + 1) & 7
+        reset
+      }
     // scan 1: DC first, Al=1 (interleaved when 3 components)
     sos(0 until nc, 0, 0, 0, 1)
-    var bw = new BitWriter()
+    bw = new BitWriter()
+    rstN = 0
     val preds = new Array[Int](nc)
     var b = 0
     while (b < bX * bY) {
+      restartTick(b) { java.util.Arrays.fill(preds, 0) }
       ci = 0
       while (ci < nc) {
         val dc = qblocks(ci)(b)(0) >> 1 // DC point transform: arithmetic shift
@@ -1149,8 +1167,10 @@ object Jpeg {
       while (ci < nc) {
         sos(Seq(ci), ss, se, 0, 1)
         bw = new BitWriter()
+        rstN = 0
         b = 0
         while (b < bX * bY) {
+          restartTick(b)(()) // per-block EOBs: no cross-block state to reset
           encodeAcFirstBlock(bw, qblocks(ci)(b), ss, se, 1)
           b += 1
         }
@@ -1163,8 +1183,10 @@ object Jpeg {
     while (ci < nc) {
       sos(Seq(ci), 1, 63, 1, 0)
       bw = new BitWriter()
+      rstN = 0
       b = 0
       while (b < bX * bY) {
+        restartTick(b)(())
         encodeAcRefineBlock(bw, qblocks(ci)(b), 1, 63, 0)
         b += 1
       }
@@ -1174,8 +1196,10 @@ object Jpeg {
     // scan 5: DC refinement, raw bit 0 per block (interleaved)
     sos(0 until nc, 0, 0, 1, 0)
     bw = new BitWriter()
+    rstN = 0
     b = 0
     while (b < bX * bY) {
+      restartTick(b)(())
       ci = 0
       while (ci < nc) {
         bw.put(qblocks(ci)(b)(0) & 1, 1)

@@ -350,6 +350,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(progC).toSeq === gotC.toSeq)
   }
 
+  test("jpeg codec: progressive restart markers decode identically; JDK agrees") {
+    val (w, h) = (48, 16)
+    val rgb = gradientRgb(w, h)
+    val plain = graft.operators.Jpeg.encodeProgressive(w, h, rgb)
+    val rst = graft.operators.Jpeg.encodeProgressive(w, h, rgb, restartInterval = 2)
+    def hasMarker(p: Array[Byte], m: Int): Boolean =
+      (0 until p.length - 1).exists(i =>
+        (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == m)
+    assert(hasMarker(rst, 0xdd) && hasMarker(rst, 0xd0))
+    assert(graft.operators.Jpeg.decode(rst).get.toSeq ===
+      graft.operators.Jpeg.decode(plain).get.toSeq)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rst))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+  }
+
   test("jpeg codec: our progressive stream decodes identically-close in the JDK") {
     val (w, h) = (16, 12)
     val prog = graft.operators.Jpeg.encodeProgressive(w, h, gradientRgb(w, h))
