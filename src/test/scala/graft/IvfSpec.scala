@@ -74,4 +74,25 @@ class IvfSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(hit.head == half)
   }
+
+  test("compact collapses append small-files per cluster, content intact") {
+    val ivf = new Ivf(nlist = 8, iters = 2)
+    val (cents, assigned) = ivf.build(vecs.filter(col("vec_id") < 100))
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf-compact").resolve("idx").toString
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    ivf.append(path, vecs.filter(col("vec_id") >= 100 && col("vec_id") < 200), cents)
+    ivf.append(path, vecs.filter(col("vec_id") >= 200 && col("vec_id") < 300), cents)
+    def contents(): Map[Long, Int] = spark.read.parquet(path).collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getInt(r.fieldIndex("cluster"))).toMap
+    def maxFiles(): Int =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("cluster="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    val before = contents()
+    assert(before.size === 300 && maxFiles() > 1)
+    ivf.compact(spark, path)
+    assert(contents() === before)
+    assert(maxFiles() === 1)
+  }
 }
