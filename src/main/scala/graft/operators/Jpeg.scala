@@ -865,7 +865,8 @@ object Jpeg {
     val nc = if (gray) 1 else 3
     require(rgb.length == width * height * nc,
       s"need $width*$height*$nc bytes, got ${rgb.length}")
-    require(restartInterval >= 0, "restartInterval must be >= 0")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      "restartInterval must fit DRI's 16-bit field") // T.81 B.2.4.4
     val planes = toPlanes(width, height, rgb, nc)
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
@@ -1052,6 +1053,8 @@ object Jpeg {
     val nc = if (gray) 1 else 3
     require(rgb.length == width * height * nc,
       s"need $width*$height*$nc bytes, got ${rgb.length}")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      "restartInterval must fit DRI's 16-bit field") // T.81 B.2.4.4
     val planes = toPlanes(width, height, rgb, nc)
     val bX = (width + 7) / 8
     val bY = (height + 7) / 8

@@ -101,24 +101,29 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
     // the plane matrix is a function of (numPlanes, seed, DIM): a batch
     // with a different vector dimension would bucket-assign through a
     // different matrix and silently corrupt probe results for the
-    // appended rows. The store's dimension comes from the `_dim`
-    // sidecar build() wrote — an O(1) read, never a partition-discovery
-    // pass over the store's files (append must stay O(batch)). Older
-    // stores without a sidecar fall back to a one-row parquet probe; a
-    // fresh path bootstraps (first append = build).
-    val storeDim: Option[Int] = Lsh.readDim(path).orElse {
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-        batch.sparkSession.read.parquet(path)
-          .select(size(col(vecCol))).limit(1).collect()
-          .headOption.map(_.getInt(0))
-      else None
+    // appended rows. Fast path: the `_dim` sidecar build() wrote — an
+    // O(1) local read, no partition-discovery pass over the store's
+    // files (append must stay O(batch)). Whenever the sidecar is
+    // absent or unreadable (legacy store, non-local filesystem, torn
+    // write), fall back to the FS-AGNOSTIC one-row Spark probe; only a
+    // genuinely missing store (probe raises path-not-found) bootstraps
+    // unguarded (first append = build).
+    val sidecarDim = Lsh.readDim(path)
+    val storeDim: Option[Int] = sidecarDim.orElse {
+      try batch.sparkSession.read.parquet(path)
+        .select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
     storeDim.foreach(sd => require(dim == sd,
       s"Lsh.append: batch dimension $dim != index dimension $sd at $path"))
     batch
       .select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
-    if (storeDim.isEmpty) Lsh.writeDim(path, dim) // bootstrap or backfill
+    // bootstrap AND backfill: whenever the sidecar was missing, record
+    // the (verified or bootstrapped) dimension so future appends take
+    // the O(1) path
+    if (sidecarDim.isEmpty) Lsh.writeDim(path, storeDim.getOrElse(dim))
   }
 
   /** Compact a bucket-partitioned parquet index in place: every
@@ -216,19 +221,31 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
 object Lsh {
   /** `_dim` sidecar inside the store directory (underscore-prefixed →
     * invisible to Spark's file listing): the store's embedding
-    * dimension, so append's mismatch guard is an O(1) read. */
-  private[graft] def writeDim(path: String, dim: Int): Unit = {
-    val p = java.nio.file.Paths.get(path, "_dim")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, dim.toString.getBytes("UTF-8"))
-  }
+    * dimension, so append's mismatch guard is an O(1) read. Strictly a
+    * LOCAL-PATH optimization, and best-effort on both sides: the write
+    * stages to a temp name and renames (a torn sidecar is never
+    * visible), failures are swallowed (non-local store paths simply
+    * keep using the Spark probe), and an unparseable sidecar reads as
+    * absent rather than bricking every future append. */
+  private[graft] def writeDim(path: String, dim: Int): Unit =
+    try {
+      val p = java.nio.file.Paths.get(path, "_dim")
+      val tmp = java.nio.file.Paths.get(path, "._dim.tmp")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(tmp, dim.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => () }
 
-  private[graft] def readDim(path: String): Option[Int] = {
-    val p = java.nio.file.Paths.get(path, "_dim")
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt)
-    else None
-  }
+  private[graft] def readDim(path: String): Option[Int] =
+    try {
+      val p = java.nio.file.Paths.get(path, "_dim")
+      if (java.nio.file.Files.exists(p))
+        scala.util.Try(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .trim.toInt).toOption
+      else None
+    } catch { case _: Exception => None }
 
   /** Object-level alias of the instance `compact` (compaction needs no
     * plane state — it is a pure layout rewrite). */

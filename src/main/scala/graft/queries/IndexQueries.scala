@@ -56,20 +56,14 @@ object IndexQueries extends QueryRegistry {
   /** Plane count of the append-audit LSH store (2^4 = 16 buckets). */
   private[graft] val LshAppendPlanes = 4
 
-  /** Incremental-maintenance twin for the LSH store: planes are
-    * frozen at build time, so the second half of the corpus arrives
-    * as a batch APPEND — one map-only signature pass, partition-local
-    * file adds into the bucket-partitioned store, zero touches of the
-    * existing rows. Since round 8 the planes are DATA-DEPENDENT (the
-    * first 4 embeddings — the lshDataStore precedent), which makes
-    * every bucket key SQL-replayable: the audit over this store is
-    * CONTENT-checked by a full DuckDB re-assignment, not merely
-    * invariant-checked. The append code path is the same frozen-matrix
-    * `Lsh.append` the seeded store uses. Returns (half, merged index). */
   /** The data-plane Lsh instance + half split shared by the append and
     * compact maintenance stores — ONE copy of the plane-selection rule,
     * so the two audits that share lshMaintenanceOracle can never drift
-    * apart on it. */
+    * apart on it. Planes are DATA-DEPENDENT (the first 4 embeddings —
+    * the lshDataStore precedent), which makes every bucket key
+    * SQL-replayable: the audits over these stores are CONTENT-checked
+    * by a full DuckDB re-assignment, not merely invariant-checked.
+    * Returns (lsh, half, embeddings frame). */
   private def dataPlanesLsh(s: SparkSession, dir: String): (Lsh, Long, DataFrame) = {
     val emb = embeddings(s, dir)
     val half = emb.count() / 2
@@ -80,6 +74,12 @@ object IndexQueries extends QueryRegistry {
       explicitPlanes = Some(planes)), half, emb)
   }
 
+  /** Incremental-maintenance twin for the LSH store: the data planes
+    * are frozen at build time, so the second half of the corpus arrives
+    * as a batch APPEND — one map-only signature pass, partition-local
+    * file adds into the bucket-partitioned store, zero touches of the
+    * existing rows; the append code path is the same frozen-matrix
+    * `Lsh.append` the seeded store uses. Returns (half, merged index). */
   private def lshAppendStore(s: SparkSession, dir: String): (Long, DataFrame) =
     SharedBuilds.of(s, dir, "lsh-append-store") {
       val (lsh, half, emb) = dataPlanesLsh(s, dir)
