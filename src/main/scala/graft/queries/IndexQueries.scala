@@ -142,14 +142,14 @@ object IndexQueries extends QueryRegistry {
     * 3 planes → 8 buckets: coarse enough that the blocked graph keeps
     * good edges near every node, fine enough that the blocked join is
     * Σ|bucket|², not n² — the knob tightens with corpus size. Serve
-    * beam ef=256: on the blocked graph the walk needs a wider frontier
-    * than the reference's ef=32 default — measured self-recall on the
-    * full corpus is 20/20 at ef=256 across sf0.001–0.1 (18/20 at
-    * ef=64 on sf0.1), and 256 distance evals per query is still
-    * trivial serve-time work. Package-visible so PlanSpec can pin that
-    * the built plan joins on the bucket key (no unblocked per-level
-    * self-join). */
-  private[graft] def declaredHnsw = new Hnsw(m = 16, ef = 256, seed = 42L)
+    * beam ef=1024: on the blocked graph the walk needs a wider frontier
+    * than the reference's ef=32 default — measured recall@10 vs brute
+    * force (hnsw_recall_audit) is 50/50 across sf0.001–0.1 at ef=1024
+    * (40/50 at ef=256 on sf0.1, the round-8 setting), and ~1k
+    * LRU-cached point reads per query is still trivial serve-time work.
+    * Package-visible so PlanSpec can pin that the built plan joins on
+    * the bucket key (no unblocked per-level self-join). */
+  private[graft] def declaredHnsw = new Hnsw(m = 16, ef = 1024, seed = 42L)
   private[graft] def hnswBuildPlan(s: SparkSession, dir: String): DataFrame =
     declaredHnsw.buildAdjacency(embeddings(s, dir),
       blocker = new Lsh(numPlanes = 3, seed = 42L))
@@ -172,7 +172,7 @@ object IndexQueries extends QueryRegistry {
     * driver-resident state is the two LRU caches, independent of n.
     * `Hnsw.collectAdjacency` remains as the tiny-corpus convenience
     * tier only. */
-  private def hnswServe(s: SparkSession, dir: String)
+  private[graft] def hnswServe(s: SparkSession, dir: String)
       : (Hnsw.CachingAdjacency, (Long, Int), Hnsw.CachingFetch) =
     SharedBuilds.of(s, dir, "hnsw-serve") {
       val adjacency = hnswAdjacency(s, dir)
@@ -538,6 +538,46 @@ object IndexQueries extends QueryRegistry {
       }
       import s.implicits._
       hits.toDF("query_id", "hit").orderBy(col("query_id"))
+    }),
+
+    // Serve-QUALITY audit: recall@10 of the paged walk (kwi neighbor
+    // pages + LRU, the production serving head) against the exact
+    // brute-force cosine top-10, per declared query. Self-recall rank-1
+    // only proves the query point survives its own walk; this measures
+    // whether the LSH-blocked graph actually retrieves the true
+    // neighborhood (the reference idiom of
+    // tests/integration_tests.rs:247-273, done at k=10). The walk isn't
+    // SQL-replayable (seeded planes + xxhash levels), so the oracle is
+    // the sketch-oracle pattern: the exact side (n_exact per query) is
+    // fully DuckDB-recomputed, the walk side is reduced to per-query hit
+    // counts pinned as must-be-true booleans — recall@10 ≥ 0.9 per
+    // query. Measured 10/10 on every query at sf0.001–0.1 with ef=1024
+    // (the bar leaves one-miss headroom); ef=256 scored 5/10 on one
+    // sf0.1 query, which is what drove the beam to 1024.
+    "hnsw_recall_audit" -> ((s, dir) => {
+      val hnsw = declaredHnsw
+      val (adj, entry, fetch) = hnswServe(s, dir)
+      val emb = embeddings(s, dir)
+      import s.implicits._
+      val walk = (0L until 5L).flatMap { qid =>
+        hnsw.serveQuery(adj, fetch, entry, fetch(qid).get, 10)
+          .map { case (id, _) => (qid, id) }
+      }.toDF("query_id", "vec_id")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val exact = Knn.topKPerQueryAgg(emb, qs, 10, Knn.Cosine)
+        .select(col("query_id"), col("vec_id"))
+      val exactN = exact.groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("long").as("n_exact"))
+      val hits = walk.join(exact, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      // left join on the SQL-replayable query set so an (impossible
+      // today, but audit-honest) zero-hit walk still emits its row
+      exactN.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          (coalesce(col("h"), lit(0L)).cast("double") /
+            col("n_exact").cast("double") >= 0.9).as("recall_ok"))
+        .orderBy(col("query_id"))
     }),
 
     // Graph-structure audit, oracle-checked (was rows-only until
@@ -1520,6 +1560,22 @@ object IndexQueries extends QueryRegistry {
     "hnsw_self_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(1 AS BIGINT) AS hit
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    // Exact side fully recomputed (n_exact = |brute-force cosine top-10|
+    // per query); the walk side is the Spark-measured boolean, pinned
+    // must-be-true (sketch-oracle pattern, same as pq_trained_recall's
+    // trained-side booleans).
+    "hnsw_recall_audit" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |ranked AS (
+         |  SELECT qs.query_id, e.vec_id,
+         |         row_number() OVER (PARTITION BY qs.query_id
+         |           ORDER BY round(${cosine("e.embedding", "qs.qe")}, 6) DESC, e.vec_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN qs)
+         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok
+         |FROM ranked WHERE rn <= 10
+         |GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     "dim_prefix_rerank" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

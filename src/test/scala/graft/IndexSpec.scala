@@ -153,8 +153,8 @@ class IndexSpec extends SparkSpec {
     // reference-parity invariant on the reference-shaped (unblocked)
     // graph at the reference's default ef=32; the blocked build's
     // self-recall is pinned by the LSH-blocked test below and by the
-    // declared hnsw_self_recall query (which widens to ef=256 — the
-    // blocked graph needs the wider frontier)
+    // declared hnsw_self_recall query (which widens to ef=1024 — the
+    // blocked graph needs the wider frontier; see hnsw_recall_audit)
     val adjacency = hnsw.buildAdjacencyUnblocked(small)
     val adj = hnsw.collectAdjacency(adjacency)
     val vecs = vecMap(small)
