@@ -78,7 +78,7 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
     vectors
       .select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    Lsh.writeDim(path, dim)
+    Lsh.writeDim(vectors.sparkSession.sparkContext.hadoopConfiguration, path, dim)
   }
 
   /** Incremental maintenance: bucket-assign a NEW batch against the
@@ -102,18 +102,33 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
     // with a different vector dimension would bucket-assign through a
     // different matrix and silently corrupt probe results for the
     // appended rows. Fast path: the `_dim` sidecar build() wrote — an
-    // O(1) local read, no partition-discovery pass over the store's
-    // files (append must stay O(batch)). Whenever the sidecar is
-    // absent or unreadable (legacy store, non-local filesystem, torn
-    // write), fall back to the FS-AGNOSTIC one-row Spark probe; only a
-    // genuinely missing store (probe raises path-not-found) bootstraps
-    // unguarded (first append = build).
-    val sidecarDim = Lsh.readDim(path)
+    // O(1) point read through the store's own FileSystem, no
+    // partition-discovery pass over the store's files (append must
+    // stay O(batch)). Whenever the sidecar is absent or unreadable
+    // (legacy store, torn write), fall back to the one-row Spark
+    // probe. Bootstrap classification is EXPLICIT (r8 advisory): a
+    // genuinely missing store directory bootstraps silently (first
+    // append = build); an existing-but-unreadable directory (e.g.
+    // pre-created empty by an orchestrator) also bootstraps, but says
+    // so — while any non-Analysis read failure (corrupt footer,
+    // permission) still aborts the append rather than guessing.
+    val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val sidecarDim = Lsh.readDim(hconf, path)
     val storeDim: Option[Int] = sidecarDim.orElse {
-      try batch.sparkSession.read.parquet(path)
+      val storeExists =
+        try { val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(hconf).exists(p) }
+        catch { case _: Exception => false }
+      if (!storeExists) None
+      else try batch.sparkSession.read.parquet(path)
         .select(size(col(vecCol))).limit(1).collect()
         .headOption.map(_.getInt(0))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"[graft] Lsh.append: store directory $path " +
+          "exists but holds no readable parquet; bootstrapping it with " +
+          s"this batch's dimension $dim")
+        None
+      }
     }
     storeDim.foreach(sd => require(dim == sd,
       s"Lsh.append: batch dimension $dim != index dimension $sd at $path"))
@@ -123,7 +138,7 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
     // bootstrap AND backfill: whenever the sidecar was missing, record
     // the (verified or bootstrapped) dimension so future appends take
     // the O(1) path
-    if (sidecarDim.isEmpty) Lsh.writeDim(path, storeDim.getOrElse(dim))
+    if (sidecarDim.isEmpty) Lsh.writeDim(hconf, path, storeDim.getOrElse(dim))
   }
 
   /** Compact a bucket-partitioned parquet index in place: every
@@ -219,32 +234,53 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
 }
 
 object Lsh {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  /** Resolve the store's OWN filesystem from its path scheme — local
+    * paths hit RawLocalFileSystem, `hdfs://`/`s3a://`/`file:` stores
+    * hit theirs, so every sidecar/compact operation below works
+    * wherever Spark itself can read the store (the r8 advisory:
+    * java.nio on the raw path string only ever worked locally). */
+  private def fsOf(conf: Configuration, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(conf), p)
+  }
+
   /** `_dim` sidecar inside the store directory (underscore-prefixed →
     * invisible to Spark's file listing): the store's embedding
-    * dimension, so append's mismatch guard is an O(1) read. Strictly a
-    * LOCAL-PATH optimization, and best-effort on both sides: the write
-    * stages to a temp name and renames (a torn sidecar is never
-    * visible), failures are swallowed (non-local store paths simply
-    * keep using the Spark probe), and an unparseable sidecar reads as
-    * absent rather than bricking every future append. */
-  private[graft] def writeDim(path: String, dim: Int): Unit =
+    * dimension, so append's mismatch guard is an O(1) read. Best-effort
+    * on both sides: the write stages to a temp name and renames (a
+    * torn sidecar is never visible; the delete-then-rename replace
+    * leaves at worst a brief ABSENT window, which just re-arms the
+    * Spark probe), failures are swallowed, and an unparseable sidecar
+    * reads as absent rather than bricking every future append. */
+  private[graft] def writeDim(conf: Configuration, path: String, dim: Int): Unit =
     try {
-      val p = java.nio.file.Paths.get(path, "_dim")
-      val tmp = java.nio.file.Paths.get(path, "._dim.tmp")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(tmp, dim.toString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val (fs, dirP) = fsOf(conf, path)
+      val p = new HPath(dirP, "_dim")
+      val tmp = new HPath(dirP, "._dim.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(dim.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
     } catch { case _: Exception => () }
 
-  private[graft] def readDim(path: String): Option[Int] =
+  private[graft] def readDim(conf: Configuration, path: String): Option[Int] =
     try {
-      val p = java.nio.file.Paths.get(path, "_dim")
-      if (java.nio.file.Files.exists(p))
-        scala.util.Try(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          .trim.toInt).toOption
-      else None
+      val (fs, dirP) = fsOf(conf, path)
+      val p = new HPath(dirP, "_dim")
+      if (!fs.exists(p)) None
+      else {
+        val len = fs.getFileStatus(p).getLen.toInt
+        if (len <= 0 || len > 64) None // a sane dim is a handful of digits
+        else {
+          val buf = new Array[Byte](len)
+          val in = fs.open(p)
+          try in.readFully(0, buf) finally in.close()
+          scala.util.Try(new String(buf, "UTF-8").trim.toInt).toOption
+        }
+      }
     } catch { case _: Exception => None }
 
   /** Object-level alias of the instance `compact` (compaction needs no
@@ -266,21 +302,28 @@ object Lsh {
     * a sibling when `path` itself holds a complete store. */
   private[graft] def compactPartitioned(spark: SparkSession, path: String,
       partCol: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = path + ".compacting"
-    val old = path + ".old"
+    // all staging/swap I/O goes through the store's OWN FileSystem
+    // (scheme-resolved), so compact works on every path Spark can
+    // read — local, file:, hdfs://, s3a:// — not just raw local
+    // strings. Renames are atomic on HDFS/local; on an object store
+    // without atomic rename the single-writer contract below is the
+    // only guarantee, same as every staged-rename layout job.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fs, store) = fsOf(conf, path)
+    val tmp = store.suffix(".compacting")
+    val old = store.suffix(".old")
     // recover a crashed swap: data moved out but never replaced
-    if (!Files.exists(Paths.get(path)) && Files.exists(Paths.get(old)))
-      Files.move(Paths.get(old), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    require(Files.exists(Paths.get(path)), s"no store at $path to compact")
-    graft.sources.CollectionManager.deleteRecursively(Paths.get(tmp))
-    graft.sources.CollectionManager.deleteRecursively(Paths.get(old))
+    if (!fs.exists(store) && fs.exists(old))
+      require(fs.rename(old, store), s"compact: crash recovery $old -> $store failed")
+    require(fs.exists(store), s"no store at $path to compact")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
     spark.read.parquet(path)
       .repartition(col(partCol))
-      .write.partitionBy(partCol).parquet(tmp)
-    readDim(path).foreach(d => writeDim(tmp, d)) // sidecar rides along
-    Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    graft.sources.CollectionManager.deleteRecursively(Paths.get(old))
+      .write.partitionBy(partCol).parquet(tmp.toString)
+    readDim(conf, path).foreach(d => writeDim(conf, tmp.toString, d)) // sidecar rides along
+    require(fs.rename(store, old), s"compact: stage-out $store -> $old failed")
+    require(fs.rename(tmp, store), s"compact: swap-in $tmp -> $store failed")
+    fs.delete(old, true)
   }
 }
