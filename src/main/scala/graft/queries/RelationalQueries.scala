@@ -492,6 +492,46 @@ object RelationalQueries extends QueryRegistry {
           sum(col("c_acctbal").cast(Dec)).cast("double").as("totacctbal"))
         .orderBy(col("n_name"))
     }),
+
+    // TPC-H Q21 proper: suppliers who kept finished orders waiting —
+    // this supplier's line shipped late while every OTHER supplier on
+    // the same (multi-supplier) order shipped on time. The testdata
+    // carries no l_commitdate/l_receiptdate, so "late" is expressed
+    // against the order itself: shipped >75 days after o_orderdate
+    // (kowari-era TESTDATA.md ships only the 11-column lineitem).
+    // Shape: EXISTS → left-semi, NOT EXISTS → left-anti, both over a
+    // lineitem self-join keyed on l_orderkey with the <> suppkey
+    // residual — at scale each shuffles only (orderkey, suppkey, late)
+    // triples, never the payload, and the nation⋈supplier probe side
+    // is broadcast BEFORE the self-joins so the semi/anti build sides
+    // stream against an already-nation-pruned l1.
+    "q21_suppliers_waiting" -> ((s, dir) => {
+      val flagged = lineitem(s, dir)
+        .join(orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 75 DAYS")).as("late"))
+      val natSupp = supplier(s, dir)
+        .join(broadcast(nation(s, dir).filter(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val l1 = flagged.filter(col("late"))
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      val others = flagged.select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey"), col("late").as("o2_late"))
+      l1
+        .join(others, col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(others.filter(col("o2_late")),
+          col("l_orderkey") === col("o2_orderkey") &&
+            col("l_suppkey") =!= col("o2_suppkey"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -799,5 +839,28 @@ object RelationalQueries extends QueryRegistry {
         |      (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin,
+
+    "q21_suppliers_waiting" ->
+      """WITH flagged AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |         (l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F')
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM flagged l1
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE l1.late
+        |  AND n.n_name = 'NATION_9'
+        |  AND EXISTS (SELECT 1 FROM flagged l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM flagged l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.late)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name ASC
+        |LIMIT 100""".stripMargin,
   )
 }

@@ -48,6 +48,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q21: exists/not-exists pair plans as semi+anti joins, dims broadcast") {
+    val p = plan("q21_suppliers_waiting")
+    // EXISTS → LeftSemi, NOT EXISTS → LeftAnti, each keyed on
+    // l_orderkey with the <> suppkey residual (never a cartesian)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // nation⋈supplier probe side is broadcast before the self-joins
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("point lookup: id equality is pushed down") {
     val p = plan("point_lookup")
     assert(p.contains("EqualTo(vec_id,42)"))
