@@ -284,10 +284,14 @@ object Multimodal {
     * de-interlaced (the four GIF passes), extensions are skipped
     * structurally (sub-block walk), and the variable-width LSB-first
     * LZW stream is fully decompressed with clear/end-code handling.
-    * None on anything structurally non-GIF: bad signature, missing
-    * color table, palette-overrun index, truncated or over-producing
-    * LZW data, dictionary overflow, or a frame that declares more
-    * pixels than the decoder's allocation guard allows. */
+    * A GIF89a graphic-control extension's transparency index IS
+    * honored: transparent pixels composite to the logical screen's
+    * declared background color (what a conformant viewer shows over
+    * the GIF's own canvas), or black when no global palette carries
+    * one. None on anything structurally non-GIF: bad signature,
+    * missing color table, palette-overrun index, truncated or
+    * over-producing LZW data, dictionary overflow, or a frame that
+    * declares more pixels than the decoder's allocation guard allows. */
   def decodeGif(p: Array[Byte]): Option[Array[Int]] = {
     if (p.length < 13) return None
     val hdr = new String(p, 0, 6, "US-ASCII")
@@ -295,6 +299,7 @@ object Multimodal {
     def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
     try {
       val packed = p(10) & 0xff
+      val bgIndex = p(11) & 0xff // logical-screen background color
       var pos = 13
       var globalPal: Array[Byte] = null
       if ((packed & 0x80) != 0) {
@@ -302,11 +307,17 @@ object Multimodal {
         globalPal = java.util.Arrays.copyOfRange(p, pos, pos + n)
         pos += n
       }
+      var transIndex = -1 // GCE transparency index for the NEXT image
       // walk blocks to the first image descriptor
       while (pos < p.length) {
         (p(pos) & 0xff) match {
           case 0x3b => return None // trailer before any image
           case 0x21 => // extension: label byte then sub-blocks
+            // graphic-control extension (0xF9): flags bit 0 arms the
+            // transparency index (data byte 3) for the following image
+            if ((p(pos + 1) & 0xff) == 0xf9 && (p(pos + 2) & 0xff) >= 4)
+              transIndex =
+                if ((p(pos + 3) & 1) != 0) p(pos + 6) & 0xff else -1
             pos += 2
             while ((p(pos) & 0xff) != 0) pos += 1 + (p(pos) & 0xff)
             pos += 1
@@ -336,8 +347,15 @@ object Multimodal {
             }
             val idx = lzwDecode(data.toByteArray, mcs, w * h)
               .getOrElse(return None)
-            // de-interlace + palette expand
+            // de-interlace + palette expand; transparent pixels show
+            // the logical screen's background color (black fallback)
             val nColors = pal.length / 3
+            val (bgR, bgG, bgB) =
+              if (globalPal != null && bgIndex < globalPal.length / 3)
+                (globalPal(3 * bgIndex) & 0xff,
+                  globalPal(3 * bgIndex + 1) & 0xff,
+                  globalPal(3 * bgIndex + 2) & 0xff)
+              else (0, 0, 0)
             val out = new Array[Int](w * h * 3)
             val rowOrder: Array[Int] =
               if (!interlaced) Array.tabulate(h)(identity)
@@ -351,9 +369,13 @@ object Multimodal {
                 val ci = idx(r * w + x)
                 if (ci >= nColors) return None // palette overrun
                 val o = (destY * w + x) * 3
-                out(o) = pal(3 * ci) & 0xff
-                out(o + 1) = pal(3 * ci + 1) & 0xff
-                out(o + 2) = pal(3 * ci + 2) & 0xff
+                if (ci == transIndex) {
+                  out(o) = bgR; out(o + 1) = bgG; out(o + 2) = bgB
+                } else {
+                  out(o) = pal(3 * ci) & 0xff
+                  out(o + 1) = pal(3 * ci + 1) & 0xff
+                  out(o + 2) = pal(3 * ci + 2) & 0xff
+                }
                 x += 1
               }
               r += 1

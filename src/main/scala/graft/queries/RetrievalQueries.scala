@@ -49,6 +49,16 @@ object RetrievalQueries extends QueryRegistry {
   private def bm25Scores(s: SparkSession, dir: String): DataFrame =
     SharedBuilds.of(s, dir, "bm25-scores")(bm25ScoresUncached(s, dir))
 
+  /** idf literals the LAST bm25 scoring computed, captured so the
+    * oracle SQL can interpolate the exact same doubles instead of
+    * recomputing ln() in DuckDB (r8 advisory: rint-vs-round tie rules
+    * differ AND a 1-ulp libm divergence near a 6th-decimal boundary
+    * could flip the rounded value — a literal cannot diverge). Safe as
+    * a plain var: Verify runs every query before dumping oracleSql in
+    * the same JVM, and the value is a pure function of (corpus, Terms)
+    * so any interleaving writes the same map. */
+  @volatile private var capturedIdf: Option[Map[String, Double]] = None
+
   private def bm25ScoresUncached(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -61,10 +71,15 @@ object RetrievalQueries extends QueryRegistry {
       .collect()(0) // 1-row head: N, Σlen, |Terms| df counts
     val n = row.getAs[Long]("n")
     val avglen = row.getAs[Double]("sl") / n
-    val score: Column = Terms.map { t =>
+    // idf pre-rounded to 6 decimals, shared with the oracle as a
+    // verbatim literal via capturedIdf
+    val idfs = Terms.map { t =>
       val df = row.getAs[Long](s"df_$t")
-      // idf pre-rounded to 6 decimals (shared with the oracle)
-      val idf = math.rint(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6) / 1e6
+      t -> math.rint(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6) / 1e6
+    }.toMap
+    capturedIdf = Some(idfs)
+    val score: Column = Terms.map { t =>
+      val idf = idfs(t)
       val tf = size(filter(col("toks"), x => x === t)).cast("double")
       (lit(idf) * (tf * lit(K1Plus1.toDouble))) /
         (tf + lit(K1.toDouble) *
@@ -73,11 +88,23 @@ object RetrievalQueries extends QueryRegistry {
     docs.select(col("doc_id"), (round(score, 6) + 0.0).as("bm25"))
   }
 
-  /** The same scoring as a DuckDB SQL query (shared literals/shape). */
+  /** The same scoring as a DuckDB SQL query (shared literals/shape).
+    * The idf factor is interpolated as the EXACT rounded literal the
+    * Spark side computed (capturedIdf — Verify runs every query before
+    * dumping oracleSql, so it is always set by then); recomputing
+    * ln() in DuckDB risked rint-vs-round tie rules and 1-ulp libm
+    * divergence flipping the 6th decimal. Fallback (oracle requested
+    * before any scoring ran) keeps the in-engine ln() twin. */
   private def bm25Sql: String = {
     import graft.queries.TextQueries.{F => TF}
+    def idfSql(t: String): String = capturedIdf match {
+      case Some(m) => "CAST(" + String.format(java.util.Locale.ROOT,
+        "%.6f", Double.box(m(t))) + " AS DOUBLE)" // locale-pinned dot
+      case None =>
+        s"round(ln(1 + (CAST(n.n AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5)), 6)"
+    }
     val contrib = Terms.map { t =>
-      s"""(round(ln(1 + (CAST(n.n AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5)), 6)
+      s"""(${idfSql(t)}
          | * (tf_$t * CAST($K1Plus1 AS DOUBLE)))
          | / (tf_$t + CAST($K1 AS DOUBLE)
          |    * (CAST($OneMinusB AS DOUBLE) + (CAST($B AS DOUBLE) * dlen) / n.avglen))"""

@@ -168,6 +168,8 @@ object StreamQueries extends QueryRegistry {
       val ev = events(s, dir).select(col("event_id"), col("ts"),
         col("user_id"), col("event_type"), col("value"))
       val cnt = ev.count()
+      require(cnt > 0, s"sessionsReplaySink: empty events table at $dir" +
+        " — the two-batch replay needs at least one event to split on")
       // boundary = the (n/2)-th smallest event time; ties land in the
       // first file, so batch order equals global (ts, event_id) order
       val boundary = ev.select(unix_millis(col("ts")).as("ms"))
@@ -182,7 +184,11 @@ object StreamQueries extends QueryRegistry {
         val dest = java.nio.file.Paths.get(in, s"$name.parquet")
         java.nio.file.Files.move(part.toPath, dest,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dest.toFile.setLastModified(mtime)
+        // maxFilesPerTrigger orders batches by mtime — a refused mtime
+        // (setLastModified returns false on some filesystems) would
+        // silently reorder the two micro-batches and change the replay
+        require(dest.toFile.setLastModified(mtime),
+          s"sessionsReplaySink: filesystem refused mtime on $dest")
         rmrf(tmp)
       }
       writeOne(ev.filter(unix_millis(col("ts")) <= boundary), "00-first", 1700000000000L)

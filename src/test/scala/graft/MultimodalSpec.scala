@@ -440,6 +440,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(gif).toSeq === want)
   }
 
+  test("gif codec: GIF89a GCE transparency composites to the screen background") {
+    val (w, h) = (4, 3)
+    val gray = Array.tabulate(w * h)(i => (i * 20 + 10).toByte) // 10,30,…,230
+    val base = Multimodal.encodeGifGray(w, h, gray)
+    // splice: GIF89a signature, background index 200 (gray 200), and a
+    // graphic-control extension ahead of the image descriptor at 13+768
+    def withGce(flags: Int, transIdx: Int, bgIdx: Int): Array[Byte] = {
+      val b = base.clone()
+      b(4) = '9'.toByte // GIF87a -> GIF89a
+      b(11) = bgIdx.toByte
+      val imgDesc = 13 + 768
+      val gce = Array(0x21, 0xf9, 0x04, flags, 0, 0, transIdx, 0x00).map(_.toByte)
+      b.take(imgDesc) ++ gce ++ b.drop(imgDesc)
+    }
+    // transparency armed on the pixel holding gray 50 → background 200
+    val trans = Multimodal.decodeGif(withGce(flags = 1, transIdx = 50, bgIdx = 200)).get
+    for (i <- 0 until w * h; c <- 0 until 3) {
+      val g = gray(i) & 0xff
+      assert(trans(3 * i + c) === (if (g == 50) 200 else g), s"px $i ch $c")
+    }
+    // GCE present but transparency bit OFF → index 50 decodes as itself
+    val opaque = Multimodal.decodeGif(withGce(flags = 0, transIdx = 50, bgIdx = 200)).get
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert(opaque(3 * i + c) === (gray(i) & 0xff))
+  }
+
   test("gif codec: decodes a JDK-written GIF bit-exactly (lossless cross-check)") {
     val (w, h) = (16, 11)
     val img = new java.awt.image.BufferedImage(w, h,
