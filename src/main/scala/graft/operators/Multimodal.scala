@@ -672,6 +672,39 @@ object Multimodal {
     bins
   }
 
+  /** Audio spectral features: per-band energies of an 8-point
+    * Walsh–Hadamard transform over fixed non-overlapping 8-sample
+    * windows (trailing partial window dropped). The WHT is the
+    * integer-exact spectral surrogate for a DFT — coefficients are
+    * ±1-weighted sums (sign = parity of popcount(k AND i), the
+    * natural-order Hadamard matrix), so band energies are EXACT Longs
+    * both here and in a SQL replay, where a real-valued FFT would
+    * drag cos/sin 1-ulp divergence into every oracle compare. Band 0
+    * is the DC/loudness band; higher k responds to faster sign
+    * alternation (sequency). Parseval holds exactly:
+    * Σ_k energy_k = 8 · Σ_i s_i² per window. */
+  def whtBandEnergies(samples: Array[Int], bands: Int = 8): Array[Long] = {
+    require(bands > 0 && (bands & (bands - 1)) == 0, s"bands must be a power of 2: $bands")
+    val out = new Array[Long](bands)
+    var w = 0
+    while (w + bands <= samples.length) {
+      var k = 0
+      while (k < bands) {
+        var c = 0L
+        var i = 0
+        while (i < bands) {
+          c += (if (java.lang.Integer.bitCount(k & i) % 2 == 0) 1 else -1) *
+            samples(w + i)
+          i += 1
+        }
+        out(k) += c * c
+        k += 1
+      }
+      w += bands
+    }
+    out
+  }
+
   case class MediaFeatures(
       media_id: Long,
       kind: String,

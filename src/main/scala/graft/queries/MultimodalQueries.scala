@@ -177,6 +177,35 @@ object MultimodalQueries extends QueryRegistry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio decode → spectral features end-to-end, and BIT-EXACT:
+    // each ascii head becomes a genuine 8-bit PCM WAV (RIFF header,
+    // fmt + data chunks) that the pipeline parses back (decodeWav, not
+    // the stub), then 8-band Walsh–Hadamard energies over fixed
+    // 8-sample windows — the integer-exact spectral transform, so the
+    // oracle replays every band from the text characters with no
+    // tolerance booleans (a cos/sin DFT would 1-ulp-diverge; the WHT
+    // is ±1 sums). total_energy doubles as a Parseval cross-check:
+    // the oracle computes it INDEPENDENTLY as 8·Σs² while Spark sums
+    // its 8 transform-domain bands — they can only hash-match if the
+    // whole decode→transform chain is exactly right.
+    "media_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+        .filter(col("doc_id") < 40 && length(col("text")) >= 64)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
+        .filter(octet_length(col("head")) === 64)
+        .as[(Long, String)]
+      docs.map { case (id, txt) =>
+        val wav = Multimodal.encodeWavPcm8(txt.getBytes("UTF-8"))
+        val samples = Multimodal.decodeWav(wav).getOrElse(Array.empty[Int])
+        val b = Multimodal.whtBandEnergies(samples)
+        (id, samples.length.toLong, b.sum,
+          b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7))
+      }.toDF("media_id", "n_samples", "total_energy",
+        "band0", "band1", "band2", "band3", "band4", "band5", "band6", "band7")
+        .orderBy(col("media_id"))
+    }),
+
     // resize pass: payload subsampling + metadata update
     "media_resize_audit" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(
@@ -285,6 +314,31 @@ object MultimodalQueries extends QueryRegistry {
         |WHERE doc_id < 40 AND length(text) >= 64
         |  AND strlen(substr(text, 1, 64)) = 64
         |ORDER BY media_id""".stripMargin,
+
+    // WHT band energies replayed exactly from the text: coefficient
+    // sign for (band k, tap i) is the parity of popcount(k AND i) —
+    // baked into the generated ± tap patterns below; total_energy is
+    // the INDEPENDENT Parseval twin 8·Σs²
+    "media_audio_features" -> {
+      val bandExprs = (0 until 8).map { k =>
+        val coef = (0 until 8).map { i =>
+          val sgn = if (java.lang.Integer.bitCount(k & i) % 2 == 0) "+" else "-"
+          s"$sgn bytes[8*w + ${i + 1}]"
+        }.mkString(" ").stripPrefix("+ ")
+        s"""CAST(list_sum(list_transform(generate_series(0, 7),
+           |         w -> ($coef) * ($coef))) AS BIGINT) AS band$k""".stripMargin
+      }.mkString(",\n       ")
+      s"""WITH t AS (SELECT doc_id AS media_id, substr(text, 1, 64) AS s
+        |           FROM documents WHERE doc_id < 40 AND length(text) >= 64
+        |             AND strlen(substr(text, 1, 64)) = 64),
+        |b AS (SELECT media_id,
+        |             list_transform(generate_series(1, 64), i -> ascii(s[i])) AS bytes
+        |      FROM t)
+        |SELECT media_id, CAST(64 AS BIGINT) AS n_samples,
+        |       CAST(8 * list_sum(list_transform(bytes, x -> x * x)) AS BIGINT) AS total_energy,
+        |       $bandExprs
+        |FROM b ORDER BY media_id""".stripMargin
+    },
 
     "media_resize_audit" ->
       """SELECT doc_id AS media_id,

@@ -440,6 +440,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(gif).toSeq === want)
   }
 
+  test("wht band energies: Parseval, DC purity, and wav round-trip") {
+    val rnd = new scala.util.Random(7)
+    val samples = Array.fill(64)(rnd.nextInt(256))
+    val bands = Multimodal.whtBandEnergies(samples)
+    // Parseval per 8-window: Σ_k energy_k = 8 · Σ_i s_i²
+    assert(bands.sum === 8L * samples.map(s => s.toLong * s).sum)
+    // a constant signal is pure DC: all energy in band 0
+    val dc = Multimodal.whtBandEnergies(Array.fill(16)(100))
+    assert(dc(0) === 2L * (800L * 800L) && dc.drop(1).forall(_ == 0L))
+    // 200,0,200,0,… = DC 100 + 100·(−1)^i: energy splits exactly
+    // between band 0 and band 1 (sign of band 1 is (−1)^bit0(i))
+    val alt = Array.tabulate(8)(i => if (i % 2 == 0) 200 else 0)
+    val ab = Multimodal.whtBandEnergies(alt)
+    assert(ab(0) === 640000L && ab(1) === 640000L)
+    assert(ab.drop(2).forall(_ == 0L))
+    // trailing partial window dropped
+    assert(Multimodal.whtBandEnergies(samples.take(12)).sum ===
+      8L * samples.take(8).map(s => s.toLong * s).sum)
+    // decode(encodeWavPcm8) is the identity on 0..255 samples
+    val pcm = samples.map(_.toByte)
+    assert(Multimodal.decodeWav(Multimodal.encodeWavPcm8(pcm)).get.toSeq
+      === samples.toSeq)
+  }
+
   test("gif codec: GIF89a GCE transparency composites to the screen background") {
     val (w, h) = (4, 3)
     val gray = Array.tabulate(w * h)(i => (i * 20 + 10).toByte) // 10,30,…,230
