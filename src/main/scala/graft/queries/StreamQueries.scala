@@ -42,6 +42,10 @@ import graft.streaming.{DedupStream, EventStreams}
   *   - `stream_click_attr_replay`: a bounded inner stream-stream join
   *     emits exactly the batch join's pair set (watermarks only bound
   *     state, never filter an in-bound match).
+  *   - `stream_exact_dedup_replay`: three mtime-ordered micro-batches;
+  *     per-batch winners are earliest-event rows (sorted single-file
+  *     batches), and state eviction is deterministic end-of-batch
+  *     watermark math — see exactDedupReplaySink.
   */
 object StreamQueries extends QueryRegistry {
   import Tables._
@@ -150,6 +154,27 @@ object StreamQueries extends QueryRegistry {
       sink
     }
 
+  /** Write `df` as the single parquet file `<inDir>/<name>.parquet`
+    * with a pinned mtime — the unit of one micro-batch under
+    * AvailableNow + maxFilesPerTrigger=1, which orders batches by
+    * mtime. A refused mtime (setLastModified returns false on some
+    * filesystems) would silently reorder the batches and change the
+    * replay, so it is asserted, not ignored. */
+  private def writeMtimed(dir: String, inDir: String, name: String,
+      df: DataFrame, mtime: Long): Unit = {
+    val tmp = buildPath(dir, s"stream-tmp-$name")
+    rmrf(tmp)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = java.nio.file.Paths.get(inDir, s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    require(dest.toFile.setLastModified(mtime),
+      s"writeMtimed: filesystem refused mtime on $dest")
+    rmrf(tmp)
+  }
+
   /** Run the stateful sessionizer to completion over the event stream,
     * split into two ts-ranged, mtime-ordered files so AvailableNow +
     * maxFilesPerTrigger=1 drives TWO micro-batches — per-user state
@@ -175,24 +200,10 @@ object StreamQueries extends QueryRegistry {
       val boundary = ev.select(unix_millis(col("ts")).as("ms"))
         .orderBy(col("ms")).limit((cnt / 2).toInt.max(1))
         .agg(max(col("ms"))).collect()(0).getLong(0)
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = buildPath(dir, s"stream-ev-tmp-$name")
-        rmrf(tmp)
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dest = java.nio.file.Paths.get(in, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dest,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // maxFilesPerTrigger orders batches by mtime — a refused mtime
-        // (setLastModified returns false on some filesystems) would
-        // silently reorder the two micro-batches and change the replay
-        require(dest.toFile.setLastModified(mtime),
-          s"sessionsReplaySink: filesystem refused mtime on $dest")
-        rmrf(tmp)
-      }
-      writeOne(ev.filter(unix_millis(col("ts")) <= boundary), "00-first", 1700000000000L)
-      writeOne(ev.filter(unix_millis(col("ts")) > boundary), "01-second", 1700000100000L)
+      writeMtimed(dir, in, "00-first",
+        ev.filter(unix_millis(col("ts")) <= boundary), 1700000000000L)
+      writeMtimed(dir, in, "01-second",
+        ev.filter(unix_millis(col("ts")) > boundary), 1700000100000L)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
       val q = EventStreams.sessionize(stream.as[EventStreams.EventIn])
@@ -202,6 +213,89 @@ object StreamQueries extends QueryRegistry {
           batch.write.mode("append").parquet(sink); ()
         }
         .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sink
+    }
+
+  /** Exact-dedup horizon delay: 2415 s = 40.25 min. Deliberately NOT a
+    * whole number of minutes: every synthetic event time below is
+    * minute-aligned, so neither the state-expiry comparison
+    * (first_ts + delay vs watermark) nor the late-row comparison can
+    * ever land on exact equality — the replay is insensitive to
+    * Spark's choice of strict-vs-inclusive at both boundaries. */
+  private val XdDelaySec = 2415L
+
+  /** Run the streaming exact dedup (dropDuplicatesWithinWatermark on
+    * the 60-bit content hash) across THREE mtime-ordered micro-batches.
+    * Three batches because Spark evicts expired dedup state at the END
+    * of a micro-batch (after processing its rows, using that batch's
+    * watermark): an entry whose horizon lapsed during batch 2 is only
+    * gone when batch 3 runs — observed empirically against 4.1 and
+    * encoded identically in the oracle. Input = documents plus
+    * injected duplicate rows (the exact_dedup_keep convention,
+    * doc_id + 10000) at synthetic minute-per-doc event times, three
+    * cohorts by timing (sf0.01 geometry — batch splits at the 1/3 and
+    * 2/3 event-time order statistics land at ≈165/≈357 min):
+    *   - originals 40..64 + dupes 30 min later: both land in batch 1
+    *     → the duplicate hits live state and is DROPPED in-batch;
+    *   - originals 0..24 + dupes 400 min later (batch 3): the
+    *     original's entry expires at END of batch 2 (its ts + delay <
+    *     b1max − delay, the batch-2 watermark), so the batch-3
+    *     duplicate is RE-EMITTED — the horizon doing exactly what it
+    *     promises (at-least-once outside the window);
+    *   - originals 100..124 + dupes 310 min later (batch 3): the
+    *     entry is still inside the horizon when batch 2 commits, so
+    *     the duplicate is DROPPED ACROSS two batch boundaries (state
+    *     genuinely persisted and genuinely not over-evicted).
+    * Batch files are single sorted parquet (repartition(1) +
+    * sortWithinPartitions), so arrival order per hash is event-time
+    * order and the within-batch winner is deterministically the
+    * earliest row. Returns the parquet sink path. */
+  private def exactDedupReplaySink(s: SparkSession, dir: String): String =
+    SharedBuilds.of(s, dir, "stream-exact-dedup-replay") {
+      val in = buildPath(dir, "stream-xd-in")
+      val sink = buildPath(dir, "stream-xd-sink")
+      val ckpt = buildPath(dir, "stream-xd-ckpt")
+      rmrf(in, sink, ckpt)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      def cohort(lo: Long, hi: Long, offMin: Long): DataFrame =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select((col("doc_id") + 10000L).as("doc_id"),
+            (col("doc_id") + offMin).as("minute"), col("text"))
+      val all = docs
+        .select(col("doc_id"), col("doc_id").as("minute"), col("text"))
+        .unionByName(cohort(0, 25, 400))
+        .unionByName(cohort(40, 65, 30))
+        .unionByName(cohort(100, 125, 310))
+        .select(col("doc_id"),
+          timestamp_micros((lit(DocTsBase) + col("minute") * 60L) * 1000000L)
+            .as("ts"),
+          col("text"))
+      val cnt = all.count()
+      require(cnt > 0, s"exactDedupReplaySink: empty documents table at $dir")
+      def kthMs(k: Long): Long = all.select(unix_millis(col("ts")).as("ms"))
+        .orderBy(col("ms")).limit(k.toInt.max(1))
+        .agg(max(col("ms"))).collect()(0).getLong(0)
+      val q1 = kthMs(cnt / 3)
+      val q2 = kthMs(2 * cnt / 3)
+      def sorted(df: DataFrame): DataFrame =
+        df.repartition(1).sortWithinPartitions(col("ts"), col("doc_id"))
+      val ms = unix_millis(col("ts"))
+      writeMtimed(dir, in, "00-first",
+        sorted(all.filter(ms <= q1)), 1700000000000L)
+      writeMtimed(dir, in, "01-second",
+        sorted(all.filter(ms > q1 && ms <= q2)), 1700000100000L)
+      writeMtimed(dir, in, "02-third",
+        sorted(all.filter(ms > q2)), 1700000200000L)
+      val stream = s.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = DedupStream.dropExactDuplicates(stream, s"$XdDelaySec seconds")
+        .select(col("doc_id"), col("ts"), col("content_hash"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       sink
@@ -298,6 +392,23 @@ object StreamQueries extends QueryRegistry {
       val sink = decontamReplaySink(s, dir)
       s.read.parquet(sink).orderBy(col("doc_id"))
     }),
+
+    // streaming exact dedup (dropDuplicatesWithinWatermark), replayed
+    // across three micro-batches and reduced per content hash: how
+    // many times the hash was emitted (1 = deduped or unique, 2 =
+    // horizon-expiry re-emission) and which rows won. The DuckDB twin
+    // replays first-arrival-wins within the watermark horizon from
+    // scratch: same batch splits, same winner rule (earliest event
+    // per hash per batch), same end-of-batch state-expiry rule.
+    "stream_exact_dedup_replay" -> ((s, dir) => {
+      val sink = exactDedupReplaySink(s, dir)
+      s.read.parquet(sink)
+        .groupBy(col("content_hash").as("ch"))
+        .agg(count(lit(1)).as("n_emits"),
+          min_by(col("doc_id"), col("ts")).as("first_doc"),
+          max_by(col("doc_id"), col("ts")).as("last_doc"))
+        .orderBy(col("ch"))
+    }),
   )
 
   // the shared minhash signature/band CTE prefix (same fragments as
@@ -373,5 +484,43 @@ object StreamQueries extends QueryRegistry {
       s"""${TextQueries.bloomScreenCtes}
          |SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM cand)) AS maybe_contaminated
          |FROM documents d WHERE d.doc_id >= 10 ORDER BY doc_id""".stripMargin,
+
+    // first-arrival-wins within the watermark horizon, replayed from
+    // scratch: rebuild the injected-duplicate input at relative minute
+    // timestamps (boundary and expiry math are shift-invariant), split
+    // at the same 1/3 and 2/3 event-time order statistics, emit the
+    // earliest row per hash per batch, drop any later arrival whose
+    // hash is in state, and evict state only at END of batch (Spark's
+    // observed semantics): a batch-1 entry is gone for batch 3 iff
+    // first_ts + delay < b1max − delay (the watermark current while
+    // batch 2 ran). delay = 2415 s, off minute-grid, so no comparison
+    // can tie (see XdDelaySec).
+    "stream_exact_dedup_replay" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |base AS (
+         |  SELECT doc_id, doc_id AS minute, text FROM docs
+         |  UNION ALL SELECT doc_id + 10000, doc_id + 400, text FROM docs WHERE doc_id < 25
+         |  UNION ALL SELECT doc_id + 10000, doc_id + 30, text FROM docs WHERE doc_id >= 40 AND doc_id < 65
+         |  UNION ALL SELECT doc_id + 10000, doc_id + 310, text FROM docs WHERE doc_id >= 100 AND doc_id < 125),
+         |r AS (SELECT doc_id, minute * 60000 AS ms, ${F.md5L("text")} AS ch FROM base),
+         |bnd AS (SELECT
+         |    (SELECT max(ms) FROM (SELECT ms FROM r ORDER BY ms LIMIT (SELECT count(*) // 3 FROM r))) AS q1,
+         |    (SELECT max(ms) FROM (SELECT ms FROM r ORDER BY ms LIMIT (SELECT 2 * count(*) // 3 FROM r))) AS q2),
+         |b1 AS (SELECT r.* FROM r, bnd WHERE ms <= q1),
+         |b2 AS (SELECT r.* FROM r, bnd WHERE ms > q1 AND ms <= q2),
+         |b3 AS (SELECT r.* FROM r, bnd WHERE ms > q2),
+         |w1 AS (SELECT ch, min_by(doc_id, ms) AS doc_id, min(ms) AS ms FROM b1 GROUP BY ch),
+         |w2 AS (SELECT ch, min_by(doc_id, ms) AS doc_id, min(ms) AS ms FROM b2 GROUP BY ch
+         |       HAVING ch NOT IN (SELECT ch FROM w1)),
+         |wmb2 AS (SELECT max(ms) - ${XdDelaySec * 1000} AS wm FROM b1),
+         |surv AS (SELECT w1.ch FROM w1, wmb2 WHERE w1.ms + ${XdDelaySec * 1000} >= wmb2.wm
+         |         UNION ALL SELECT ch FROM w2),
+         |w3 AS (SELECT ch, min_by(doc_id, ms) AS doc_id, min(ms) AS ms FROM b3 GROUP BY ch
+         |       HAVING ch NOT IN (SELECT ch FROM surv)),
+         |e AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
+         |SELECT ch, CAST(count(*) AS BIGINT) AS n_emits,
+         |       CAST(min_by(doc_id, ms) AS BIGINT) AS first_doc,
+         |       CAST(max_by(doc_id, ms) AS BIGINT) AS last_doc
+         |FROM e GROUP BY ch ORDER BY ch""".stripMargin,
   )
 }

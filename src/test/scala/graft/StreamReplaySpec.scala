@@ -159,6 +159,67 @@ class StreamReplaySpec extends SparkSpec {
     assert(resumedHashes.toSet === oneShot)
   }
 
+  test("stream_exact_dedup_replay equals the batch horizon twin, all cohorts live") {
+    val res = SparkEntry.queries("stream_exact_dedup_replay")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(res.nonEmpty)
+
+    // batch twin of first-arrival-wins with end-of-batch eviction:
+    // same injected cohorts, same 1/3–2/3 splits, same horizon rule
+    // (keep the cohort geometry in sync with exactDedupReplaySink)
+    val delayMs = 2415L * 1000
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def cohort(lo: Long, hi: Long, off: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          (col("doc_id") + off).as("minute"), col("text"))
+    val all = docs.select(col("doc_id"), col("doc_id").as("minute"), col("text"))
+      .unionByName(cohort(0, 25, 400))
+      .unionByName(cohort(40, 65, 30))
+      .unionByName(cohort(100, 125, 310))
+      .select(col("doc_id"), (col("minute") * 60000L).as("ms"),
+        TextOps.md5Long(col("text")).as("ch"))
+    val cnt = all.count()
+    def kth(k: Long): Long = all.orderBy(col("ms")).limit(k.toInt.max(1))
+      .agg(max(col("ms"))).collect()(0).getLong(0)
+    val (q1, q2) = (kth(cnt / 3), kth(2 * cnt / 3))
+    def winners(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("ch")).agg(min_by(col("doc_id"), col("ms")).as("doc_id"),
+        min(col("ms")).as("ms"))
+    val b1 = all.filter(col("ms") <= q1)
+    val w1 = winners(b1)
+    val w2 = winners(all.filter(col("ms") > q1 && col("ms") <= q2))
+      .join(w1.select(col("ch")), Seq("ch"), "left_anti")
+    val wmB2 = b1.agg(max(col("ms"))).collect()(0).getLong(0) - delayMs
+    val surv = w1.filter(col("ms") + delayMs >= wmB2).select(col("ch"))
+      .unionByName(w2.select(col("ch")))
+    val w3 = winners(all.filter(col("ms") > q2))
+      .join(surv, Seq("ch"), "left_anti")
+    val batch = w1.unionByName(w2).unionByName(w3)
+      .groupBy(col("ch"))
+      .agg(count(lit(1)).as("n_emits"),
+        min_by(col("doc_id"), col("ms")).as("first_doc"),
+        max_by(col("doc_id"), col("ms")).as("last_doc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(res === batch)
+
+    // all three cohorts actually exercised at this scale: horizon
+    // re-emissions exist (A), and every emitted hash count is 1 or 2
+    val reEmitted = res.values.count(_._1 == 2L)
+    assert(reEmitted > 0, "vacuous: no horizon-expiry re-emission")
+    assert(res.values.forall(v => v._1 == 1L || v._1 == 2L))
+    // suppressed-across-batches (B) and dropped-in-batch (C) cohorts:
+    // their duplicates exist in the input but never reached the sink
+    val chOf = all.select(col("doc_id"), col("ch")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L until 125L).foreach { id =>
+      assert(res(chOf(id)) === ((1L, id, id)), s"B-cohort dupe of $id leaked")
+    }
+    (40L until 65L).foreach { id =>
+      assert(res(chOf(id)) === ((1L, id, id)), s"C-cohort dupe of $id leaked")
+    }
+  }
+
   test("stream_decontam_replay has no false negatives vs the exact overlap join") {
     val flags = SparkEntry.queries("stream_decontam_replay")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
