@@ -244,6 +244,16 @@ class KwiScanBuilder(path: String)
   }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** Pushdown contract: `id = literal` and `id IN (literal, …)` are
+    * accepted and answered entirely by offset-table point reads (the
+    * IN list must already be literal values — Spark only ever offers
+    * subquery-free, folded lists here; an IN over a subquery plans as
+    * a join and never reaches pushFilters). EVERYTHING else is
+    * declined back to Spark by returning it in the residual: non-id
+    * columns (no index), ranges/prefixes (the offset table is an
+    * exact-match hash, not ordered), IsNotNull (vacuous on the
+    * non-null id), and any non-String id literal (schema says the
+    * comparison can't match, but that's Spark's call to make). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition {
       case EqualTo("id", _: String) => true
@@ -318,7 +328,12 @@ class KwiReaderFactory(required: StructType,
         override def close(): Unit = rdr.close()
       }
       case None => new PartitionReader[InternalRow] {
-        private val it = KwiFormat.readRecords(Paths.get(file))
+        // column pruning reaches the byte level: an embedding-free
+        // projection byte-skips every record's dim·4 payload, a
+        // metadata-free one skips the metadata bytes
+        private val it = KwiFormat.readRecords(Paths.get(file),
+          needEmbedding = required.fieldNames.contains("embedding"),
+          needMetadata = required.fieldNames.contains("metadata"))
         private var cur: (String, Array[Float], Option[String]) = _
         override def next(): Boolean =
           if (it.hasNext) { cur = it.next(); true } else false

@@ -223,9 +223,27 @@ object KwiFormat {
     def tombstone: Boolean = data == null
   }
 
+  /** Non-null stand-in for a byte-skipped float payload. */
+  private val SkippedFloats = Array.empty[Float]
+
+  /** Diagnostic counter: how many records had their float payload
+    * actually DECODED (not byte-skipped). Only ever incremented in
+    * RawIterator's decode branch, so a column-pruned scan that claims
+    * to skip embedding bytes can be held to it in tests
+    * (KwiDataSourceSpec) — the counter not moving IS the proof that
+    * id-only projections never touch float bytes. Process-global and
+    * monotone; tests compare deltas. */
+  private[graft] val floatDecodes = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** EOF-driven iterator over physical records incl. tombstone markers.
-    * Callers that stop early must close() or the handle leaks. */
-  private final class RawIterator(p: Path)
+    * Callers that stop early must close() or the handle leaks. With
+    * `decodeFloats = false` the dim·4 payload bytes are SKIPPED, not
+    * parsed (`data` comes back as a shared empty array, still non-null
+    * so tombstone detection is unaffected); `decodeMeta = false` skips
+    * the metadata bytes the same way — the read paths for column-pruned
+    * scans and the tombstone pre-scan. */
+  private final class RawIterator(p: Path, decodeFloats: Boolean = true,
+      decodeMeta: Boolean = true)
       extends Iterator[Raw] with AutoCloseable {
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(p.toFile)))
@@ -247,15 +265,21 @@ object KwiFormat {
         val dim = readIntLE(in)
         if (dim == TombstoneLen) Raw(id, null, None)
         else {
-          val data = new Array[Float](dim)
-          val buf = new Array[Byte](dim * 4)
-          in.readFully(buf)
-          val fb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-          var i = 0
-          while (i < dim) { data(i) = fb.getFloat(); i += 1 }
-          val metaBytes = readLenPrefixed(in)
-          Raw(id, data,
-            if (metaBytes.isEmpty) None else Some(new String(metaBytes, "UTF-8")))
+          val data = if (decodeFloats) {
+            floatDecodes.incrementAndGet()
+            val d = new Array[Float](dim)
+            val buf = new Array[Byte](dim * 4)
+            in.readFully(buf)
+            val fb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < dim) { d(i) = fb.getFloat(); i += 1 }
+            d
+          } else { in.skipNBytes(dim.toLong * 4); SkippedFloats }
+          val meta = if (decodeMeta) {
+            val metaBytes = readLenPrefixed(in)
+            if (metaBytes.isEmpty) None else Some(new String(metaBytes, "UTF-8"))
+          } else { in.skipNBytes(readIntLE(in).toLong); None }
+          Raw(id, data, meta)
         }
       } catch {
         // a torn trailing record (crash mid-append — append() writes in
@@ -289,17 +313,20 @@ object KwiFormat {
     * occurrences are exactly the dead ones). Callers that stop early
     * (limit pushdown, task kill) must call `close()` or the file handle
     * leaks — the DSv2 PartitionReader wires this into its own close(). */
-  final class RecordIterator(p: Path)
+  final class RecordIterator(p: Path, needEmbedding: Boolean = true,
+      needMetadata: Boolean = true)
       extends Iterator[(String, Array[Float], Option[String])]
       with AutoCloseable {
     private val tombs = scala.collection.mutable.Map.empty[String, Int]
     locally {
-      val scan = new RawIterator(p)
+      // tombstone pre-scan never needs payload or metadata: skip both
+      val scan = new RawIterator(p, decodeFloats = false, decodeMeta = false)
       try scan.foreach(r =>
         if (r.tombstone) tombs(r.id) = tombs.getOrElse(r.id, 0) + 1)
       finally scan.close()
     }
-    private val raw = new RawIterator(p)
+    private val raw = new RawIterator(p, decodeFloats = needEmbedding,
+      decodeMeta = needMetadata)
     private var pending: Raw = _
     def close(): Unit = raw.close()
     private def advance(): Unit =
@@ -320,6 +347,15 @@ object KwiFormat {
   }
 
   private[sources] def readRecords(p: Path): RecordIterator = new RecordIterator(p)
+
+  /** Column-pruned scan: when the projection dropped `embedding`
+    * and/or `metadata`, those byte ranges are skipped, never decoded —
+    * an id-only SQL projection over a kwi store reads only ids and
+    * length words (float skipping asserted via `floatDecodes` in
+    * KwiDataSourceSpec). */
+  private[sources] def readRecords(p: Path, needEmbedding: Boolean,
+      needMetadata: Boolean): RecordIterator =
+    new RecordIterator(p, needEmbedding, needMetadata)
 
   /** Random-access point reads via an in-memory offset table — the
     * reference's `BinaryIndex` read path (binary_index.rs:14-26 entry

@@ -48,6 +48,39 @@ class KwiDataSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("id0", "id1", "id2", "id3"))
   }
 
+  test("embedding-pruned scans never decode a float (byte-skip counter)") {
+    val dir = Files.createTempDirectory("kwi-skip").toString
+    writeKwi(s"$dir/a.kwi", 0 until 32)
+    def delta(body: => Unit): Long = {
+      val before = KwiFormat.floatDecodes.get()
+      body
+      KwiFormat.floatDecodes.get() - before
+    }
+    // id-only projection: zero float decodes — the dim·4 payload bytes
+    // are skipped, which is what makes an id/metadata sweep over a
+    // 100 TB store read a fraction of its bytes
+    val idOnly = delta {
+      val ids = spark.read.format("kwi").load(s"$dir/a.kwi")
+        .select(col("id")).collect()
+      assert(ids.length == 32)
+    }
+    assert(idOnly == 0L, s"id-only projection decoded $idOnly float payloads")
+    // metadata projection: still zero (metadata sits after the payload;
+    // the reader must skip over the floats, not parse through them)
+    val metaOnly = delta {
+      spark.read.format("kwi").load(s"$dir/a.kwi")
+        .select(col("id"), col("metadata")).collect()
+    }
+    assert(metaOnly == 0L, s"metadata projection decoded $metaOnly float payloads")
+    // embedding projection: exactly one decode per record — the
+    // tombstone pre-scan pass must not double-decode
+    val withEmb = delta {
+      spark.read.format("kwi").load(s"$dir/a.kwi")
+        .select(col("id"), col("embedding")).collect()
+    }
+    assert(withEmb == 32L, s"expected 32 decodes, saw $withEmb")
+  }
+
   test("id-equality filter pushdown routes through the point reader") {
     val dir = Files.createTempDirectory("kwi-push").toString
     writeKwi(s"$dir/p0.kwi", 0 until 50)
