@@ -237,14 +237,31 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
     * index HEAD only (n×M edge ids, no vectors). Vector bytes stay
     * behind the `fetch` point-read source passed to `serveQuery`; the
     * old full-corpus `vectors.collect()` companion was removed because
-    * at 100 TB it is a guaranteed driver OOM. */
-  def collectAdjacency(adjacency: DataFrame): Map[(Long, Int), Seq[Long]] =
-    adjacency
+    * at 100 TB it is a guaranteed driver OOM.
+    *
+    * TEST/TINY-CORPUS TIER ONLY — the declared serve path is the fully
+    * paged walk (`parquetAdjacency`/kwi neighbor pages wrapped in
+    * `CachingAdjacency`). The `maxNodes` guard makes that contract
+    * mechanical rather than conventional: a future declared query (or
+    * a user copying test code) that points this at a real corpus fails
+    * fast with the pointer to the paged tier, instead of OOMing the
+    * driver at scale. The node-count probe is one partial-agg row, not
+    * a collect. */
+  def collectAdjacency(adjacency: DataFrame,
+      maxNodes: Long = 100000L): Map[(Long, Int), Seq[Long]] = {
+    val grouped = adjacency
       .groupBy(col("node_id"), col("level"))
       .agg(sort_array(collect_list(col("neighbor_id"))).as("ns"))
-      .collect()
+    val n = grouped.count()
+    require(n <= maxNodes,
+      s"collectAdjacency: $n (node, level) groups exceed the tiny-corpus " +
+        s"bound $maxNodes — this tier materializes the graph head on the " +
+        "driver and is for tests only; serve real corpora with the paged " +
+        "walk (Hnsw.parquetAdjacency / kwi pages + CachingAdjacency)")
+    grouped.collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2))
       .toMap
+  }
 
   private[graft] def cosineScala(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
