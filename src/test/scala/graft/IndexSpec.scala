@@ -339,6 +339,40 @@ class IndexSpec extends SparkSpec {
       s"compaction left multi-file buckets: $after")
   }
 
+  test("lsh: build/append/compact + sidecar work on a file: URI store path") {
+    // the r8 advisory: sidecar and compact I/O used java.nio on the
+    // raw path string, so any URI-style path (file:, hdfs://, s3a://)
+    // broke even though Spark itself read/wrote it fine. Pin the fix
+    // by driving the full lifecycle through an explicit file: URI —
+    // the only scheme this container can serve, but the code path is
+    // the scheme-resolved Hadoop FileSystem one all schemes share.
+    val dir = java.nio.file.Files.createTempDirectory("lshfsuri").toString
+    val path = s"file:$dir/idx"
+    val lsh = new Lsh(numPlanes = 4, seed = 42L)
+    val small = emb.filter($"vec_id" < 200).cache()
+    lsh.build(small.filter($"vec_id" < 100), path)
+    // sidecar written through the store's FS: the O(1) dim guard works
+    assert(new java.io.File(s"$dir/idx/_dim").exists(),
+      "dim sidecar missing on a file: URI store")
+    lsh.append(path, small.filter($"vec_id" >= 100))
+    intercept[IllegalArgumentException] { // guard still live over URI
+      lsh.append(path, small.limit(1)
+        .select($"vec_id", org.apache.spark.sql.functions.slice(
+          $"embedding", 1, 3).as("embedding")))
+    }
+    val before = spark.read.parquet(path).collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getAs[Number]("bucket").longValue()).toMap
+    assert(before.size === 200)
+    Lsh.compact(spark, path) // stage/swap through the URI's FileSystem
+    val after = spark.read.parquet(path).collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getAs[Number]("bucket").longValue()).toMap
+    assert(after === before)
+    assert(new java.io.File(s"$dir/idx/_dim").exists(),
+      "compact dropped the dim sidecar")
+  }
+
   test("append audits flip red over deliberately corrupted stores") {
     import graft.queries.IndexQueries
     // a healthy synthetic store: 40 unique ids tiling 8 cells/16 buckets
