@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TextOps
 
 /** Event-stream analytics over the `events` table, batch-first (the
   * identical expressions re-bind to readStream for the streaming path in
@@ -182,6 +183,84 @@ object EventQueries extends QueryRegistry {
       daily.withColumn("running_events", sum(col("daily_events")).over(w))
         .orderBy(col("user_id"), col("day"))
     }),
+
+    // count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005,
+    // public formula): a 4×256 counter grid — each event increments
+    // one bucket per hash row, estimate = min over the 4 rows — then
+    // the top-10 user_ids by CM estimate, with the exact count twin
+    // and the sketch's one-sided guarantee (est ≥ exact) as a pinned
+    // boolean. Unlike approx_count_distinct (events_value_sketches,
+    // tolerance-checked), the CM grid is pure integer arithmetic on a
+    // cross-engine hash, so DuckDB replays the ESTIMATES bit-for-bit.
+    // Scale shape: the grid aggregation is map-side-combined into at
+    // most 1024 cells regardless of corpus size; the probe side is
+    // one distinct-key aggregation joined to the 1024-row grid
+    // (broadcast). At 100 TB you'd probe only candidate keys; the
+    // full-distinct probe here doubles as the exactness audit.
+    "events_heavy_hitters" -> ((s, dir) => {
+      val rows = 4; val width = 256
+      val ev = events(s, dir)
+        .select(col("user_id"), col("user_id").cast("string").as("us"))
+      def bucket(r: org.apache.spark.sql.Column) =
+        pmod(TextOps.md5Long(
+          concat(lit("cm"), r.cast("string"), lit(":"), col("us"))), lit(width))
+      val grid = ev
+        .select(col("us"), explode(sequence(lit(0), lit(rows - 1))).as("r"))
+        .withColumn("b", bucket(col("r")))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val users = ev.groupBy(col("user_id"), col("us"))
+        .agg(count(lit(1)).as("exact"))
+      users
+        .select(col("user_id"), col("us"), col("exact"),
+          explode(sequence(lit(0), lit(rows - 1))).as("r"))
+        .withColumn("b", bucket(col("r")))
+        .join(broadcast(grid), Seq("r", "b"))
+        .groupBy(col("user_id"), col("exact"))
+        .agg(min(col("c")).as("cm_est"))
+        .orderBy(col("cm_est").desc, col("user_id").asc)
+        .limit(10)
+        .select(col("user_id"), col("cm_est"), col("exact"),
+          (col("cm_est") >= col("exact")).as("never_under"))
+    }),
+
+    // Morton z-value math pinned cross-engine: bucket (user_id, value)
+    // to 16-bit keys, interleave (operators.Layout.zval — pure integer
+    // shifts/masks, codegen'd), and histogram the curve by its high
+    // bits. Every z bit flows into the tile ids and the exact sums, so
+    // a single bit off anywhere in the spread chain hash-fails.
+    "zorder_tile_hist" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("user_id"),
+          graft.operators.Layout.zval(
+            col("user_id"),
+            floor(col("value")).cast("long")).as("z"))
+        .groupBy(shiftright(col("z"), 12).as("tile"))
+        .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_uid"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy(col("tile"))),
+
+    // the layout end-to-end: events re-written z-clustered on
+    // (user_id, floor(value)) via Layout.zorderWrite (range-partitioned
+    // on z → each file a disjoint bounding rectangle; sorted within →
+    // tight row-group stats), then a selective rectangle read off the
+    // re-laid files. Correctness = the rectangle aggregate equals the
+    // base-table twin (re-layout loses/duplicates nothing); the file-
+    // level pruning evidence (a small rectangle touches few files)
+    // is pinned in LayoutSpec, where file boundaries are observable.
+    "zorder_rectangle_scan" -> ((s, dir) => {
+      val laid = SharedBuilds.of(s, dir, "zorder-events") {
+        val path = buildPath(dir, "zorder-events")
+        graft.operators.Layout.zorderWrite(
+          events(s, dir).select(col("event_id"), col("user_id"), col("value")),
+          col("user_id"), floor(col("value")).cast("long"), path, 8)
+        path
+      }
+      s.read.parquet(laid)
+        .filter(col("user_id").between(40, 80) && col("value").between(50.0, 200.0))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("user_id")).as("sum_uid"),
+          sum(col("event_id")).as("sum_eid"))
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -288,5 +367,41 @@ object EventQueries extends QueryRegistry {
         |       CAST(sum(daily_events) OVER (PARTITION BY user_id ORDER BY day
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_events
         |FROM d ORDER BY user_id, day""".stripMargin,
+
+    "events_heavy_hitters" ->
+      """WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS us FROM events),
+        |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |grid AS (
+        |  SELECT r, CAST(('0x'||substr(md5('cm'||r||':'||us),1,15)) AS BIGINT) % 256 AS b,
+        |         count(*) AS c
+        |  FROM ev, rs GROUP BY 1, 2),
+        |users AS (SELECT user_id, us, count(*) AS exact FROM ev GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT user_id, exact, r,
+        |         CAST(('0x'||substr(md5('cm'||r||':'||us),1,15)) AS BIGINT) % 256 AS b
+        |  FROM users, rs),
+        |est AS (
+        |  SELECT user_id, exact, min(c) AS cm_est
+        |  FROM probes JOIN grid USING (r, b) GROUP BY 1, 2)
+        |SELECT user_id, CAST(cm_est AS BIGINT) AS cm_est,
+        |       CAST(exact AS BIGINT) AS exact, cm_est >= exact AS never_under
+        |FROM est ORDER BY cm_est DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "zorder_tile_hist" ->
+      s"""WITH z AS (
+         |  SELECT user_id,
+         |         ${graft.operators.Layout.zvalSql("user_id", "CAST(floor(value) AS BIGINT)")} AS z
+         |  FROM events)
+         |SELECT (z >> 12) AS tile, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+         |       CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
+         |FROM z GROUP BY 1 ORDER BY tile""".stripMargin,
+
+    "zorder_rectangle_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_eid
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 80 AND value BETWEEN 50.0 AND 200.0""".stripMargin,
   )
 }

@@ -144,6 +144,37 @@ object PipelineQueries extends QueryRegistry {
         .limit(30)
         .select(col("doc_id"), col("lang"), col("weight"))
     }),
+
+    // temperature-scaled domain mixture (the T5/multilingual-LM mixing
+    // rule, α = 0.5): sampling weight ∝ n_tokens^α, so small domains
+    // are up-sampled relative to their natural share. α is FIXED at
+    // 1/2 because x^0.5 = sqrt(x) and IEEE-754 sqrt is correctly
+    // rounded — bit-identical across engines — where pow(x, 0.5) via
+    // libm is not guaranteed to be (same determinism doctrine as the
+    // N/df IDF). The cross-domain Σ sqrt is a deterministically
+    // ORDERED fold (orderedSum / list ORDER BY source). Scale shape:
+    // one map-side-combined shuffle keyed on source (bounded rows =
+    // #domains), a 1-row total, and a broadcast-sized crossJoin —
+    // the corpus is scanned once and never shuffled on anything wider
+    // than the domain key.
+    "domain_mixture_weights" -> ((s, dir) => {
+      val per = documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .withColumn("sq", sqrt(col("n_tokens").cast("double")))
+      val tot = per.agg(
+        sum(col("n_tokens")).as("tot_tokens"),
+        orderedSum(col("source"), col("sq")).as("tot_sq"))
+      per.crossJoin(tot)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (round(col("sq") / col("tot_sq"), 6) + 0.0).as("weight"),
+          (round((col("sq") / col("tot_sq")) * col("tot_tokens").cast("double")
+            / col("n_tokens").cast("double"), 6) + 0.0).as("boost"),
+          floor((col("sq") / col("tot_sq")) * lit(100000.0)).cast("long")
+            .as("alloc_tokens_100k"))
+        .orderBy(col("source"))
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -228,5 +259,26 @@ object PipelineQueries extends QueryRegistry {
         |  GROUP BY fe.doc_id, fe.lang)
         |SELECT doc_id, lang, round(CAST(st AS DOUBLE) / sd, 6) + 0.0 AS weight
         |FROM scored ORDER BY weight DESC, doc_id LIMIT 30""".stripMargin,
+
+    "domain_mixture_weights" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs, sum(len(toks)) AS n_tokens
+        |        FROM t GROUP BY source),
+        |p2 AS (SELECT source, n_docs, n_tokens,
+        |              sqrt(CAST(n_tokens AS DOUBLE)) AS sq
+        |       FROM per),
+        |tot AS (SELECT sum(n_tokens) AS tot_tokens,
+        |               list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sq ORDER BY source)),
+        |                           (a, x) -> a + x) AS tot_sq
+        |        FROM p2)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       round(sq / tot_sq, 6) + 0.0 AS weight,
+        |       round((sq / tot_sq) * CAST(tot_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS boost,
+        |       CAST(floor((sq / tot_sq) * 100000.0) AS BIGINT) AS alloc_tokens_100k
+        |FROM p2, tot ORDER BY source""".stripMargin,
   )
 }

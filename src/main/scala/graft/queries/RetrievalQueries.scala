@@ -170,6 +170,58 @@ object RetrievalQueries extends QueryRegistry {
         .orderBy(col("rrf").desc, col("doc_id").asc)
         .limit(10)
     }),
+
+    // rank-quality metrics of the lexical run against dense relevance —
+    // the offline eval loop every RAG/retrieval pipeline runs: the
+    // BM25 top-20 is the RUN, the exact-cosine top-10 for query
+    // embedding 0 is the RELEVANT set (doc_id ≡ vec_id, as in
+    // hybrid_rrf_fusion), and one row of metrics comes out: MRR@20,
+    // P@10, hits@20, and a discounted-cumulative-gain pair. The DCG
+    // discount is HARMONIC (1/(1+rank)) rather than 1/log2(1+rank) —
+    // a documented deviation: rational arithmetic is bit-identical
+    // across engines where libm log2 is not (the N/df-IDF doctrine).
+    // All rank sums fold in ascending-rank order on both sides, so
+    // IEEE addition order can never flake the hash. Scale shape: two
+    // distributed top-k heads (TakeOrderedAndProject over each scan),
+    // then all metric arithmetic on ≤20-row frames.
+    "retrieval_rank_metrics" -> ((s, dir) => {
+      val run = bm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val rel = emb
+        .select(col("vec_id"),
+          (round(VectorOps.fastCosine(col("embedding"), typedLit(q)), 6) + 0.0)
+            .as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id").as("doc_id"))
+      val hits = run.join(rel, Seq("doc_id"), "left_semi")
+      // ideal DCG for 10 relevant docs at ranks 1..10: ((0 + 1/2) +
+      // 1/3) + ... + 1/11, folded in the same order in DuckDB
+      val ideal = aggregate(sequence(lit(2), lit(11)), lit(0.0),
+        (a, i) => a + lit(1.0) / i.cast("double"))
+      // ascending-rank ordered fold of the harmonic gains (zero terms
+      // past rank 10 are exact no-ops under IEEE +)
+      val dcgRaw = aggregate(
+        transform(
+          array_sort(collect_list(struct(col("rank").as("k"),
+            when(col("rank") <= 10, lit(1.0) / (col("rank") + 1).cast("double"))
+              .otherwise(lit(0.0)).as("x")))),
+          e => e.getField("x")),
+        lit(0.0), (a, x) => a + x)
+      hits.agg(
+        (round(coalesce(max(lit(1.0) / col("rank").cast("double")), lit(0.0)), 6) + 0.0)
+          .as("mrr_at_20"),
+        (round(coalesce(sum(when(col("rank") <= 10, 1L).otherwise(0L)), lit(0L))
+          .cast("double") / lit(10.0), 6) + 0.0).as("p_at_10"),
+        count(lit(1)).as("hits_at_20"),
+        (round(dcgRaw, 6) + 0.0).as("dcg_h10"),
+        (round(dcgRaw / ideal, 6) + 0.0).as("ndcg_h10"))
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -200,5 +252,37 @@ object RetrievalQueries extends QueryRegistry {
          |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
          |ORDER BY rrf DESC, doc_id ASC
          |LIMIT 10""".stripMargin,
+
+    "retrieval_rank_metrics" ->
+      s"""$bm25Sql,
+         |run AS (SELECT doc_id, rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+         |    FROM sc) WHERE rank <= 20),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |rel AS (SELECT vec_id AS doc_id FROM (
+         |    SELECT e.vec_id,
+         |           row_number() OVER (
+         |             ORDER BY (round(${cosine("e.embedding", "q.qe")}, 6) + 0.0) DESC,
+         |                      e.vec_id ASC) AS rr
+         |    FROM embeddings e, qv q) WHERE rr <= 10),
+         |hits AS (SELECT rank FROM run WHERE doc_id IN (SELECT doc_id FROM rel)),
+         |ideal AS (SELECT list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(2, 11), i -> CAST(1.0 AS DOUBLE) / i)),
+         |    (a, x) -> a + x) AS v),
+         |dcg AS (SELECT coalesce(list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(CASE WHEN rank <= 10 THEN CAST(1.0 AS DOUBLE) / (1 + rank)
+         |           ELSE CAST(0.0 AS DOUBLE) END ORDER BY rank)),
+         |    (a, x) -> a + x), CAST(0.0 AS DOUBLE)) AS raw FROM hits),
+         |m AS (SELECT
+         |    round(coalesce(max(CAST(1.0 AS DOUBLE) / rank), CAST(0.0 AS DOUBLE)), 6) + 0.0 AS mrr_at_20,
+         |    round(CAST(coalesce(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END), 0) AS DOUBLE) / 10.0, 6) + 0.0 AS p_at_10,
+         |    CAST(count(*) AS BIGINT) AS hits_at_20
+         |  FROM hits)
+         |SELECT m.mrr_at_20, m.p_at_10, m.hits_at_20,
+         |       round(dcg.raw, 6) + 0.0 AS dcg_h10,
+         |       round(dcg.raw / ideal.v, 6) + 0.0 AS ndcg_h10
+         |FROM m, ideal, dcg""".stripMargin,
   )
 }

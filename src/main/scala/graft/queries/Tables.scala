@@ -53,12 +53,20 @@ object Tables {
     * here to a microsecond timestamp with integer division (a double
     * division would lose precision at 2^63 nanos scale). */
   def events(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     val df = t(s, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) parquet + nanosAsLong=true → long nanos
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark infers NTZ
+      // (driver testdata switched annotations in round 9); every
+      // session pins timeZone=UTC, so this cast relabels the same
+      // wall-clock instants without shifting them — identical to what
+      // DuckDB sees reading the naive micros directly
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame = t(s, dir, "orders")
