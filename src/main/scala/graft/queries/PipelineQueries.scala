@@ -154,19 +154,27 @@ object PipelineQueries extends QueryRegistry {
     // N/df IDF). The cross-domain Σ sqrt is a deterministically
     // ORDERED fold (orderedSum / list ORDER BY source). Scale shape:
     // one map-side-combined shuffle keyed on source (bounded rows =
-    // #domains), a 1-row total, and a broadcast-sized crossJoin —
-    // the corpus is scanned once and never shuffled on anything wider
-    // than the domain key.
+    // #domains), then the cross-domain totals via an all-rows window
+    // over that BOUNDED frame — the corpus is scanned ONCE (pinned in
+    // PlanSpec) and never shuffled on anything wider than the domain
+    // key; only #domains rows ever single-partition.
     "domain_mixture_weights" -> ((s, dir) => {
+      val w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       val per = documents(s, dir)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
         .withColumn("sq", sqrt(col("n_tokens").cast("double")))
-      val tot = per.agg(
-        sum(col("n_tokens")).as("tot_tokens"),
-        orderedSum(col("source"), col("sq")).as("tot_sq"))
-      per.crossJoin(tot)
+      per
+        .withColumn("tot_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("tot_sq",
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("source").as("k"),
+                col("sq").as("x"))).over(w)),
+              e => e.getField("x")),
+            lit(0.0), (a, x) => a + x))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           (round(col("sq") / col("tot_sq"), 6) + 0.0).as("weight"),
           (round((col("sq") / col("tot_sq")) * col("tot_tokens").cast("double")

@@ -105,6 +105,29 @@ object StorageQueries extends QueryRegistry {
     "kwi_sql_count" -> ((s, dir) =>
       s.read.format("kwi").load(kwiSqlStore(s, dir))
         .agg(count(lit(1)).cast("long").as("n_vectors"))),
+
+    // kwi time travel: every DSv2 commit records a snapshot manifest
+    // (the Delta/Iceberg idea applied to the shard directory), so a
+    // two-commit store — overwrite of the first half (v1), append of
+    // the rest (v2) — serves three reads: snapshot 1 must see ONLY the
+    // first half, snapshot 2 and "latest" the whole corpus. Exact row
+    // counts and id sums per version, replayed by the oracle from the
+    // base table. Scale shape: manifests are O(#shards) text files,
+    // resolution is one driver-side read, and each snapshot read
+    // plans one input partition per listed shard — time travel adds
+    // zero per-row cost.
+    "kwi_snapshot_read" -> ((s, dir) => {
+      val p = kwiSnapshotStore(s, dir)
+      def roll(v: String, pre: String) =
+        s.read.format("kwi").option("snapshot", v).load(p)
+          .select(col("id").cast("long").as("i"))
+          .agg(count(lit(1)).cast("long").as(pre + "_rows"),
+            sum(col("i")).as(pre + "_idsum"))
+      roll("1", "v1").crossJoin(roll("2", "v2")).crossJoin(roll("latest", "lt"))
+        .select(col("v1_rows"), col("v1_idsum"), col("v2_rows"), col("v2_idsum"),
+          (col("lt_rows") === col("v2_rows") &&
+            col("lt_idsum") === col("v2_idsum")).as("latest_matches_v2"))
+    }),
   )
 
   /** The embeddings table written once per session as a kwi store
@@ -119,6 +142,21 @@ object StorageQueries extends QueryRegistry {
       p
     }
 
+  /** Two-commit kwi store for the snapshot query: first half via
+    * overwrite (snapshot 1), second half via append (snapshot 2). */
+  private def kwiSnapshotStore(s: SparkSession, dir: String): String =
+    SharedBuilds.of(s, dir, "kwi-snapshot-store") {
+      val p = Files.createTempDirectory("graft-verify-kwisnap").toString + "/store"
+      val emb = embeddings(s, dir)
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val half = embeddings(s, dir).count() / 2
+      emb.filter(col("id").cast("long") < half)
+        .write.format("kwi").mode("overwrite").save(p)
+      emb.filter(col("id").cast("long") >= half)
+        .write.format("kwi").mode("append").save(p)
+      p
+    }
+
   override def oracle: Map[String, String] = Map(
     "kwi_sql_point_read" ->
       """SELECT vec_id,
@@ -129,6 +167,15 @@ object StorageQueries extends QueryRegistry {
 
     "kwi_sql_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings""".stripMargin,
+
+    "kwi_snapshot_read" ->
+      """WITH h AS (SELECT count(*) // 2 AS h FROM embeddings)
+        |SELECT
+        |  CAST((SELECT count(*) FROM embeddings, h WHERE vec_id < h.h) AS BIGINT) AS v1_rows,
+        |  CAST((SELECT sum(vec_id) FROM embeddings, h WHERE vec_id < h.h) AS BIGINT) AS v1_idsum,
+        |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS v2_rows,
+        |  CAST((SELECT sum(vec_id) FROM embeddings) AS BIGINT) AS v2_idsum,
+        |  true AS latest_matches_v2""".stripMargin,
 
     "storage_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_collection,

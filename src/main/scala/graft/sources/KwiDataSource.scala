@@ -86,7 +86,7 @@ class KwiTable(path: String) extends Table with SupportsRead with SupportsWrite 
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KwiScanBuilder(path)
+    new KwiScanBuilder(path, Option(options.get("snapshot")))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KwiWriteBuilder(path, info)
 }
@@ -99,15 +99,16 @@ class KwiWriteBuilder(path: String, info: LogicalWriteInfo)
   private var truncating = false
   override def truncate(): WriteBuilder = { truncating = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new KwiBatchWrite(path, info.schema(), truncating)
+    override def toBatch: BatchWrite = new KwiBatchWrite(path, info.schema(),
+      truncating, info.options().getBoolean("retain", false))
   }
 }
 
 case class KwiCommitMessage(tmpPath: String, finalPath: String)
   extends WriterCommitMessage
 
-class KwiBatchWrite(path: String, schema: StructType, truncate: Boolean)
-    extends BatchWrite {
+class KwiBatchWrite(path: String, schema: StructType, truncate: Boolean,
+    retain: Boolean = false) extends BatchWrite {
   // fail fast on a shape the record format cannot hold
   KwiBatchWrite.validate(schema)
   // job-unique shard prefix: an `append` must not collide with shards
@@ -119,14 +120,19 @@ class KwiBatchWrite(path: String, schema: StructType, truncate: Boolean)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
-    if (truncate)
+    // truncate + retain = archive mode: replaced shards stay on disk
+    // for snapshot reads (they drop out of the NEW manifest below);
+    // plain truncate keeps the original space-reclaiming semantics
+    if (truncate && !retain)
       KwiDataSource.filesOf(path).foreach(f => Files.deleteIfExists(Paths.get(f)))
     Files.createDirectories(dir)
-    messages.foreach {
+    val added = messages.collect {
       case KwiCommitMessage(tmp, fin) if tmp.nonEmpty =>
         Files.move(Paths.get(tmp), Paths.get(fin), StandardCopyOption.REPLACE_EXISTING)
-      case _ => () // empty-partition writer: nothing to move
+        Paths.get(fin).getFileName.toString
     }
+    // record this commit's live set as the next snapshot version
+    KwiSnapshots.commit(path, truncate, added.toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -207,7 +213,7 @@ class KwiWriterFactory(path: String, schema: StructType, jobId: String)
   * the shard holding the id does real record reads. Semantics are
   * EXACTLY the full scan's: `getAll` replays every live occurrence of
   * an id, so duplicate live ids keep their row counts. */
-class KwiScanBuilder(path: String)
+class KwiScanBuilder(path: String, snapshot: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -274,25 +280,33 @@ class KwiScanBuilder(path: String)
     rest // accepted shapes are fully answered by the point reads
   }
   override def pushedFilters(): Array[Filter] = accepted
-  override def build(): Scan = new KwiScan(path, required, ids, countPushed)
+  override def build(): Scan = new KwiScan(path, required, ids, countPushed, snapshot)
 }
 
 class KwiScan(path: String, required: StructType,
     pushedIds: Option[Seq[String]] = None,
-    pushedCount: Boolean = false) extends Scan with Batch {
+    pushedCount: Boolean = false,
+    snapshot: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType =
     if (pushedCount)
       StructType(Seq(StructField("count(*)",
         org.apache.spark.sql.types.LongType, nullable = false)))
     else required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    KwiDataSource.filesOf(path).map(f => KwiInputPartition(f): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    // snapshot option → manifest-resolved file set (time travel);
+    // default → directory listing (unchanged semantics)
+    val files = snapshot match {
+      case Some(v) => KwiSnapshots.resolve(path, v)
+      case None => KwiDataSource.filesOf(path)
+    }
+    files.map(f => KwiInputPartition(f): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new KwiReaderFactory(required, pushedIds, pushedCount)
   // surfaces in .explain so tests/users can see the point-read route
   override def description(): String =
-    s"kwi:$path${pushedIds.map(ids => s" PushedIds: ${ids.mkString("[", ",", "]")}").getOrElse("")}${if (pushedCount) " PushedAggregates: [COUNT(*)]" else ""}"
+    s"kwi:$path${snapshot.map(v => s" Snapshot: $v").getOrElse("")}${pushedIds.map(ids => s" PushedIds: ${ids.mkString("[", ",", "]")}").getOrElse("")}${if (pushedCount) " PushedAggregates: [COUNT(*)]" else ""}"
 }
 
 case class KwiInputPartition(file: String) extends InputPartition

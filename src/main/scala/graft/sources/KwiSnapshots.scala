@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot manifests for `.kwi` DSv2 directory stores — the
+  * time-travel layer every lakehouse table format (Delta, Iceberg,
+  * Hudi — all public designs) builds on the same two ideas: an
+  * immutable data-file set per commit, and a tiny versioned manifest
+  * that names the files belonging to each version.
+  *
+  * Mechanics here: every DSv2 commit writes `_snapshot-NNNNN.txt`
+  * (tmp + atomic rename) listing the live shard BASENAMES after that
+  * commit, so the directory stays relocatable. Reads are unchanged by
+  * default (directory listing — zero behavior change for existing
+  * stores, and a crash between shard rename and manifest write loses
+  * only the history entry, never data); passing
+  * `option("snapshot", "3")` (or `"latest"`) resolves the file set
+  * from that manifest instead. `overwrite` + `option("retain","true")`
+  * keeps the replaced shards on disk — archive mode, where historical
+  * versions stay readable and `vacuum` is the explicit space-reclaim
+  * step; a store in archive mode should always be read through a
+  * snapshot option, since the raw directory then holds shards from
+  * MULTIPLE versions.
+  *
+  * Single-writer discipline (same as the shard writer's): concurrent
+  * committers may race the next version number; the format's contract
+  * has always been one writer per store.
+  */
+object KwiSnapshots {
+
+  private val Pattern = """_snapshot-(\d{5})\.txt""".r
+
+  private def manifestPath(dir: String, v: Int): Path =
+    Paths.get(dir, f"_snapshot-$v%05d.txt")
+
+  /** All manifest versions present, ascending. */
+  def versions(dir: String): Seq[Int] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) return Seq.empty
+    val s = Files.list(p)
+    try s.iterator().asScala.flatMap { f =>
+      f.getFileName.toString match {
+        case Pattern(n) => Some(n.toInt)
+        case _ => None
+      }
+    }.toSeq.sorted
+    finally s.close()
+  }
+
+  def latest(dir: String): Option[Int] = versions(dir).lastOption
+
+  /** Shard files (absolute paths, sorted) belonging to version `v`.
+    * Fails loudly on a missing manifest or a manifest naming a shard
+    * that no longer exists (vacuumed) — a silent partial read would
+    * masquerade as a smaller table. */
+  def files(dir: String, v: Int): Seq[String] = {
+    val mf = manifestPath(dir, v)
+    require(Files.exists(mf),
+      s"kwi snapshot $v does not exist at $dir (have: ${versions(dir).mkString(",")})")
+    val names = Files.readAllLines(mf).asScala.filter(_.nonEmpty).toSeq
+    names.map { n =>
+      val f = Paths.get(dir, n)
+      require(Files.exists(f),
+        s"kwi snapshot $v references vacuumed shard $n — vacuum kept fewer versions than this read needs")
+      f.toString
+    }.sorted
+  }
+
+  /** Resolve a read-option value: "latest" or a version number. */
+  def resolve(dir: String, opt: String): Seq[String] = {
+    val v =
+      if (opt.equalsIgnoreCase("latest"))
+        latest(dir).getOrElse(
+          throw new IllegalArgumentException(s"no kwi snapshots at $dir"))
+      else opt.toInt
+    files(dir, v)
+  }
+
+  /** Record the next version's live set and return its number. The
+    * base set comes from the PREVIOUS manifest when one exists (the
+    * directory listing would wrongly resurrect archived shards after
+    * a retain-mode overwrite), falling back to the listing for stores
+    * that predate snapshots; `truncate` empties the base; `added` are
+    * this commit's new shard basenames. tmp + ATOMIC_MOVE so readers
+    * never see a torn manifest. */
+  def commit(dir: String, truncate: Boolean, added: Seq[String]): Int = {
+    val base: Set[String] =
+      if (truncate) Set.empty
+      else latest(dir) match {
+        case Some(v) => filesRaw(dir, v).toSet
+        case None => KwiDataSource.filesOf(dir)
+          .map(f => Paths.get(f).getFileName.toString).toSet
+      }
+    val live = (base ++ added).toSeq.sorted
+    val v = latest(dir).getOrElse(0) + 1
+    val tmp = Paths.get(dir, f"_snapshot-$v%05d.txt.tmp")
+    Files.write(tmp, live.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Drop history: keep the newest `keepLast` manifests, delete older
+    * ones, then delete every `.kwi` shard referenced ONLY by the
+    * dropped history (current unreferenced-but-present shards — e.g.
+    * an append racing this vacuum — are kept: only files that some
+    * DELETED manifest names and no KEPT manifest names are removed).
+    * Returns (shardsDeleted, manifestsDeleted). */
+  def vacuum(dir: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "vacuum must keep at least the latest snapshot")
+    val vs = versions(dir)
+    val (drop, keep) = vs.splitAt((vs.length - keepLast).max(0))
+    val keptRefs = keep.flatMap(v => filesRaw(dir, v)).toSet
+    val dropRefs = drop.flatMap(v => filesRaw(dir, v)).toSet
+    val dead = (dropRefs -- keptRefs).toSeq.sorted
+    dead.foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
+    drop.foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
+    (dead.length, drop.length)
+  }
+
+  /** Manifest basenames without the existence check (vacuum needs to
+    * read manifests whose shards may already be gone). */
+  private def filesRaw(dir: String, v: Int): Seq[String] = {
+    val mf = manifestPath(dir, v)
+    if (!Files.exists(mf)) Seq.empty
+    else Files.readAllLines(mf).asScala.filter(_.nonEmpty).toSeq
+  }
+}

@@ -59,6 +59,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("heavy hitters: sketch grid joins broadcast, top-10 is a heap") {
+    val p = plan("events_heavy_hitters")
+    // the 1024-cell grid must ride to the probe side as a broadcast —
+    // a sort-merge join here would shuffle the distinct-key frame on
+    // the (row, bucket) sketch key for no reason
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("domain mixture: corpus scanned once, aggregation two-phase") {
+    val p = plan("domain_mixture_weights")
+    // the per-domain rollup and the cross-domain totals must come off
+    // ONE pass over documents (the window runs on the bounded
+    // #domains frame, not the corpus)
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("zorder tile hist: single scan, no joins, partial aggregation") {
+    val p = plan("zorder_tile_hist")
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("retrieval rank metrics: both rank heads are distributed top-k") {
+    val p = plan("retrieval_rank_metrics")
+    // BM25 top-20 and cosine top-10 must each plan as
+    // TakeOrderedAndProject over their scan — a global row_number
+    // window over either corpus would single-partition it
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+  }
+
   test("point lookup: id equality is pushed down") {
     val p = plan("point_lookup")
     assert(p.contains("EqualTo(vec_id,42)"))
