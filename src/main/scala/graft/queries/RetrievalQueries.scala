@@ -222,6 +222,33 @@ object RetrievalQueries extends QueryRegistry {
         (round(dcgRaw, 6) + 0.0).as("dcg_h10"),
         (round(dcgRaw / ideal, 6) + 0.0).as("ndcg_h10"))
     }),
+
+    // ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020 —
+    // public MaxSim formula): treat each 64-dim embedding as m=4
+    // contiguous 16-dim "token" sub-vectors; score(doc) =
+    // Σ_qi max_dj cos(q_i, d_j). Here that is a STATIC 4×4 expression
+    // tree over array slices — query chunks ride as broadcast
+    // literals, the corpus scan stays map-only (no explode, no join,
+    // no shuffle; the same single-scan + TakeOrdered shape as
+    // knn_cosine), which is exactly how a 100 TB late-interaction
+    // scorer should plan when the query side is one bounded vector
+    // set. max is order-insensitive and each sub-cosine folds in
+    // index order on both engines, so the oracle replays it exactly.
+    "late_interaction_topk" -> ((s, dir) => {
+      val m = 4; val sub = 16
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val score = (0 until m).map { qi =>
+        val qc = typedLit(q.slice(qi * sub, qi * sub + sub))
+        greatest((0 until m).map { dj =>
+          VectorOps.fastCosine(slice(col("embedding"), dj * sub + 1, sub), qc)
+        }: _*)
+      }.reduce(_ + _)
+      emb.select(col("vec_id"), (round(score, 6) + 0.0).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -284,5 +311,21 @@ object RetrievalQueries extends QueryRegistry {
          |       round(dcg.raw, 6) + 0.0 AS dcg_h10,
          |       round(dcg.raw / ideal.v, 6) + 0.0 AS ndcg_h10
          |FROM m, ideal, dcg""".stripMargin,
+
+    "late_interaction_topk" -> {
+      val m = 4; val sub = 16
+      val score = (0 until m).map { qi =>
+        val qs = s"q.qe[${qi * sub + 1}:${(qi + 1) * sub}]"
+        (0 until m).map { dj =>
+          val ds = s"e.embedding[${dj * sub + 1}:${(dj + 1) * sub}]"
+          cosine(ds, qs)
+        }.mkString("greatest(", ", ", ")")
+      }.mkString(" + ")
+      s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round($score, 6) + 0.0 AS maxsim
+         |FROM embeddings e, qv q
+         |ORDER BY maxsim DESC, e.vec_id ASC
+         |LIMIT 10""".stripMargin
+    },
   )
 }

@@ -85,6 +85,33 @@ object TextQueries extends QueryRegistry {
       (hashed, Dedup.candidatesFrom(hashed).localCheckpoint())
     }
 
+  /** Maximal cross-doc duplicate spans (a < b, ≥ 2 consecutive shingle
+    * matches at a constant offset): the shared signal behind
+    * dup_span_stats (the audit view) and dup_span_trim_stats (the
+    * transform arithmetic). Columns: a, b, diff, a_start, b_start,
+    * n_sh. df-capped at 10 docs per shingle hash, run-length merged
+    * by one (a, b, diff)-keyed window. */
+  private def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val (hashed, _) = sharedDedupIndex(s, dir)
+    val pos = hashed
+      .select(col("doc_id"), posexplode(col("shh")))
+      .toDF("doc_id", "pos", "h")
+    val dfCap = pos.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= 10)
+    val keep = pos.join(dfCap.select(col("h")), "h")
+    val a = keep.select(col("doc_id").as("a"), col("pos").as("pa"), col("h"))
+    val b = keep.select(col("doc_id").as("b"), col("pos").as("pb"), col("h"))
+    val md = a.join(b, "h").filter(col("a") < col("b"))
+      .withColumn("diff", col("pa") - col("pb"))
+    val w = Window.partitionBy("a", "b", "diff").orderBy("pa")
+    md.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), col("diff"), col("grp"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        count(lit(1)).as("n_sh"))
+      .filter(col("n_sh") >= 2)
+  }
+
   /** Shared simhash sketch tables (16-bit and 60-bit): the corpus is
     * tokenized + md5'd ONCE and each declared width's sketch fold runs
     * once per (session, dir) — the sketches are the dedup index's
@@ -400,31 +427,53 @@ object TextQueries extends QueryRegistry {
     // at a constant position offset merge into maximal spans via one
     // run-length window. Two keyed shuffles total (hash join + span
     // window) — no pairwise text comparison anywhere
-    "dup_span_stats" -> ((s, dir) => {
-      val (hashed, _) = sharedDedupIndex(s, dir)
-      val pos = hashed
-        .select(col("doc_id"), posexplode(col("shh")))
-        .toDF("doc_id", "pos", "h")
-      val dfCap = pos.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") <= 10)
-      val keep = pos.join(dfCap.select(col("h")), "h")
-      val a = keep.select(col("doc_id").as("a"), col("pos").as("pa"), col("h"))
-      val b = keep.select(col("doc_id").as("b"), col("pos").as("pb"), col("h"))
-      val md = a.join(b, "h").filter(col("a") < col("b"))
-        .withColumn("diff", col("pa") - col("pb"))
-      val w = Window.partitionBy("a", "b", "diff").orderBy("pa")
-      md.withColumn("grp", col("pa") - row_number().over(w))
-        .groupBy(col("a"), col("b"), col("diff"), col("grp"))
-        .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
-          count(lit(1)).as("n_sh"))
-        .filter(col("n_sh") >= 2)
+    "dup_span_stats" -> ((s, dir) =>
+      dupSpans(s, dir)
         .select(col("a"), col("b"),
           col("a_start").cast("long").as("a_start"),
           col("b_start").cast("long").as("b_start"),
           (col("n_sh") + lit(Dedup.ShingleN - 1)).cast("long").as("span_tokens"))
         .orderBy(col("span_tokens").desc, col("a"), col("b"),
           col("a_start"), col("b_start"))
+        .limit(30)),
+
+    // the dedup TRANSFORM the span signal exists for (Lee et al. 2021
+    // rewrite the corpus, they don't just count): keep-earliest policy
+    // — every span a doc shares with an EARLIER doc is removed from
+    // the later one. Per victim doc, the possibly-overlapping spans
+    // (many earlier partners) union into disjoint islands via one
+    // gaps-and-islands window (running max of span end), and the
+    // output is the exact per-doc trim arithmetic: tokens before,
+    // removed, kept, islands. All integers; the oracle replays the
+    // full chain including the interval union. Scale shape: adds ONE
+    // doc-keyed window over the (already df-capped) span frame to the
+    // dup_span_stats cost — the corpus text itself is never touched
+    // again after hashing.
+    "dup_span_trim_stats" -> ((s, dir) => {
+      val spans = dupSpans(s, dir)
+        .select(col("b").as("doc_id"), col("b_start").as("s0"),
+          (col("b_start") + col("n_sh") + lit(Dedup.ShingleN - 1)).as("e0"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("s0"), col("e0"))
+      val prevMax = max(col("e0"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = spans
+        .withColumn("new_isl",
+          when(col("s0") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+        .withColumn("isl",
+          sum(col("new_isl")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("s0")).as("s"), max(col("e0")).as("e"))
+      val perDoc = islands.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("e") - col("s")).as("tokens_removed"))
+      val toks = documents(s, dir)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      perDoc.join(toks, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          col("tokens_removed").cast("long").as("tokens_removed"),
+          (col("n_tokens") - col("tokens_removed")).cast("long").as("tokens_kept"),
+          col("n_islands").cast("long").as("n_islands"))
+        .orderBy(col("tokens_removed").desc, col("doc_id"))
         .limit(30)
     }),
 
@@ -867,6 +916,42 @@ object TextQueries extends QueryRegistry {
          |SELECT a, b, CAST(a_start AS BIGINT) AS a_start, CAST(b_start AS BIGINT) AS b_start,
          |       CAST(n_sh + ${Dedup.ShingleN - 1} AS BIGINT) AS span_tokens
          |FROM spans ORDER BY span_tokens DESC, a, b, a_start, b_start LIMIT 30""".stripMargin,
+
+    "dup_span_trim_stats" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |pe AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(shh)),
+         |                       i -> {'pos': i - 1, 'h': shh[i]})) AS e FROM hs),
+         |p AS (SELECT doc_id, e.pos AS pos, e.h AS h FROM pe),
+         |keep AS (SELECT p.* FROM p JOIN
+         |           (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) <= 10) d USING (h)),
+         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb, x.pos - y.pos AS diff
+         |      FROM keep x JOIN keep y ON x.h = y.h AND x.doc_id < y.doc_id),
+         |r AS (SELECT a, b, diff, pa, pb,
+         |        pa - row_number() OVER (PARTITION BY a, b, diff ORDER BY pa) AS grp FROM m),
+         |spans AS (SELECT a, b, diff, grp, min(pa) AS a_start, min(pb) AS b_start, count(*) AS n_sh
+         |          FROM r GROUP BY a, b, diff, grp HAVING count(*) >= 2),
+         |s2 AS (SELECT b AS doc_id, b_start AS s0,
+         |              b_start + n_sh + ${Dedup.ShingleN - 1} AS e0 FROM spans),
+         |o AS (SELECT doc_id, s0, e0,
+         |        max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM s2),
+         |i AS (SELECT doc_id, s0, e0,
+         |        sum(CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY s0, e0
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM o),
+         |isle AS (SELECT doc_id, isl, min(s0) AS s, max(e0) AS e FROM i GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, count(*) AS n_islands, sum(e - s) AS removed FROM isle GROUP BY 1),
+         |tok AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+         |SELECT pd.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(removed AS BIGINT) AS tokens_removed,
+         |       CAST(n_tokens - removed AS BIGINT) AS tokens_kept,
+         |       CAST(n_islands AS BIGINT) AS n_islands
+         |FROM pd JOIN tok USING (doc_id)
+         |ORDER BY tokens_removed DESC, pd.doc_id LIMIT 30""".stripMargin,
 
     "gopher_quality_flags" ->
       s"""WITH w AS (

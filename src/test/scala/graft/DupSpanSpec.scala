@@ -56,6 +56,32 @@ class DupSpanSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 0L, 0L, 15L), (0L, 1L, 16L, 16L, 14L)))
   }
 
+  test("dup_span_trim_stats unions overlapping spans from two earlier partners") {
+    // doc 2 shares tokens [0..14] with doc 0 and tokens [8..24] with
+    // doc 1 — the two removal spans OVERLAP in [8..14] and must union
+    // into ONE island of 25 tokens, not sum to 15+17=32
+    val left = (100 to 114).map(word)    // 15 tokens (d0 ∩ d2)
+    val right = (108 to 124).map(word)   // 17 tokens (d1 ∩ d2), overlaps by 7
+    val victim = (100 to 124).map(word)  // 25 tokens = the union
+    val d0 = left.mkString(" ") + " " + (200 to 219).map(word).mkString(" ")
+    val d1 = (230 to 249).map(word).mkString(" ") + " " + right.mkString(" ")
+    val d2 = victim.mkString(" ") + " " + (260 to 269).map(word).mkString(" ")
+    val dir = corpus(Seq((0L, d0, "en"), (1L, d1, "en"), (2L, d2, "en")))
+    val got = TextQueries.queries("dup_span_trim_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // victim doc 2: 35 tokens, one 25-token island removed, 10 kept.
+    // docs 0/1 lose their LATER-side spans too (vs each other none —
+    // d0 and d1 share only the [108..114] overlap via d2? no: d0∩d1
+    // share tokens 108..114 = 7 tokens ≥ 2 shingles -> d1 is the later
+    // doc and loses that 7-token span as well)
+    val d2row = got.find(_._1 == 2L).get
+    assert(d2row == (2L, 35L, 25L, 10L, 1L), s"got $got")
+    // the d0∩d1 shared run [108..114] trims from the later doc 1
+    val d1row = got.find(_._1 == 1L).get
+    assert(d1row._3 == 7L && d1row._5 == 1L, s"got $got")
+  }
+
   test("bloom pre-filter: member hashes always might-contain (no false negatives)") {
     import graft.operators.Dedup
     import spark.implicits._

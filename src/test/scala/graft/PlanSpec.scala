@@ -85,6 +85,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("late interaction: one scan, no explode, no join, heap top-k") {
+    // the 4×4 MaxSim tree must stay a static map-only expression —
+    // a Generate (explode over sub-vectors) or a join would shuffle
+    // the corpus for what is per-row arithmetic
+    val p = plan("late_interaction_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("FileScan".r.findAllIn(p).size <= 2, p) // corpus + 1-row query head
+  }
+
   test("retrieval rank metrics: both rank heads are distributed top-k") {
     val p = plan("retrieval_rank_metrics")
     // BM25 top-20 and cosine top-10 must each plan as
