@@ -147,7 +147,13 @@ object Bench {
         "events_value_sketches" -> SparkEntry.queries("events_value_sketches"),
         "pq_trained_recall" -> SparkEntry.queries("pq_trained_recall"),
         "dup_span_stats" -> SparkEntry.queries("dup_span_stats"),
-        "dsir_importance_top" -> SparkEntry.queries("dsir_importance_top"))
+        "dsir_importance_top" -> SparkEntry.queries("dsir_importance_top"),
+        // r9 additions: the CM sketch must scale sublinearly (the grid
+        // is 1024 cells at any corpus size; only the probe-side
+        // distinct-key agg grows) and MaxSim is the map-only scan
+        // whose ratio should track raw data volume
+        "events_heavy_hitters" -> SparkEntry.queries("events_heavy_hitters"),
+        "late_interaction_topk" -> SparkEntry.queries("late_interaction_topk"))
       val scaledDir = s"target/bench-scale10/$sfTag"
       val reps = 10
       val buildSec = buildScaled(spark, sfDir, scaledDir, reps)

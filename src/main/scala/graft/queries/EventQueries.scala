@@ -223,6 +223,57 @@ object EventQueries extends QueryRegistry {
           (col("cm_est") >= col("exact")).as("never_under"))
     }),
 
+    // HyperLogLog distinct-count (Flajolet et al. 2007, public
+    // formula) with a BIT-EXACT oracle replay — the companion to
+    // events_heavy_hitters' count-min grid: registers are max
+    // leading-zero ranks over a cross-engine md5 hash (bucket = low
+    // 8 bits, rank from the remaining 52 via minimal-width bin()
+    // length — identical in both engines), the harmonic denominator
+    // folds EXACT dyadic rationals (2^-r) in bucket order, and the
+    // raw-estimator constant is a shared decimal literal. No
+    // small/large-range corrections (they need ln(); documented
+    // deviation under the log-free determinism doctrine) — the
+    // accuracy boolean derives from identically-computed values, so
+    // it can never flake. Scale shape: the register table is bounded
+    // at #types × 256 rows whatever the corpus; one map-side-combined
+    // shuffle, exactly the sketch contract that makes distinct counts
+    // cheap at 100 TB.
+    "events_hll_distinct" -> ((s, dir) => {
+      val m = 256
+      // 2^-r lookup as an exact-dyadic literal array (Spark's
+      // shiftleft needs a static shift; the array IS the shift table)
+      val inv = typedLit((0 to 53).map(i => 1.0 / (1L << i).toDouble))
+      val ev = events(s, dir)
+        .select(col("event_type"), col("user_id").cast("string").as("us"))
+        .withColumn("h", TextOps.md5Long(concat(lit("hll:"), col("us"))))
+        .withColumn("b", pmod(col("h"), lit(m)))
+        .withColumn("w", shiftright(col("h"), 8))
+        .withColumn("rank",
+          when(col("w") === 0, lit(53L))
+            .otherwise(lit(53L) - length(bin(col("w")))))
+      val reg = ev.groupBy(col("event_type"), col("b"))
+        .agg(max(col("rank")).as("r"))
+      val denom = reg.groupBy(col("event_type"))
+        .agg((aggregate(
+          transform(
+            array_sort(collect_list(struct(col("b").as("k"),
+              element_at(inv, (col("r") + 1).cast("int")).as("x")))),
+            e => e.getField("x")),
+          lit(0.0), (a, x) => a + x)
+          + (lit(m) - count(lit(1))).cast("double")).as("denom"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("us")).as("exact"))
+      denom.join(exact, "event_type")
+        .select(col("event_type"),
+          (round(lit(0.718232) * lit(65536.0) / col("denom"), 6) + 0.0)
+            .as("hll_est"),
+          col("exact").cast("long").as("exact"),
+          (abs(lit(0.718232) * lit(65536.0) / col("denom")
+            - col("exact").cast("double"))
+            <= col("exact").cast("double") * 0.15).as("within_15pct"))
+        .orderBy(col("event_type"))
+    }),
+
     // Morton z-value math pinned cross-engine: bucket (user_id, value)
     // to 16-bit keys, interleave (operators.Layout.zval — pure integer
     // shifts/masks, codegen'd), and histogram the curve by its high
@@ -386,6 +437,31 @@ object EventQueries extends QueryRegistry {
         |SELECT user_id, CAST(cm_est AS BIGINT) AS cm_est,
         |       CAST(exact AS BIGINT) AS exact, cm_est >= exact AS never_under
         |FROM est ORDER BY cm_est DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "events_hll_distinct" ->
+      """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS us FROM events),
+        |hx AS (SELECT event_type, us,
+        |              CAST(('0x'||substr(md5('hll:'||us),1,15)) AS BIGINT) AS h
+        |       FROM ev),
+        |rk AS (SELECT event_type, h % 256 AS b,
+        |              CASE WHEN (h >> 8) = 0 THEN 53
+        |                   ELSE 53 - length(bin(h >> 8)) END AS rank
+        |       FROM hx),
+        |reg AS (SELECT event_type, b, max(rank) AS r FROM rk GROUP BY 1, 2),
+        |den AS (SELECT event_type,
+        |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            list(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << r) ORDER BY b)),
+        |            (a, x) -> a + x)
+        |          + CAST(256 - count(*) AS DOUBLE) AS denom
+        |        FROM reg GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT us) AS exact FROM ev GROUP BY 1)
+        |SELECT den.event_type,
+        |       round(CAST(0.718232 AS DOUBLE) * 65536.0 / denom, 6) + 0.0 AS hll_est,
+        |       CAST(exact AS BIGINT) AS exact,
+        |       abs(CAST(0.718232 AS DOUBLE) * 65536.0 / denom - CAST(exact AS DOUBLE))
+        |         <= CAST(exact AS DOUBLE) * 0.15 AS within_15pct
+        |FROM den JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "zorder_tile_hist" ->
       s"""WITH z AS (

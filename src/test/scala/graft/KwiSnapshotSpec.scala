@@ -101,6 +101,47 @@ class KwiSnapshotSpec extends SparkSpec {
     intercept[Exception](readIds(p, Some("not-a-version")))
   }
 
+  test("model-based: random op sequences match an in-memory version model") {
+    // the store under arbitrary interleavings of append / overwrite /
+    // retained-overwrite must agree, version by version, with a trivial
+    // Scala model (a list of id-sets). Deterministic ScalaCheck-style
+    // enumeration via a seeded RNG — no flaky sampling.
+    import org.apache.spark.sql.SaveMode
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val p = freshDir()
+      var model = Vector.empty[Set[Long]]   // model(v-1) = ids at version v
+      var nextId = 0L
+      (0 until 6).foreach { _ =>
+        val batch = (nextId until nextId + 1 + rnd.nextInt(5)).toSet
+        nextId = batch.max + 1
+        val df = vecs(batch.min.toInt to batch.max.toInt)
+        rnd.nextInt(3) match {
+          case 0 => // append
+            df.write.format("kwi").mode(SaveMode.Append).save(p)
+            model :+= model.lastOption.getOrElse(Set.empty[Long]) ++ batch
+          case 1 => // plain overwrite (old data gone, history broken)
+            df.write.format("kwi").mode(SaveMode.Overwrite).save(p)
+            model = model.map(_ => Set.empty[Long]) :+ batch // older versions unreadable
+          case 2 => // retained overwrite (archive)
+            df.write.format("kwi").mode(SaveMode.Overwrite)
+              .option("retain", "true").save(p)
+            model :+= batch
+        }
+      }
+      assert(KwiSnapshots.versions(p) == (1 to model.length))
+      model.zipWithIndex.foreach { case (want, i) =>
+        if (want.nonEmpty)
+          assert(readIds(p, Some((i + 1).toString)) == want,
+            s"trial $trial version ${i + 1}")
+      }
+      // latest always equals the last model state
+      assert(readIds(p, Some("latest")) == model.last)
+      assert(readIds(p, None) subsetOf
+        (model.flatten.toSet), "directory holds only shards some version wrote")
+    }
+  }
+
   test("snapshot read composes with pushdown: point read inside a version") {
     val p = freshDir()
     vecs(0 until 10).write.format("kwi").mode("overwrite").save(p)
