@@ -254,12 +254,8 @@ object EventQueries extends QueryRegistry {
       val reg = ev.groupBy(col("event_type"), col("b"))
         .agg(max(col("rank")).as("r"))
       val denom = reg.groupBy(col("event_type"))
-        .agg((aggregate(
-          transform(
-            array_sort(collect_list(struct(col("b").as("k"),
-              element_at(inv, (col("r") + 1).cast("int")).as("x")))),
-            e => e.getField("x")),
-          lit(0.0), (a, x) => a + x)
+        .agg((Folds.orderedSum(col("b"),
+          element_at(inv, (col("r") + 1).cast("int")))
           + (lit(m) - count(lit(1))).cast("double")).as("denom"))
       val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("us")).as("exact"))

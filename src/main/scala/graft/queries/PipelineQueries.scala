@@ -22,14 +22,11 @@ import graft.functions.TextOps
 object PipelineQueries extends QueryRegistry {
   import Tables._
 
-  /** Fold an array of doubles in a deterministic (pre-sorted) order. */
+  /** Fold an array of doubles in a deterministic (pre-sorted) order —
+    * the shared shape (see Folds.orderedSum). */
   private def orderedSum(sortKey: org.apache.spark.sql.Column,
       value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(
-      transform(
-        array_sort(collect_list(struct(sortKey.as("k"), value.as("x")))),
-        e => e.getField("x")),
-      lit(0.0), (a, x) => a + x)
+    Folds.orderedSum(sortKey, value)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TF-IDF-style term scoring: corpus df + per-doc tf, top-3 terms

@@ -206,13 +206,9 @@ object RetrievalQueries extends QueryRegistry {
         (a, i) => a + lit(1.0) / i.cast("double"))
       // ascending-rank ordered fold of the harmonic gains (zero terms
       // past rank 10 are exact no-ops under IEEE +)
-      val dcgRaw = aggregate(
-        transform(
-          array_sort(collect_list(struct(col("rank").as("k"),
-            when(col("rank") <= 10, lit(1.0) / (col("rank") + 1).cast("double"))
-              .otherwise(lit(0.0)).as("x")))),
-          e => e.getField("x")),
-        lit(0.0), (a, x) => a + x)
+      val dcgRaw = Folds.orderedSum(col("rank"),
+        when(col("rank") <= 10, lit(1.0) / (col("rank") + 1).cast("double"))
+          .otherwise(lit(0.0)))
       hits.agg(
         (round(coalesce(max(lit(1.0) / col("rank").cast("double")), lit(0.0)), 6) + 0.0)
           .as("mrr_at_20"),

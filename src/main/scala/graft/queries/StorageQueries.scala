@@ -118,15 +118,20 @@ object StorageQueries extends QueryRegistry {
     // zero per-row cost.
     "kwi_snapshot_read" -> ((s, dir) => {
       val p = kwiSnapshotStore(s, dir)
-      def roll(v: String, pre: String) =
-        s.read.format("kwi").option("snapshot", v).load(p)
+      def roll(opt: (String, String), pre: String) =
+        s.read.format("kwi").option(opt._1, opt._2).load(p)
           .select(col("id").cast("long").as("i"))
           .agg(count(lit(1)).cast("long").as(pre + "_rows"),
             sum(col("i")).as(pre + "_idsum"))
-      roll("1", "v1").crossJoin(roll("2", "v2")).crossJoin(roll("latest", "lt"))
+      roll("snapshot" -> "1", "v1")
+        .crossJoin(roll("snapshot" -> "2", "v2"))
+        .crossJoin(roll("snapshot" -> "latest", "lt"))
+        // incremental consumption: 1..2 must be EXACTLY the appended half
+        .crossJoin(roll("snapshotDiff" -> "1..2", "d"))
         .select(col("v1_rows"), col("v1_idsum"), col("v2_rows"), col("v2_idsum"),
           (col("lt_rows") === col("v2_rows") &&
-            col("lt_idsum") === col("v2_idsum")).as("latest_matches_v2"))
+            col("lt_idsum") === col("v2_idsum")).as("latest_matches_v2"),
+          col("d_rows").as("diff_rows"), col("d_idsum").as("diff_idsum"))
     }),
   )
 
@@ -175,7 +180,9 @@ object StorageQueries extends QueryRegistry {
         |  CAST((SELECT sum(vec_id) FROM embeddings, h WHERE vec_id < h.h) AS BIGINT) AS v1_idsum,
         |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS v2_rows,
         |  CAST((SELECT sum(vec_id) FROM embeddings) AS BIGINT) AS v2_idsum,
-        |  true AS latest_matches_v2""".stripMargin,
+        |  true AS latest_matches_v2,
+        |  CAST((SELECT count(*) FROM embeddings, h WHERE vec_id >= h.h) AS BIGINT) AS diff_rows,
+        |  CAST((SELECT sum(vec_id) FROM embeddings, h WHERE vec_id >= h.h) AS BIGINT) AS diff_idsum""".stripMargin,
 
     "storage_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_collection,

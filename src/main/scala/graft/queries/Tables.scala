@@ -2,6 +2,24 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Deterministically ORDERED float reductions — the ONE fold shape
+  * that keeps cross-engine double sums hash-stable: collect (k, x)
+  * pairs, sort by k, fold left-to-right from 0.0. DuckDB mirror:
+  * `list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY k)),
+  * (a, x) -> a + x)`. Shared by every query that sums doubles under
+  * the oracle (TF-IDF centroids, HLL denominators, DCG folds) so the
+  * two engines can never drift fold-shape independently. */
+object Folds {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  def orderedSum(sortKey: Column, value: Column): Column =
+    aggregate(
+      transform(
+        array_sort(collect_list(struct(sortKey.as("k"), value.as("x")))),
+        e => e.getField("x")),
+      lit(0.0), (a, x) => a + x)
+}
+
 /** Parquet table loader for the driver testdata layout
   * (`/root/testdata/sf&lt;sf&gt;/NAME.parquet`). */
 object Tables {
@@ -60,11 +78,17 @@ object Tables {
       // TIMESTAMP(NANOS) parquet + nanosAsLong=true → long nanos
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark infers NTZ
-      // (driver testdata switched annotations in round 9); every
-      // session pins timeZone=UTC, so this cast relabels the same
-      // wall-clock instants without shifting them — identical to what
-      // DuckDB sees reading the naive micros directly
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      // (driver testdata switched annotations in round 9). The cast
+      // interprets wall-clock in the SESSION time zone, so it only
+      // relabels (never shifts) the instants when that zone is UTC —
+      // enforced here so a future non-UTC entry point fails loudly at
+      // the table boundary instead of silently shifting every
+      // event-time query off its DuckDB oracle
+      case TimestampNTZType =>
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events NTZ→timestamp normalization requires spark.sql.session.timeZone=UTC; " +
+            s"got '${s.conf.get("spark.sql.session.timeZone")}'")
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

@@ -85,8 +85,12 @@ class KwiTable(path: String) extends Table with SupportsRead with SupportsWrite 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KwiScanBuilder(path, Option(options.get("snapshot")))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(options.get("snapshot") == null || options.get("snapshotDiff") == null,
+      "kwi read takes snapshot OR snapshotDiff, not both")
+    new KwiScanBuilder(path, Option(options.get("snapshot")),
+      Option(options.get("snapshotDiff")))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KwiWriteBuilder(path, info)
 }
@@ -213,7 +217,8 @@ class KwiWriterFactory(path: String, schema: StructType, jobId: String)
   * the shard holding the id does real record reads. Semantics are
   * EXACTLY the full scan's: `getAll` replays every live occurrence of
   * an id, so duplicate live ids keep their row counts. */
-class KwiScanBuilder(path: String, snapshot: Option[String] = None)
+class KwiScanBuilder(path: String, snapshot: Option[String] = None,
+    snapshotDiff: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -280,13 +285,15 @@ class KwiScanBuilder(path: String, snapshot: Option[String] = None)
     rest // accepted shapes are fully answered by the point reads
   }
   override def pushedFilters(): Array[Filter] = accepted
-  override def build(): Scan = new KwiScan(path, required, ids, countPushed, snapshot)
+  override def build(): Scan =
+    new KwiScan(path, required, ids, countPushed, snapshot, snapshotDiff)
 }
 
 class KwiScan(path: String, required: StructType,
     pushedIds: Option[Seq[String]] = None,
     pushedCount: Boolean = false,
-    snapshot: Option[String] = None) extends Scan with Batch {
+    snapshot: Option[String] = None,
+    snapshotDiff: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType =
     if (pushedCount)
       StructType(Seq(StructField("count(*)",
@@ -295,10 +302,13 @@ class KwiScan(path: String, required: StructType,
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     // snapshot option → manifest-resolved file set (time travel);
-    // default → directory listing (unchanged semantics)
-    val files = snapshot match {
-      case Some(v) => KwiSnapshots.resolve(path, v)
-      case None => KwiDataSource.filesOf(path)
+    // snapshotDiff → only shards added between two versions
+    // (incremental consumption); default → directory listing
+    // (unchanged semantics)
+    val files = (snapshot, snapshotDiff) match {
+      case (Some(v), _) => KwiSnapshots.resolve(path, v)
+      case (_, Some(r)) => KwiSnapshots.resolveDiff(path, r)
+      case _ => KwiDataSource.filesOf(path)
     }
     files.map(f => KwiInputPartition(f): InputPartition).toArray
   }
@@ -306,7 +316,7 @@ class KwiScan(path: String, required: StructType,
     new KwiReaderFactory(required, pushedIds, pushedCount)
   // surfaces in .explain so tests/users can see the point-read route
   override def description(): String =
-    s"kwi:$path${snapshot.map(v => s" Snapshot: $v").getOrElse("")}${pushedIds.map(ids => s" PushedIds: ${ids.mkString("[", ",", "]")}").getOrElse("")}${if (pushedCount) " PushedAggregates: [COUNT(*)]" else ""}"
+    s"kwi:$path${snapshot.map(v => s" Snapshot: $v").getOrElse("")}${snapshotDiff.map(r => s" SnapshotDiff: $r").getOrElse("")}${pushedIds.map(ids => s" PushedIds: ${ids.mkString("[", ",", "]")}").getOrElse("")}${if (pushedCount) " PushedAggregates: [COUNT(*)]" else ""}"
 }
 
 case class KwiInputPartition(file: String) extends InputPartition

@@ -29,7 +29,10 @@ import scala.jdk.CollectionConverters._
   */
 object KwiSnapshots {
 
-  private val Pattern = """_snapshot-(\d{5})\.txt""".r
+  // {5,}: %05d pads to five digits but WIDENS past 99999 commits — a
+  // five-digit-exact match would make version 100000+ invisible to
+  // latest() and silently re-base every later commit on stale history
+  private val Pattern = """_snapshot-(\d{5,})\.txt""".r
 
   private def manifestPath(dir: String, v: Int): Path =
     Paths.get(dir, f"_snapshot-$v%05d.txt")
@@ -77,6 +80,34 @@ object KwiSnapshots {
     files(dir, v)
   }
 
+  /** Incremental diff read `from..to`: the shards IN version `to` but
+    * NOT in version `from` — i.e. exactly the records appended between
+    * the two commits (append-only histories; an overwrite in the range
+    * makes "new shards" mean the post-overwrite set, which is still
+    * the correct re-process set for an incremental consumer). This is
+    * the consume-only-what-changed primitive an incremental 100 TB
+    * pipeline schedules on: each run reads `lastProcessed..latest`
+    * instead of the whole store. */
+  def resolveDiff(dir: String, opt: String): Seq[String] = {
+    val m = opt.split("\\.\\.", 2)
+    require(m.length == 2 && m(0).nonEmpty && m(1).nonEmpty,
+      s"snapshotDiff must be '<from>..<to>' (e.g. '1..3' or '2..latest'), got '$opt'")
+    def ver(s: String): Int =
+      if (s.equalsIgnoreCase("latest"))
+        latest(dir).getOrElse(
+          throw new IllegalArgumentException(s"no kwi snapshots at $dir"))
+      else s.toInt
+    val (from, to) = (ver(m(0)), ver(m(1)))
+    require(from <= to, s"snapshotDiff range is backwards: $from..$to")
+    // existence check BEFORE filesRaw: a vacuumed `from` would
+    // otherwise read as an empty base and silently return ALL of
+    // `to`'s shards as "new"
+    require(Files.exists(manifestPath(dir, from)),
+      s"kwi snapshot $from does not exist at $dir (have: ${versions(dir).mkString(",")})")
+    val base = filesRaw(dir, from).toSet
+    files(dir, to).filterNot(f => base(Paths.get(f).getFileName.toString))
+  }
+
   /** Record the next version's live set and return its number. The
     * base set comes from the PREVIOUS manifest when one exists (the
     * directory listing would wrongly resurrect archived shards after
@@ -85,15 +116,16 @@ object KwiSnapshots {
     * this commit's new shard basenames. tmp + ATOMIC_MOVE so readers
     * never see a torn manifest. */
   def commit(dir: String, truncate: Boolean, added: Seq[String]): Int = {
+    val prev = latest(dir) // one directory listing serves base AND version
     val base: Set[String] =
       if (truncate) Set.empty
-      else latest(dir) match {
+      else prev match {
         case Some(v) => filesRaw(dir, v).toSet
         case None => KwiDataSource.filesOf(dir)
           .map(f => Paths.get(f).getFileName.toString).toSet
       }
     val live = (base ++ added).toSeq.sorted
-    val v = latest(dir).getOrElse(0) + 1
+    val v = prev.getOrElse(0) + 1
     val tmp = Paths.get(dir, f"_snapshot-$v%05d.txt.tmp")
     Files.write(tmp, live.mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, manifestPath(dir, v), StandardCopyOption.ATOMIC_MOVE)

@@ -19,9 +19,11 @@ class KwiSnapshotSpec extends SparkSpec {
       .toDF("id", "embedding")
   }
 
-  private def readIds(path: String, snapshot: Option[String]): Set[Long] = {
+  private def readIds(path: String, snapshot: Option[String],
+      diff: Option[String] = None): Set[Long] = {
     val r = spark.read.format("kwi")
     snapshot.foreach(v => r.option("snapshot", v))
+    diff.foreach(v => r.option("snapshotDiff", v))
     r.load(path).select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
   }
 
@@ -139,6 +141,25 @@ class KwiSnapshotSpec extends SparkSpec {
       assert(readIds(p, Some("latest")) == model.last)
       assert(readIds(p, None) subsetOf
         (model.flatten.toSet), "directory holds only shards some version wrote")
+    }
+  }
+
+  test("snapshotDiff reads exactly the shards added between versions") {
+    val p = freshDir()
+    vecs(0 until 5).write.format("kwi").mode("overwrite").save(p)
+    vecs(5 until 9).write.format("kwi").mode("append").save(p)
+    vecs(9 until 12).write.format("kwi").mode("append").save(p)
+    assert(readIds(p, None, diff = Some("1..2")) == (5L until 9L).toSet)
+    assert(readIds(p, None, diff = Some("1..3")) == (5L until 12L).toSet)
+    assert(readIds(p, None, diff = Some("2..latest")) == (9L until 12L).toSet)
+    // empty diff: same version twice
+    assert(readIds(p, None, diff = Some("2..2")) == Set.empty[Long])
+    // malformed / backwards ranges fail loudly
+    intercept[Exception](readIds(p, None, diff = Some("3..1")))
+    intercept[Exception](readIds(p, None, diff = Some("2")))
+    intercept[Exception] {
+      spark.read.format("kwi").option("snapshot", "1")
+        .option("snapshotDiff", "1..2").load(p).count()
     }
   }
 
