@@ -61,7 +61,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign WARN chatter (function re-registration,
+    // state-store maintenance) lands in the same tail window the
+    // driver greps for the JSON line — see the print-last note below
+    spark.sparkContext.setLogLevel("ERROR")
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String = sfDir): Double = {
       val t0 = System.nanoTime()
@@ -175,7 +178,13 @@ object Bench {
     var qs = assemble(keep)
     val qsBudget = if (scaleJson.isEmpty) 1600 else 1250
     while (qs.length > qsBudget && keep > 1) { keep -= 8; qs = assemble(keep) }
-    println(s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","mode":"steady-median3","spread":${fmt(spread, "%.2f")},"cold_total_sec":${fmt(coldTotal, "%.3f")},"queries":$qs,"sf":"$sfTag"$scaleJson}""")
+    // Stop Spark BEFORE printing: the driver greps the LAST ~2000
+    // chars of build output for this line, and executor/shutdown log
+    // chatter emitted after it would evict it from that window (the
+    // r7/r8 BENCH artifacts recorded parsed=None with WARN noise as
+    // the tail — exactly that failure). Printing last, after the only
+    // remaining log source is gone, makes the tail deterministic.
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","mode":"steady-median3","spread":${fmt(spread, "%.2f")},"cold_total_sec":${fmt(coldTotal, "%.3f")},"queries":$qs,"sf":"$sfTag"$scaleJson}""")
   }
 }
