@@ -69,6 +69,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("hll: register aggregation is two-phase partial max before the shuffle") {
+    // the (event_type, bucket) register table must combine map-side —
+    // the whole point of the sketch is that only #types×256 rows ever
+    // shuffle, however many events the scan reads
+    val p = plan("events_hll_distinct")
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("domain mixture: corpus scanned once, aggregation two-phase") {
     val p = plan("domain_mixture_weights")
     // the per-domain rollup and the cross-domain totals must come off
