@@ -90,8 +90,14 @@ object TextQueries extends QueryRegistry {
     * dup_span_stats (the audit view) and dup_span_trim_stats (the
     * transform arithmetic). Columns: a, b, diff, a_start, b_start,
     * n_sh. df-capped at 10 docs per shingle hash, run-length merged
-    * by one (a, b, diff)-keyed window. */
-  private def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    * by one (a, b, diff)-keyed window. Memoized per (session, dir):
+    * the posting join + span window run once, shared by the stats and
+    * trim queries (the SharedBuilds discipline every other expensive
+    * shared artifact follows). */
+  private def dupSpans(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "dup-spans")(dupSpansUncached(s, dir).localCheckpoint())
+
+  private def dupSpansUncached(s: SparkSession, dir: String): DataFrame = {
     val (hashed, _) = sharedDedupIndex(s, dir)
     val pos = hashed
       .select(col("doc_id"), posexplode(col("shh")))

@@ -87,6 +87,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("zorder rectangle scan: both range predicates reach the re-laid parquet") {
+    // the whole point of the layout is that these filters prune
+    // row-groups via footer stats — they must be in PushedFilters,
+    // not evaluated above the scan
+    val p = plan("zorder_rectangle_scan")
+    // PushedFilters renders truncated; the first entry plus the full
+    // DataFilters text together pin all four range predicates
+    assert(p.contains("GreaterThanOrEqual(user_id,40)"), p)
+    assert(p.contains(">= 50.0"), p)
+    assert(p.contains("<= 200.0"), p)
+  }
+
   test("zorder tile hist: single scan, no joins, partial aggregation") {
     val p = plan("zorder_tile_hist")
     assert("FileScan".r.findAllIn(p).size == 1, p)
