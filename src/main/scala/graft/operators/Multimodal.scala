@@ -729,6 +729,34 @@ object Multimodal {
     }
   }
 
+  case class AHash(media_id: Long, bands: Array[Int])
+
+  /** 8×8 average-hash (aHash — the classic public perceptual-hash
+    * recipe): decode for real, collapse interleaved channels, compare
+    * each of the 64 pixels to the mean — bit_i = (64·p_i > Σp), all
+    * integer so any replaying engine lands on the same bits — and
+    * pack the 64 bits as FOUR 16-bit band ints (LSB-first within a
+    * band). Four bands ⇒ any pair at hamming ≤ 3 shares an equal band
+    * (pigeonhole), so image near-dup pair-finding bands EXACTLY like
+    * simhash — no all-pairs comparison; 16-bit band values also keep
+    * every downstream sum/xor far from 64-bit-integer edges. */
+  def aHash(media: Dataset[MediaRow], channels: Int = 3): Dataset[AHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val s = decode(r.payload)
+      require(s.length >= 64 * channels,
+        s"aHash needs an 8x8 image (${64 * channels} samples), got ${s.length}")
+      val px = Array.tabulate(64)(i => s(i * channels))
+      val tot = px.sum
+      val bands = Array.tabulate(4) { j =>
+        (0 until 16).foldLeft(0) { (acc, k) =>
+          acc | ((if (px(j * 16 + k) * 64 > tot) 1 else 0) << k)
+        }
+      }
+      AHash(r.media_id, bands)
+    })
+  }
+
   /** "Resize": deterministic payload subsampling (every `factor`-th
     * byte) + metadata update — the shape of a thumbnailing pass. */
   def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {

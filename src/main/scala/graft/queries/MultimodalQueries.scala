@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
+import graft.functions.TextOps
 
 /** Declared queries for the multimodal binary-column pipeline. The
   * payloads are utf-8 text bytes (ascii corpus), so the DuckDB oracle
@@ -77,6 +78,46 @@ object MultimodalQueries extends QueryRegistry {
           round(element_at(col("features"), 3), 6).as("bin2"),
           round(element_at(col("features"), 7), 6).as("bin6"))
         .orderBy(col("media_id"))
+    }),
+
+    // IMAGE near-duplicate detection — the modality-specific dedup the
+    // text (minhash/simhash) and embedding (LSH) tiers don't cover:
+    // each doc head becomes a REAL 8×8 BMP, aHash runs through the
+    // real decoder (Multimodal.aHash: 64 integer mean-compare bits →
+    // four 16-bit bands), candidates come from a band equi-join
+    // (pigeonhole: hamming ≤ 3 pairs ALWAYS share an equal band — no
+    // all-pairs anywhere), and survivors rerank on native popcount
+    // Hamming, the exact simhash discipline applied to pixels. The
+    // oracle replays the full chain — encode→decode roundtrip, bits,
+    // band packing, pairing, Hamming — from the raw text.
+    "media_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+        .filter(col("doc_id") < 300 && length(col("text")) >= 64)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("head"))
+        .filter(octet_length(col("head")) === 64)
+        .as[(Long, String)]
+      val media = docs.map { case (id, txt) =>
+        Multimodal.MediaRow(id, "image",
+          Multimodal.encodeBmpGray(8, 8, txt.getBytes("UTF-8")), 8, 8, 1) }
+      val ah = Multimodal.aHash(media).toDF()
+      val br = ah.select(col("media_id"), posexplode(col("bands")).as(Seq("bi", "bv")))
+      val cand = br.as("x").join(br.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("a"), col("y.media_id").as("b"))
+        .distinct()
+      val ham = (0 until 4).map(j =>
+          TextOps.hamming16(element_at(col("ba"), j + 1).cast("long"),
+            element_at(col("bb"), j + 1).cast("long")))
+        .reduce(_ + _)
+      cand
+        .join(ah.select(col("media_id").as("a"), col("bands").as("ba")), "a")
+        .join(ah.select(col("media_id").as("b"), col("bands").as("bb")), "b")
+        .select(col("a"), col("b"), ham.cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("hamming"), col("a"), col("b"))
+        .limit(20)
     }),
 
     // REAL JPEG decode end-to-end: each ascii head, sorted into a
@@ -284,6 +325,32 @@ object MultimodalQueries extends QueryRegistry {
         |UNION ALL
         |SELECT media_id + 1000 AS media_id, CAST(268 AS BIGINT) AS n_bytes, mean_sample, bin2, bin6 FROM stats
         |ORDER BY media_id""".stripMargin,
+
+    "media_phash_pairs" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 64) AS s
+        |           FROM documents WHERE doc_id < 300 AND length(text) >= 64
+        |             AND strlen(substr(text, 1, 64)) = 64),
+        |px AS (SELECT doc_id, i - 1 AS i, ascii(s[i]) AS p
+        |       FROM t, (SELECT unnest(generate_series(1, 64)) AS i)),
+        |tot AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY 1),
+        |bits AS (SELECT px.doc_id, i,
+        |                CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS bit
+        |         FROM px JOIN tot ON px.doc_id = tot.doc_id),
+        |bands AS (SELECT doc_id, i // 16 AS bi,
+        |                 sum(bit << (i % 16)) AS bv
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bands x JOIN bands y
+        |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |ham AS (SELECT cand.a, cand.b,
+        |               sum(bit_count(xor(ba.bv, bb.bv))) AS hamming
+        |        FROM cand
+        |        JOIN bands ba ON ba.doc_id = cand.a
+        |        JOIN bands bb ON bb.doc_id = cand.b AND bb.bi = ba.bi
+        |        GROUP BY 1, 2)
+        |SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 3
+        |ORDER BY hamming, a, b LIMIT 20""".stripMargin,
 
     // cohort exactly replayed; the lossy-reconstruction contract is
     // Spark-side-checked booleans (see the query comment)

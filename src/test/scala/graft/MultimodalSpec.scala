@@ -537,4 +537,28 @@ class MultimodalSpec extends SparkSpec {
     putInt(12 + 4 + 13, crc.getValue.toInt)
     assert(Multimodal.decodePng(pbomb).isEmpty)
   }
+
+  test("aHash: known bit layout, band packing, and single-pixel sensitivity") {
+    import spark.implicits._
+    // 32 dark then 32 bright pixels: tot = 32·10 + 32·200 = 6720;
+    // 64·10 = 640 < tot → 0-bits; 64·200 = 12800 > tot → 1-bits
+    val gray = (Array.fill(32)(10) ++ Array.fill(32)(200)).map(_.toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.encodeBmpGray(8, 8, gray), 8, 8, 1))
+      .toDS()
+    val h = Multimodal.aHash(media).collect()(0)
+    assert(h.bands.toSeq == Seq(0, 0, 0xFFFF, 0xFFFF), h.bands.toSeq)
+    // flipping ONE bright pixel dark moves exactly that bit (the mean
+    // shifts but crosses no other pixel's 64·p threshold here)
+    val gray2 = gray.clone(); gray2(40) = 10.toByte
+    val media2 = Seq(
+      Multimodal.MediaRow(2L, "image", Multimodal.encodeBmpGray(8, 8, gray2), 8, 8, 1))
+      .toDS()
+    val h2 = Multimodal.aHash(media2).collect()(0)
+    val hamming = (0 until 4).map(j =>
+      Integer.bitCount(h.bands(j) ^ h2.bands(j))).sum
+    assert(hamming == 1, s"expected hamming 1, got $hamming")
+    // and the changed bit is pixel 40 = band 2, bit 8
+    assert((h.bands(2) ^ h2.bands(2)) == (1 << 8))
+  }
 }
