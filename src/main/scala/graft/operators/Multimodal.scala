@@ -743,6 +743,13 @@ object Multimodal {
   def aHash(media: Dataset[MediaRow], channels: Int = 3): Dataset[AHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
+      // image rows only: a WAV (or an opaque payload routed through the
+      // decode stub) still yields samples, and hashing them at the
+      // image channel stride would produce a syntactically valid but
+      // meaningless "perceptual hash" that silently joins into the
+      // near-dup band table — reject at the modality boundary instead
+      require(r.kind == "image",
+        s"aHash is an image operator; got kind='${r.kind}' for media_id=${r.media_id}")
       val s = decode(r.payload)
       require(s.length >= 64 * channels,
         s"aHash needs an 8x8 image (${64 * channels} samples), got ${s.length}")

@@ -230,7 +230,9 @@ object EventQueries extends QueryRegistry {
     // 8 bits, rank from the remaining 52 via minimal-width bin()
     // length — identical in both engines), the harmonic denominator
     // folds EXACT dyadic rationals (2^-r) in bucket order, and the
-    // raw-estimator constant is a shared decimal literal. No
+    // raw-estimator constant is a shared decimal literal:
+    // α₂₅₆ = 0.7213/(1 + 1.079/256) ≈ 0.7182726 (Flajolet et al. 2007),
+    // rounded to the 6-decimal literal 0.718273 both engines carry. No
     // small/large-range corrections (they need ln(); documented
     // deviation under the log-free determinism doctrine) — the
     // accuracy boolean derives from identically-computed values, so
@@ -267,10 +269,10 @@ object EventQueries extends QueryRegistry {
         .agg(countDistinct(col("us")).as("exact"))
       denom.join(exact, "event_type")
         .select(col("event_type"),
-          (round(lit(0.718232) * lit(65536.0) / col("denom"), 6) + 0.0)
+          (round(lit(0.718273) * lit(65536.0) / col("denom"), 6) + 0.0)
             .as("hll_est"),
           col("exact").cast("long").as("exact"),
-          (abs(lit(0.718232) * lit(65536.0) / col("denom")
+          (abs(lit(0.718273) * lit(65536.0) / col("denom")
             - col("exact").cast("double"))
             <= col("exact").cast("double") * 0.15).as("within_15pct"))
         .orderBy(col("event_type"))
@@ -460,9 +462,9 @@ object EventQueries extends QueryRegistry {
         |        FROM reg GROUP BY event_type),
         |ex AS (SELECT event_type, count(DISTINCT us) AS exact FROM ev GROUP BY 1)
         |SELECT den.event_type,
-        |       round(CAST(0.718232 AS DOUBLE) * 65536.0 / denom, 6) + 0.0 AS hll_est,
+        |       round(CAST(0.718273 AS DOUBLE) * 65536.0 / denom, 6) + 0.0 AS hll_est,
         |       CAST(exact AS BIGINT) AS exact,
-        |       abs(CAST(0.718232 AS DOUBLE) * 65536.0 / denom - CAST(exact AS DOUBLE))
+        |       abs(CAST(0.718273 AS DOUBLE) * 65536.0 / denom - CAST(exact AS DOUBLE))
         |         <= CAST(exact AS DOUBLE) * 0.15 AS within_15pct
         |FROM den JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,

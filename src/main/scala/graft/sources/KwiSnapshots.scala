@@ -13,8 +13,18 @@ import scala.jdk.CollectionConverters._
   * (tmp + atomic rename) listing the live shard BASENAMES after that
   * commit, so the directory stays relocatable. Reads are unchanged by
   * default (directory listing — zero behavior change for existing
-  * stores, and a crash between shard rename and manifest write loses
-  * only the history entry, never data); passing
+  * stores). Crash contract, stated precisely: a crash between the
+  * shard renames and the manifest write never loses DATA (the shards
+  * are on disk and every default directory-listing read sees them),
+  * but it does fork the two read paths permanently — each later
+  * commit bases itself on the PREVIOUS MANIFEST, not the listing
+  * (deliberately: the listing would resurrect archived shards after a
+  * retain-mode overwrite, and an orphan from a crash is
+  * indistinguishable from an archived shard), so the orphaned shards
+  * stay visible to listing reads and absent from every snapshot,
+  * including `latest`. Recovery from such a crash is explicit, not
+  * silent: re-append the orphaned shards (re-run the failed batch) or
+  * read the store by directory listing; passing
   * `option("snapshot", "3")` (or `"latest"`) resolves the file set
   * from that manifest instead. `overwrite` + `option("retain","true")`
   * keeps the replaced shards on disk — archive mode, where historical
@@ -25,7 +35,13 @@ import scala.jdk.CollectionConverters._
   *
   * Single-writer discipline (same as the shard writer's): concurrent
   * committers may race the next version number; the format's contract
-  * has always been one writer per store.
+  * has always been one writer per store. That discipline covers
+  * `vacuum` vs READERS too: `files()` verifies shard existence at
+  * PLANNING time, so a vacuum deleting a shard after a snapshot read
+  * planned but before its tasks open the file surfaces as a raw task
+  * IO error, not the "vacuumed shard" diagnostic — vacuum is a
+  * maintenance operation to run when no snapshot read is in flight
+  * (the same offline-compaction window every table format schedules).
   */
 object KwiSnapshots {
 
