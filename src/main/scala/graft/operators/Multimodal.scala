@@ -292,7 +292,19 @@ object Multimodal {
     * missing color table, palette-overrun index, truncated or
     * over-producing LZW data, dictionary overflow, or a frame that
     * declares more pixels than the decoder's allocation guard allows. */
-  def decodeGif(p: Array[Byte]): Option[Array[Int]] = {
+  def decodeGif(p: Array[Byte]): Option[Array[Int]] =
+    decodeGifFrames(p, maxFrames = 1).map(_.head)
+
+  /** ALL frames of a (possibly animated) GIF stream, each decoded with
+    * the same de-interlace / palette / transparency semantics as the
+    * first-frame path (`decodeGif` IS this with maxFrames = 1 — one
+    * decoder, two surfaces). A GCE transparency index arms only the
+    * single image that follows it, per the 89a spec. None on any
+    * structural defect in any frame, or on a stream that ends without
+    * a trailer once maxFrames is not the limiter — a torn animation
+    * should fail loudly, not pass as a shorter one. */
+  def decodeGifFrames(p: Array[Byte],
+      maxFrames: Int = 256): Option[Array[Array[Int]]] = {
     if (p.length < 13) return None
     val hdr = new String(p, 0, 6, "US-ASCII")
     if (hdr != "GIF87a" && hdr != "GIF89a") return None
@@ -308,10 +320,12 @@ object Multimodal {
         pos += n
       }
       var transIndex = -1 // GCE transparency index for the NEXT image
-      // walk blocks to the first image descriptor
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      // walk blocks, decoding each image descriptor in stream order
       while (pos < p.length) {
         (p(pos) & 0xff) match {
-          case 0x3b => return None // trailer before any image
+          case 0x3b => // trailer
+            return if (frames.isEmpty) None else Some(frames.toArray)
           case 0x21 => // extension: label byte then sub-blocks
             // graphic-control extension (0xF9): flags bit 0 arms the
             // transparency index (data byte 3) for the following image
@@ -345,6 +359,7 @@ object Multimodal {
               data.write(p, pos + 1, n)
               pos += 1 + n
             }
+            pos += 1 // past the sub-block terminator
             val idx = lzwDecode(data.toByteArray, mcs, w * h)
               .getOrElse(return None)
             // de-interlace + palette expand; transparent pixels show
@@ -380,11 +395,13 @@ object Multimodal {
               }
               r += 1
             }
-            return Some(out)
+            frames += out
+            transIndex = -1 // a GCE arms exactly one image
+            if (frames.length >= maxFrames) return Some(frames.toArray)
           case _ => return None // lost block sync
         }
       }
-      None
+      None // ran off the end without a trailer
     } catch { case _: Exception => None }
   }
 
@@ -482,16 +499,48 @@ object Multimodal {
     * values bit-exactly from the source text. */
   def encodeGifGray(width: Int, height: Int, gray: Array[Byte],
       interlaced: Boolean = false): Array[Byte] = {
-    require(gray.length == width * height,
-      s"need $width*$height bytes, got ${gray.length}")
+    val out = gifHeaderGray(width, height)
+    writeGifFrame(out, width, height, gray, interlaced)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** ANIMATED gray GIF fixture encoder: the same header/palette as the
+    * single-frame encoder, then one image descriptor + LZW stream per
+    * frame (all full-canvas, non-interlaced), closed by one trailer —
+    * the minimal legal multi-image GIF89a stream. Round trip:
+    * `decodeGifFrames(encodeGifAnimGray(w,h,frames))` returns each
+    * frame's gray bytes tripled, in frame order. */
+  def encodeGifAnimGray(width: Int, height: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "animated GIF needs at least one frame")
+    val out = gifHeaderGray(width, height, version = "GIF89a")
+    frames.foreach(f => writeGifFrame(out, width, height, f, interlaced = false))
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Header + logical screen + 256-entry gray global palette. */
+  private def gifHeaderGray(width: Int, height: Int,
+      version: String = "GIF87a"): java.io.ByteArrayOutputStream = {
     val out = new java.io.ByteArrayOutputStream()
-    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write(version.getBytes("US-ASCII"))
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     w16(width); w16(height)
     out.write(0xf7) // global table present, 8-bit color res, 256 entries
     out.write(0); out.write(0) // background index, aspect
     var i = 0
     while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out
+  }
+
+  /** One full-canvas image descriptor + "uncompressed" LZW stream
+    * (CLEAR before every literal — see the class note). */
+  private def writeGifFrame(out: java.io.ByteArrayOutputStream,
+      width: Int, height: Int, gray: Array[Byte], interlaced: Boolean): Unit = {
+    require(gray.length == width * height,
+      s"need $width*$height bytes, got ${gray.length}")
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write(0x2c) // image descriptor
     w16(0); w16(0); w16(width); w16(height)
     out.write(if (interlaced) 0x40 else 0x00)
@@ -522,8 +571,6 @@ object Multimodal {
       o += n
     }
     out.write(0) // sub-block terminator
-    out.write(0x3b) // trailer
-    out.toByteArray
   }
 
   /** Decode dispatch: a real container parse when the payload IS a
@@ -740,6 +787,23 @@ object Multimodal {
     * (pigeonhole), so image near-dup pair-finding bands EXACTLY like
     * simhash — no all-pairs comparison; 16-bit band values also keep
     * every downstream sum/xor far from 64-bit-integer edges. */
+  /** The 64-bit aHash of one DECODED sample array, packed as four
+    * 16-bit bands (LSB-first within a band) — factored out so the
+    * per-image operator (`aHash`) and the per-FRAME path
+    * (media_frame_dedup's animation dedup) compute the identical
+    * bits from the identical arithmetic. */
+  def aHashBits(samples: Array[Int], channels: Int = 3): Array[Int] = {
+    require(samples.length >= 64 * channels,
+      s"aHash needs an 8x8 image (${64 * channels} samples), got ${samples.length}")
+    val px = Array.tabulate(64)(i => samples(i * channels))
+    val tot = px.sum
+    Array.tabulate(4) { j =>
+      (0 until 16).foldLeft(0) { (acc, k) =>
+        acc | ((if (px(j * 16 + k) * 64 > tot) 1 else 0) << k)
+      }
+    }
+  }
+
   def aHash(media: Dataset[MediaRow], channels: Int = 3): Dataset[AHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
@@ -750,17 +814,7 @@ object Multimodal {
       // near-dup band table — reject at the modality boundary instead
       require(r.kind == "image",
         s"aHash is an image operator; got kind='${r.kind}' for media_id=${r.media_id}")
-      val s = decode(r.payload)
-      require(s.length >= 64 * channels,
-        s"aHash needs an 8x8 image (${64 * channels} samples), got ${s.length}")
-      val px = Array.tabulate(64)(i => s(i * channels))
-      val tot = px.sum
-      val bands = Array.tabulate(4) { j =>
-        (0 until 16).foldLeft(0) { (acc, k) =>
-          acc | ((if (px(j * 16 + k) * 64 > tot) 1 else 0) << k)
-        }
-      }
-      AHash(r.media_id, bands)
+      AHash(r.media_id, aHashBits(decode(r.payload), channels))
     })
   }
 

@@ -452,7 +452,7 @@ object IndexQueries extends QueryRegistry {
     * of every bucket signature (data-dependent planes) with derived
     * invariants and the id-weighted content sum — an appended store and
     * its compacted rewrite must both hash-match it. */
-  private def lshMaintenanceOracle: String =
+  private[graft] def lshMaintenanceOracle: String =
     s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < $LshAppendPlanes),
        |keys AS (SELECT e.vec_id,
        |           CAST(sum(CASE WHEN ${dot("e.embedding", "p.pe")} >= 0

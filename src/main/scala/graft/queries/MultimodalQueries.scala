@@ -258,6 +258,62 @@ object MultimodalQueries extends QueryRegistry {
         .orderBy(col("media_id"))
     }),
 
+    // CROSS-FRAME dedup inside one ANIMATION — the video-dedup shape
+    // without needing H.264: each doc becomes a REAL 4-frame animated
+    // GIF (three text-slice frames plus a planted near-identical
+    // fourth = frame 0 with one gray byte bumped), the decoder
+    // extracts every frame (decodeGifFrames — the same LZW/palette
+    // path as the single-frame audits), each frame gets the aHash
+    // band packing, and near-identical frames WITHIN an animation
+    // come from a (media, band)-keyed equi-join + popcount Hamming
+    // rerank — the media_phash_pairs discipline applied along the
+    // time axis. The oracle replays the whole chain (frame bytes →
+    // bits → bands → pairs → Hamming) from the raw text.
+    "media_frame_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+        .filter(col("doc_id") < 120 && length(col("text")) >= 192)
+        .select(col("doc_id"), substring(col("text"), 1, 192).as("head"))
+        .filter(octet_length(col("head")) === 192)
+        .as[(Long, String)]
+      val fr = docs.flatMap { case (id, txt) =>
+        val b = txt.getBytes("UTF-8")
+        val f3 = b.slice(0, 64)
+        f3(7) = (f3(7) + 1).toByte // the planted near-identical frame
+        val frames = Seq(b.slice(0, 64), b.slice(64, 128),
+          b.slice(128, 192), f3)
+        val dec = Multimodal.decodeGifFrames(
+          Multimodal.encodeGifAnimGray(8, 8, frames))
+          .getOrElse(throw new IllegalStateException(
+            s"animated GIF round trip failed for doc $id"))
+        dec.zipWithIndex.map { case (samples, fi) =>
+          (id, fi, Multimodal.aHashBits(samples, 3))
+        }
+      }.toDF("media_id", "frame", "bands")
+      val br = fr.select(col("media_id"), col("frame"),
+        posexplode(col("bands")).as(Seq("bi", "bv")))
+      val cand = br.as("x").join(br.as("y"),
+          col("x.media_id") === col("y.media_id") &&
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.frame") < col("y.frame"))
+        .select(col("x.media_id").as("media_id"),
+          col("x.frame").as("fa"), col("y.frame").as("fb"))
+        .distinct()
+      val ham = (0 until 4).map(j =>
+          TextOps.hamming16(element_at(col("ba"), j + 1).cast("long"),
+            element_at(col("bb"), j + 1).cast("long")))
+        .reduce(_ + _)
+      cand
+        .join(fr.select(col("media_id"), col("frame").as("fa"),
+          col("bands").as("ba")), Seq("media_id", "fa"))
+        .join(fr.select(col("media_id"), col("frame").as("fb"),
+          col("bands").as("bb")), Seq("media_id", "fb"))
+        .select(col("media_id"), col("fa").cast("long").as("frame_a"),
+          col("fb").cast("long").as("frame_b"), ham.cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("media_id"), col("frame_a"), col("frame_b"))
+    }),
+
     // frame-sample pass ("video" decimation): keep every 2nd 8-byte
     // frame block; the byte_sum checksum verifies the KEPT bytes are
     // exactly the right ones, not just the right count
@@ -351,6 +407,41 @@ object MultimodalQueries extends QueryRegistry {
         |SELECT a, b, CAST(hamming AS BIGINT) AS hamming
         |FROM ham WHERE hamming <= 3
         |ORDER BY hamming, a, b LIMIT 20""".stripMargin,
+
+    // frame f<3 byte i = ascii of text char 64f+i; frame 3 = frame 0
+    // with byte 8 (1-based) bumped by one — then the identical
+    // aHash/band/Hamming chain as media_phash_pairs, per (doc, frame)
+    "media_frame_dedup" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 192) AS s
+        |           FROM documents WHERE doc_id < 120 AND length(text) >= 192
+        |             AND strlen(substr(text, 1, 192)) = 192),
+        |fpx AS (SELECT doc_id, fi AS frame, i - 1 AS pi,
+        |               CASE WHEN fi < 3 THEN ascii(s[64*fi + i])
+        |                    WHEN i = 8 THEN ascii(s[8]) + 1
+        |                    ELSE ascii(s[i]) END AS p
+        |        FROM t, (SELECT unnest(generate_series(0, 3)) AS fi),
+        |             (SELECT unnest(generate_series(1, 64)) AS i)),
+        |tot AS (SELECT doc_id, frame, sum(p) AS tot FROM fpx GROUP BY 1, 2),
+        |bits AS (SELECT f.doc_id, f.frame, pi,
+        |                CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS bit
+        |         FROM fpx f JOIN tot ON f.doc_id = tot.doc_id AND f.frame = tot.frame),
+        |bands AS (SELECT doc_id, frame, pi // 16 AS bi, sum(bit << (pi % 16)) AS bv
+        |          FROM bits GROUP BY 1, 2, 3),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_id, x.frame AS fa, y.frame AS fb
+        |         FROM bands x JOIN bands y
+        |           ON x.doc_id = y.doc_id AND x.bi = y.bi AND x.bv = y.bv
+        |              AND x.frame < y.frame),
+        |ham AS (SELECT cand.doc_id, fa, fb,
+        |               sum(bit_count(xor(ba.bv, bb.bv))) AS hamming
+        |        FROM cand
+        |        JOIN bands ba ON ba.doc_id = cand.doc_id AND ba.frame = cand.fa
+        |        JOIN bands bb ON bb.doc_id = cand.doc_id AND bb.frame = cand.fb
+        |                     AND bb.bi = ba.bi
+        |        GROUP BY 1, 2, 3)
+        |SELECT doc_id AS media_id, CAST(fa AS BIGINT) AS frame_a,
+        |       CAST(fb AS BIGINT) AS frame_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 3
+        |ORDER BY media_id, frame_a, frame_b""".stripMargin,
 
     // cohort exactly replayed; the lossy-reconstruction contract is
     // Spark-side-checked booleans (see the query comment)

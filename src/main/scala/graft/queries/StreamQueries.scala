@@ -154,6 +154,60 @@ object StreamQueries extends QueryRegistry {
       sink
     }
 
+  /** Streaming index maintenance — the loop a serving tier actually
+    * runs: the LSH store is built on the first half of the corpus,
+    * then a foreachBatch consumer `Lsh.append`s each micro-batch of
+    * newly-arriving vectors (three mtime-ordered files → three real
+    * micro-batches) into the bucket-partitioned store. Append is
+    * O(batch) against the frozen data-dependent plane matrix, so the
+    * streaming path does exactly what the batch lsh_append_audit path
+    * does — and the declared audit over the final store shares that
+    * query's full-DuckDB-re-assignment oracle: a dropped batch, a
+    * double-applied batch, or a drifted bucket key hash-fails.
+    * Honesty note on restarts: Lsh.append is not idempotent per
+    * micro-batch — a crash AFTER the append but BEFORE the checkpoint
+    * commit would re-apply the batch on restart (and the audit would
+    * catch the duplicate ids). A production deployment writes the
+    * batchId into the store (or compacts through a transactional
+    * format) to make redelivery exact; the bounded replay here runs
+    * each batch exactly once. */
+  private def indexAppendReplay(s: SparkSession, dir: String): (Long, DataFrame) =
+    SharedBuilds.of(s, dir, "stream-index-append") {
+      val emb = embeddings(s, dir)
+      val total = emb.count()
+      val half = total / 2
+      val planes = emb.filter(col("vec_id") < IndexQueries.LshAppendPlanes)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val lsh = new graft.operators.Lsh(
+        numPlanes = IndexQueries.LshAppendPlanes, seed = 42L,
+        explicitPlanes = Some(planes))
+      val path = buildPath(dir, "stream-lsh-store")
+      val in = buildPath(dir, "stream-vec-in")
+      val ckpt = buildPath(dir, "stream-lsh-ckpt")
+      rmrf(path, in, ckpt)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      lsh.build(emb.filter(col("vec_id") < half), path)
+      val slice = emb.select(col("vec_id"), col("embedding"))
+      val third = (total - half) / 3 + 1
+      (0 until 3).foreach { i =>
+        writeMtimed(dir, in, f"$i%02d-vecs",
+          slice.filter(col("vec_id") >= half + i * third &&
+            col("vec_id") < half + (i + 1) * third),
+          1700000000000L + i * 100000L)
+      }
+      val q = s.readStream.schema(slice.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          lsh.append(path, batch); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (half, s.read.parquet(path))
+    }
+
   /** Write `df` as the single parquet file `<inDir>/<name>.parquet`
     * with a pinned mtime — the unit of one micro-batch under
     * AvailableNow + maxFilesPerTrigger=1, which orders batches by
@@ -409,6 +463,16 @@ object StreamQueries extends QueryRegistry {
           max_by(col("doc_id"), col("ts")).as("last_doc"))
         .orderBy(col("ch"))
     }),
+
+    // the SEVENTH replay: streaming index maintenance. The audit rows
+    // come from the store the foreachBatch consumer maintained; the
+    // oracle is the same full from-scratch DuckDB re-assignment the
+    // batch lsh_append_audit uses — streaming appends must land the
+    // store in the exact state a batch rebuild would
+    "stream_index_append_replay" -> ((s, dir) => {
+      val (half, idx) = indexAppendReplay(s, dir)
+      IndexQueries.lshAppendAudit(half, idx)
+    }),
   )
 
   // the shared minhash signature/band CTE prefix (same fragments as
@@ -522,5 +586,9 @@ object StreamQueries extends QueryRegistry {
          |       CAST(min_by(doc_id, ms) AS BIGINT) AS first_doc,
          |       CAST(max_by(doc_id, ms) AS BIGINT) AS last_doc
          |FROM e GROUP BY ch ORDER BY ch""".stripMargin,
+
+    // shared with lsh_append_audit / lsh_compact_audit: the streaming
+    // append path must land the identical store content
+    "stream_index_append_replay" -> IndexQueries.lshMaintenanceOracle,
   )
 }

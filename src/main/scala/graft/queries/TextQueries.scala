@@ -167,6 +167,189 @@ object TextQueries extends QueryRegistry {
         .localCheckpoint()
     }
 
+  /** Map-only per-doc quality + lexical-diversity booleans — the text
+    * work of the funnel's last two stages, factored out so the FULL
+    * pipeline (curation_funnel) and the INCREMENTAL pipeline
+    * (incremental_funnel, which runs this over only the new shards)
+    * execute the identical arithmetic by construction. */
+  private def funnelMetrics(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", TextOps.tokens(col("text")))
+    .withColumn("ws", filter(split(col("text"), "\\s+"), w => length(w) > lit(0)))
+    .withColumn("nw", size(col("ws")).cast("long"))
+    .withColumn("mean_len", when(col("nw") === 0, lit(0.0)).otherwise(
+      aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long"))
+        .cast("double") / col("nw")))
+    .withColumn("sym_ratio", when(col("nw") === 0, lit(0.0)).otherwise(
+      ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("double") +
+        (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("double") / 3.0)
+        / col("nw")))
+    .withColumn("alpha_ratio", when(col("nw") === 0, lit(0.0)).otherwise(
+      size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double") / col("nw")))
+    .select(col("doc_id"),
+      (col("nw").between(50L, 100000L) &&
+        col("mean_len") >= 3.0 && col("mean_len") <= 10.0 &&
+        col("sym_ratio") < 0.1 && col("alpha_ratio") >= 0.8).as("q_pass"),
+      (size(col("toks")) === 0 ||
+        size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")) >= 0.32).as("ttr_pass"))
+
+  /** The funnel's cross-doc stages over a THIN per-doc frame
+    * (doc_id, ch, component?, contaminated?, q_pass, ttr_pass):
+    * exact-keep window over the content hash, canonical-doc window
+    * over the component, decontamination gate, then the one
+    * conditional aggregation that closes the funnel. Shared by the
+    * full and incremental paths — the exchanges here carry ~25-byte
+    * rows whatever the corpus size; no text survives to this point. */
+  private def funnelAgg(thin: DataFrame): DataFrame = {
+    val wHash = Window.partitionBy(col("ch"))
+    val wComp = Window.partitionBy(col("component"))
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L)).cast("long")
+    thin
+      .withColumn("exact_keep", col("doc_id") === min(col("doc_id")).over(wHash))
+      .withColumn("nd_keep", col("exact_keep") && (col("component").isNull ||
+        col("doc_id") ===
+          min(when(col("exact_keep"), col("doc_id"))).over(wComp)))
+      .withColumn("decon_keep",
+        col("nd_keep") && !coalesce(col("contaminated"), lit(false)))
+      .agg(count(lit(1)).cast("long").as("n_raw"),
+        cnt(col("exact_keep")).as("n_exact"),
+        cnt(col("nd_keep")).as("n_neardup"),
+        cnt(col("decon_keep")).as("n_decontaminated"),
+        cnt(col("decon_keep") && col("q_pass")).as("n_quality"),
+        cnt(col("decon_keep") && col("q_pass") && col("ttr_pass")).as("n_final"))
+  }
+
+  /** Contaminated ids among `corpus` (a shingle table slice with
+    * doc_id >= 10): Bloom screen from the broadcast `bits` literal,
+    * exact verify against the broadcast eval shingle-hash frame —
+    * the sharedContaminatedIds shape, callable per batch. */
+  private def contamIds(corpus: DataFrame,
+      bits: org.apache.spark.sql.Column, evalSh: DataFrame): DataFrame =
+    corpus
+      .filter(exists(array_distinct(col("shh")),
+        h => Dedup.bloomMightContain(h, bits)))
+      .select(col("doc_id"), explode(array_distinct(col("shh"))).as("h"))
+      .join(broadcast(evalSh), "h")
+      .select(col("doc_id")).distinct()
+
+  /** INCREMENTAL curation — the workload a daily 100 TB ingestion job
+    * actually runs, composed from the primitives the store layer
+    * already provides: the corpus lands in a snapshot-manifested
+    * parquet store in TWO commits (KwiSnapshots.commit is
+    * format-agnostic — it tracks shard basenames, so the same
+    * manifest protocol that versions `.kwi` stores versions this
+    * parquet document store), and the funnel then runs as
+    *
+    *   commit-1 state  = full pipeline over snapshot 1 only
+    *   incremental run = `snapshotDiff 1..2` (ONLY the new shards)
+    *                     through shingle/hash/quality text work, then
+    *                     thin-frame merges against the state:
+    *     - new candidate pairs = new×new bands ∪ new×OLD bands (the
+    *       state's band table is the static join side);
+    *     - components = CC over the state's star edges + the new
+    *       verified pairs — a new doc bridging two old clusters MERGES
+    *       them, exactly as a full rebuild would (star compression
+    *       preserves connectivity and the min-id labels);
+    *     - decontamination screens only the new docs against the
+    *       state's Bloom bits + eval shingle set;
+    *     - quality/TTR metrics run map-only over the new docs.
+    *
+    * Every byte of TEXT is read exactly once across the two phases;
+    * everything that crosses phases is a thin state frame (content
+    * hashes, band keys, shingle sets, component map) — the artifacts
+    * an incremental pipeline persists between runs. The declared
+    * oracle is the FULL-corpus funnel SQL, so the green gate IS the
+    * incremental == rebuild proof (the append==rebuild discipline of
+    * pq_append_audit applied to the whole curation pipeline). */
+  private def incrFunnelFlags(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "incr-funnel-flags") {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import scala.jdk.CollectionConverters._
+      import graft.sources.{CollectionManager, KwiSnapshots}
+      // ---- the two-commit document store (batch1 = lower half of the
+      // id space, batch2 = the rest; eval stand-ins doc_id<10 are
+      // always in batch1, so the decon state is complete after v1)
+      val path = Tables.buildPath(dir, "incr-funnel")
+      CollectionManager.deleteRecursively(Paths.get(path))
+      Files.createDirectories(Paths.get(path))
+      val docsAll = documents(s, dir).select(col("doc_id"), col("text"))
+      val maxId = docsAll.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val cutoff = math.max(10L, (maxId + 1) / 2)
+      require(cutoff <= maxId,
+        s"corpus too small for a two-commit split (max doc_id $maxId)")
+      def commitBatch(batch: DataFrame, tag: String): Unit = {
+        val stage = s"$path.stage-$tag"
+        batch.write.mode("overwrite").parquet(stage)
+        val names = Files.list(Paths.get(stage)).iterator().asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+          .toSeq.sorted.zipWithIndex.map { case (n, i) =>
+            val dst = f"$tag-$i%04d.parquet"
+            Files.move(Paths.get(stage, n), Paths.get(path, dst),
+              StandardCopyOption.ATOMIC_MOVE)
+            dst
+          }
+        KwiSnapshots.commit(path, truncate = false, added = names)
+        CollectionManager.deleteRecursively(Paths.get(stage))
+      }
+      commitBatch(docsAll.filter(col("doc_id") < cutoff), "batch1")
+      commitBatch(docsAll.filter(col("doc_id") >= cutoff), "batch2")
+      def readSnap(opt: String): DataFrame = {
+        val files =
+          if (opt.contains("..")) KwiSnapshots.resolveDiff(path, opt)
+          else KwiSnapshots.resolve(path, opt)
+        // same spread rule as Tables.documents: the shingle work is
+        // interpreted-mode HOFs, so buy map-side parallelism up front
+        s.read.parquet(files: _*)
+          .repartition(s.sparkContext.defaultParallelism)
+      }
+      // ---- phase A: commit-1 state (text work touches batch1 only;
+      // the batch is checkpointed so its three consumers — shingle
+      // table, content hashes, quality metrics — scan it once)
+      val docs1 = readSnap("1").localCheckpoint()
+      val hashed1 = Dedup.shingled(docs1).localCheckpoint()
+      val bands1 = Dedup.candidateBands(hashed1).localCheckpoint()
+      val pairs1 = Dedup.minhashNearDupsFrom(
+        hashed1, Dedup.candidatePairs(bands1), 0.3).select(col("a"), col("b"))
+      val comp1 = Components.connectedComponents(pairs1).localCheckpoint()
+      val bits = typedLit(Dedup.bloomBitsOf(
+        hashed1.filter(col("doc_id") < 10)
+          .select(explode(array_distinct(col("shh"))).as("h"))))
+      val evalSh = hashed1.filter(col("doc_id") < 10)
+        .select(explode(array_distinct(col("shh"))).as("h")).distinct()
+        .localCheckpoint()
+      val contam1 = contamIds(hashed1.filter(col("doc_id") >= 10), bits, evalSh)
+      val chA = docs1.select(col("doc_id"), TextOps.md5Long(col("text")).as("ch"))
+      val metrics1 = funnelMetrics(docs1)
+      // ---- phase B: the incremental run — text reads ONLY the diff
+      val newDocs = readSnap("1..2").localCheckpoint()
+      val hashedN = Dedup.shingled(newDocs).localCheckpoint()
+      val bandsN = Dedup.candidateBands(hashedN).localCheckpoint()
+      val newNew = Dedup.candidatePairs(bandsN)
+      val newOld = bands1.select(col("doc_id").as("a"), col("band"), col("band_hash"))
+        .join(bandsN.select(col("doc_id").as("b"), col("band"), col("band_hash")),
+          Seq("band", "band_hash"))
+        .select(col("a"), col("b")).distinct() // old id < new id always
+      val shUnion = hashed1.select(col("doc_id"), col("sh"))
+        .union(hashedN.select(col("doc_id"), col("sh")))
+      val pairsB = Dedup.minhashNearDupsFrom(
+        shUnion, newNew.union(newOld).distinct(), 0.3).select(col("a"), col("b"))
+      val starEdges = comp1.filter(col("node") =!= col("component"))
+        .select(col("component").as("a"), col("node").as("b"))
+      val compAll = Components.connectedComponents(starEdges.union(pairsB))
+        .withColumnRenamed("node", "doc_id")
+      val contamN = contamIds(hashedN, bits, evalSh)
+      val chB = newDocs.select(col("doc_id"), TextOps.md5Long(col("text")).as("ch"))
+      val metricsN = funnelMetrics(newDocs)
+      val contamAll = contam1.union(contamN).distinct()
+        .withColumn("contaminated", lit(true))
+      chA.union(chB)
+        .join(compAll, Seq("doc_id"), "left")
+        .join(broadcast(contamAll), Seq("doc_id"), "left")
+        .join(metrics1.union(metricsN), "doc_id")
+        .localCheckpoint()
+    }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tokenization stats (token counting op)
     "token_stats" -> ((s, dir) => {
@@ -374,56 +557,26 @@ object TextQueries extends QueryRegistry {
     "curation_funnel" -> ((s, dir) => {
       val docs = documents(s, dir)
       val cc = sharedComponents(s, dir).withColumnRenamed("node", "doc_id")
+      // decon drops CORPUS docs that leak eval shingles; the eval
+      // stand-ins (doc_id < 10) are not on the corpus side of the
+      // sweep, so they pass this stage untouched (contam is a
+      // broadcast-size id list — a left join, never a shuffle of
+      // the funnel frame at scale)
       val contam = sharedContaminatedIds(s, dir)
         .withColumn("contaminated", lit(true))
-      val wHash = Window.partitionBy(col("ch"))
-      val wComp = Window.partitionBy(col("component"))
-      val flags = docs
+      funnelAgg(docs
         .select(col("doc_id"), TextOps.md5Long(col("text")).as("ch"))
         .join(cc, Seq("doc_id"), "left")
-        .withColumn("exact_keep", col("doc_id") === min(col("doc_id")).over(wHash))
-        .withColumn("nd_keep", col("exact_keep") && (col("component").isNull ||
-          col("doc_id") ===
-            min(when(col("exact_keep"), col("doc_id"))).over(wComp)))
-        // decon drops CORPUS docs that leak eval shingles; the eval
-        // stand-ins (doc_id < 10) are not on the corpus side of the
-        // sweep, so they pass this stage untouched (contam is a
-        // broadcast-size id list — a left join, never a shuffle of
-        // the funnel frame at scale)
         .join(broadcast(contam), Seq("doc_id"), "left")
-        .withColumn("decon_keep",
-          col("nd_keep") && !coalesce(col("contaminated"), lit(false)))
-        .select(col("doc_id"), col("exact_keep"), col("nd_keep"), col("decon_keep"))
-      val metrics = docs
-        .withColumn("toks", TextOps.tokens(col("text")))
-        .withColumn("ws", filter(split(col("text"), "\\s+"), w => length(w) > lit(0)))
-        .withColumn("nw", size(col("ws")).cast("long"))
-        .withColumn("mean_len", when(col("nw") === 0, lit(0.0)).otherwise(
-          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long"))
-            .cast("double") / col("nw")))
-        .withColumn("sym_ratio", when(col("nw") === 0, lit(0.0)).otherwise(
-          ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("double") +
-            (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("double") / 3.0)
-            / col("nw")))
-        .withColumn("alpha_ratio", when(col("nw") === 0, lit(0.0)).otherwise(
-          size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double") / col("nw")))
-        .select(col("doc_id"),
-          (col("nw").between(50L, 100000L) &&
-            col("mean_len") >= 3.0 && col("mean_len") <= 10.0 &&
-            col("sym_ratio") < 0.1 && col("alpha_ratio") >= 0.8).as("q_pass"),
-          (size(col("toks")) === 0 ||
-            size(array_distinct(col("toks"))).cast("double") /
-              size(col("toks")) >= 0.32).as("ttr_pass"))
-      def cnt(c: org.apache.spark.sql.Column) =
-        sum(when(c, 1L).otherwise(0L)).cast("long")
-      metrics.join(flags, "doc_id")
-        .agg(count(lit(1)).cast("long").as("n_raw"),
-          cnt(col("exact_keep")).as("n_exact"),
-          cnt(col("nd_keep")).as("n_neardup"),
-          cnt(col("decon_keep")).as("n_decontaminated"),
-          cnt(col("decon_keep") && col("q_pass")).as("n_quality"),
-          cnt(col("decon_keep") && col("q_pass") && col("ttr_pass")).as("n_final"))
+        .join(funnelMetrics(docs), "doc_id"))
     }),
+
+    // the incremental twin: same six funnel counts, computed from the
+    // two-commit snapshot store via commit-1 state + a snapshotDiff
+    // read of only the new shards (see incrFunnelFlags). The oracle is
+    // the FULL-corpus funnel replay, so green == "incremental run
+    // produced byte-identical results to a from-scratch rebuild"
+    "incremental_funnel" -> ((s, dir) => funnelAgg(incrFunnelFlags(s, dir))),
 
     // exact-substring duplicate SPANS (the signal behind suffix-array
     // dedup, Lee et al. 2021 "Deduplicating Training Data Makes
@@ -844,7 +997,17 @@ object TextQueries extends QueryRegistry {
          |SELECT component, CAST(count(*) AS BIGINT) AS n_docs, max(node) AS max_doc
          |FROM cc GROUP BY component ORDER BY component""".stripMargin,
 
-    "curation_funnel" ->
+    "curation_funnel" -> funnelOracleSql,
+
+    // the incremental path must land on the IDENTICAL six counts a
+    // full-corpus rebuild produces — so its oracle IS the full-corpus
+    // funnel replay; any drift in the incremental state/merge logic
+    // (missed new×old candidate, unmerged component, stale contam
+    // flag) hash-fails this entry
+    "incremental_funnel" -> funnelOracleSql,
+  ) ++ oracleTail
+
+  private lazy val funnelOracleSql: String =
       s"""WITH RECURSIVE t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
          |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
@@ -902,8 +1065,9 @@ object TextQueries extends QueryRegistry {
          |       CAST(sum(CASE WHEN decon_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_decontaminated,
          |       CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |       CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final
-         |FROM st4""".stripMargin,
+         |FROM st4""".stripMargin
 
+  private lazy val oracleTail: Map[String, String] = Map(
     "dup_span_stats" ->
       s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),

@@ -561,4 +561,45 @@ class MultimodalSpec extends SparkSpec {
     // and the changed bit is pixel 40 = band 2, bit 8
     assert((h.bands(2) ^ h2.bands(2)) == (1 << 8))
   }
+
+  test("animated GIF round trip: every frame back, in order, tripled") {
+    val f0 = Array.tabulate(64)(i => (i * 4).toByte)
+    val f1 = Array.tabulate(64)(i => (255 - i * 4).toByte)
+    val f2 = Array.fill(64)(77.toByte)
+    val anim = Multimodal.encodeGifAnimGray(8, 8, Seq(f0, f1, f2))
+    val got = Multimodal.decodeGifFrames(anim)
+    assert(got.isDefined && got.get.length == 3)
+    got.get.zip(Seq(f0, f1, f2)).foreach { case (samples, src) =>
+      assert(samples.length == 192)
+      (0 until 64).foreach { i =>
+        val v = src(i) & 0xff
+        assert(samples(3 * i) == v && samples(3 * i + 1) == v &&
+          samples(3 * i + 2) == v, s"pixel $i")
+      }
+    }
+    // decodeGif (first-frame surface) sees exactly frame 0
+    val first = Multimodal.decodeGif(anim)
+    assert(first.isDefined && first.get.toSeq == got.get.head.toSeq)
+  }
+
+  test("cross-frame dedup finds the planted near-identical frame only") {
+    // frame 3 = frame 0 with one mid-gray pixel moved one step: aHash
+    // differs in ≤ a couple of bits → the band join + Hamming rerank
+    // must pair (0, 3); frames 1 and 2 are structurally different
+    // (half-split vs constant) and must not pair with frame 0 at ≤ 3
+    val f0 = (Array.fill(32)(10) ++ Array.fill(32)(200)).map(_.toByte)
+    val f3 = f0.clone(); f3(40) = 10.toByte
+    val f1 = (Array.fill(32)(200) ++ Array.fill(32)(10)).map(_.toByte)
+    val f2 = Array.tabulate(64)(i => if (i % 2 == 0) 250 else 0).map(_.toByte)
+    val anim = Multimodal.encodeGifAnimGray(8, 8, Seq(f0, f1, f2, f3))
+    val frames = Multimodal.decodeGifFrames(anim).get
+    val bands = frames.map(s => Multimodal.aHashBits(s, 3))
+    def hamming(a: Array[Int], b: Array[Int]): Int =
+      (0 until 4).map(j => Integer.bitCount(a(j) ^ b(j))).sum
+    assert(hamming(bands(0), bands(3)) <= 3, "planted pair must band-match")
+    assert(bands(0).indices.exists(j => bands(0)(j) == bands(3)(j)),
+      "pigeonhole: some band must agree exactly at hamming <= 3")
+    assert(hamming(bands(0), bands(1)) > 3, "inverted frame must not pair")
+    assert(hamming(bands(0), bands(2)) > 3, "stripe frame must not pair")
+  }
 }
