@@ -100,7 +100,10 @@ object MultimodalQueries extends QueryRegistry {
       val media = docs.map { case (id, txt) =>
         Multimodal.MediaRow(id, "image",
           Multimodal.encodeBmpGray(8, 8, txt.getBytes("UTF-8")), 8, 8, 1) }
-      val ah = Multimodal.aHash(media).toDF()
+      // materialized: the band explode and both rerank joins read this
+      // hash table — without the boundary the BMP encode/decode map
+      // runs three times (the minhash-signature-table discipline)
+      val ah = Multimodal.aHash(media).toDF().localCheckpoint()
       val br = ah.select(col("media_id"), posexplode(col("bands")).as(Seq("bi", "bv")))
       val cand = br.as("x").join(br.as("y"),
           col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
@@ -289,7 +292,10 @@ object MultimodalQueries extends QueryRegistry {
         dec.zipWithIndex.map { case (samples, fi) =>
           (id, fi, Multimodal.aHashBits(samples, 3))
         }
-      }.toDF("media_id", "frame", "bands")
+        // materialized: three consumers (band explode + both rerank
+        // sides) must not re-run the GIF encode/decode map — the same
+        // build/probe split as the minhash signature table
+      }.toDF("media_id", "frame", "bands").localCheckpoint()
       val br = fr.select(col("media_id"), col("frame"),
         posexplode(col("bands")).as(Seq("bi", "bv")))
       val cand = br.as("x").join(br.as("y"),

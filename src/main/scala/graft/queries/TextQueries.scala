@@ -255,11 +255,13 @@ object TextQueries extends QueryRegistry {
     *       state's Bloom bits + eval shingle set;
     *     - quality/TTR metrics run map-only over the new docs.
     *
-    * Every byte of TEXT is read exactly once across the two phases;
-    * everything that crosses phases is a thin state frame (content
-    * hashes, band keys, shingle sets, component map) — the artifacts
-    * an incremental pipeline persists between runs. The declared
-    * oracle is the FULL-corpus funnel SQL, so the green gate IS the
+    * Every byte of TEXT is read exactly once across the two phases,
+    * and everything that crosses them is a state TABLE PERSISTED TO
+    * PARQUET (content hashes, band keys, shingle sets, component map,
+    * contaminated ids, quality metrics, eval shingles) that phase B
+    * reads back from disk — no shared in-memory lineage, exactly the
+    * two scheduler ticks of a real daily job. The declared oracle is
+    * the FULL-corpus funnel SQL, so the green gate IS the
     * incremental == rebuild proof (the append==rebuild discipline of
     * pq_append_audit applied to the whole curation pipeline). */
   private def incrFunnelFlags(s: SparkSession, dir: String): DataFrame =
@@ -305,48 +307,66 @@ object TextQueries extends QueryRegistry {
       }
       // ---- phase A: commit-1 state (text work touches batch1 only;
       // the batch is checkpointed so its three consumers — shingle
-      // table, content hashes, quality metrics — scan it once)
+      // table, content hashes, quality metrics — scan it once). Every
+      // state frame is PERSISTED to parquet and phase B reads it back
+      // from disk: the two phases share no in-memory lineage, exactly
+      // like the two scheduler ticks of a real daily job (the state
+      // tables are what that job keeps between runs).
+      val stateDir = s"$path.state"
+      CollectionManager.deleteRecursively(Paths.get(stateDir))
+      def saveState(df: DataFrame, name: String): DataFrame = {
+        val p = s"$stateDir/$name"
+        df.write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      }
       val docs1 = readSnap("1").localCheckpoint()
       val hashed1 = Dedup.shingled(docs1).localCheckpoint()
-      val bands1 = Dedup.candidateBands(hashed1).localCheckpoint()
       val pairs1 = Dedup.minhashNearDupsFrom(
-        hashed1, Dedup.candidatePairs(bands1), 0.3).select(col("a"), col("b"))
-      val comp1 = Components.connectedComponents(pairs1).localCheckpoint()
-      val bits = typedLit(Dedup.bloomBitsOf(
-        hashed1.filter(col("doc_id") < 10)
-          .select(explode(array_distinct(col("shh"))).as("h"))))
-      val evalSh = hashed1.filter(col("doc_id") < 10)
-        .select(explode(array_distinct(col("shh"))).as("h")).distinct()
-        .localCheckpoint()
-      val contam1 = contamIds(hashed1.filter(col("doc_id") >= 10), bits, evalSh)
-      val chA = docs1.select(col("doc_id"), TextOps.md5Long(col("text")).as("ch"))
-      val metrics1 = funnelMetrics(docs1)
-      // ---- phase B: the incremental run — text reads ONLY the diff
+        hashed1, Dedup.candidatesFrom(hashed1), 0.3).select(col("a"), col("b"))
+      // the persisted state: band table, shingle sets, component map,
+      // contaminated ids, content hashes, quality metrics, eval
+      // shingle hashes (the Bloom bits re-derive from the last)
+      val bandsState = saveState(Dedup.candidateBands(hashed1), "bands")
+      val shState = saveState(hashed1.select(col("doc_id"), col("sh")), "shingles")
+      val compState = saveState(
+        Components.connectedComponents(pairs1), "components")
+      val evalSh = saveState(hashed1.filter(col("doc_id") < 10)
+        .select(explode(array_distinct(col("shh"))).as("h")).distinct(),
+        "eval-shingles")
+      val contamState = saveState(
+        contamIds(hashed1.filter(col("doc_id") >= 10),
+          typedLit(Dedup.bloomBitsOf(evalSh)), evalSh), "contam")
+      val chState = saveState(docs1.select(col("doc_id"),
+        TextOps.md5Long(col("text")).as("ch")), "ch")
+      val metricsState = saveState(funnelMetrics(docs1), "metrics")
+      // ---- phase B: the incremental run — TEXT reads only the diff;
+      // everything else comes off the persisted state tables
+      val bits = typedLit(Dedup.bloomBitsOf(evalSh))
       val newDocs = readSnap("1..2").localCheckpoint()
       val hashedN = Dedup.shingled(newDocs).localCheckpoint()
       val bandsN = Dedup.candidateBands(hashedN).localCheckpoint()
       val newNew = Dedup.candidatePairs(bandsN)
-      val newOld = bands1.select(col("doc_id").as("a"), col("band"), col("band_hash"))
+      val newOld = bandsState.select(col("doc_id").as("a"), col("band"), col("band_hash"))
         .join(bandsN.select(col("doc_id").as("b"), col("band"), col("band_hash")),
           Seq("band", "band_hash"))
         .select(col("a"), col("b")).distinct() // old id < new id always
-      val shUnion = hashed1.select(col("doc_id"), col("sh"))
+      val shUnion = shState
         .union(hashedN.select(col("doc_id"), col("sh")))
       val pairsB = Dedup.minhashNearDupsFrom(
         shUnion, newNew.union(newOld).distinct(), 0.3).select(col("a"), col("b"))
-      val starEdges = comp1.filter(col("node") =!= col("component"))
+      val starEdges = compState.filter(col("node") =!= col("component"))
         .select(col("component").as("a"), col("node").as("b"))
       val compAll = Components.connectedComponents(starEdges.union(pairsB))
         .withColumnRenamed("node", "doc_id")
       val contamN = contamIds(hashedN, bits, evalSh)
       val chB = newDocs.select(col("doc_id"), TextOps.md5Long(col("text")).as("ch"))
       val metricsN = funnelMetrics(newDocs)
-      val contamAll = contam1.union(contamN).distinct()
+      val contamAll = contamState.union(contamN).distinct()
         .withColumn("contaminated", lit(true))
-      chA.union(chB)
+      chState.union(chB)
         .join(compAll, Seq("doc_id"), "left")
         .join(broadcast(contamAll), Seq("doc_id"), "left")
-        .join(metrics1.union(metricsN), "doc_id")
+        .join(metricsState.union(metricsN), "doc_id")
         .localCheckpoint()
     }
 
