@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Metrics
+import graft.functions.{Metrics, VectorOps}
 import graft.operators.{Hnsw, Ivf, Knn, Lsh, Pq}
 
 /** Declared queries for the approximate indexes (LSH / HNSW) and the
@@ -1046,7 +1046,70 @@ object IndexQueries extends QueryRegistry {
           round(Metrics.recallAtK(col("cos_ids"), col("euc_ids"), 10), 6).as("recall"))
         .orderBy(col("query_id"))
     }),
+
+    // binary (1-bit/dim) quantization retrieval: the 64-dim float
+    // corpus packed to two 32-bit sign words (32× smaller than float —
+    // the most aggressive quantization tier after int8), Hamming-
+    // distance candidates via the native bit_count(xor) popcount,
+    // exact-float rerank of the top-50 shortlist, recall@10 vs the
+    // float ranking. Scale shape: packing is a static 64-term codegen
+    // expression on the scan (map-only); candidate selection is the
+    // same q×k bounded-heap aggregate as every other knn (shuffle
+    // carries queries×50 rows, never the corpus); the rerank touches
+    // only the broadcast 250-row shortlist — at 100 TB the packed
+    // words are the only full-width column the probe ever reads.
+    "bq_hamming_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      def packWord(c: Column, off: Int): Column =
+        (0 until 32).map(i =>
+          when(element_at(c, off + i + 1) > lit(0f), lit(1L << i))
+            .otherwise(lit(0L)))
+          .reduce(_ + _)
+      val db = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          packWord(col("embedding"), 0).as("b_lo"),
+          packWord(col("embedding"), 32).as("b_hi"))
+      val qb = qs.select(col("query_id"),
+        packWord(col("qe"), 0).as("q_lo"),
+        packWord(col("qe"), 32).as("q_hi"))
+      val hammScored = db.crossJoin(broadcast(qb))
+        .select(col("query_id").as("qid"), col("vec_id").as("id"),
+          -(bit_count(col("b_lo").bitwiseXOR(col("q_lo"))) +
+            bit_count(col("b_hi").bitwiseXOR(col("q_hi")))).cast("double")
+            .as("score"))
+        .as[(Long, Long, Double)]
+      val cand = Knn.topKScoredAgg(hammScored, 50)
+        .select(col("query_id"), col("vec_id"))
+      val rerScored = emb.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .select(col("query_id").as("qid"), col("vec_id").as("id"),
+          (round(VectorOps.fastCosine(col("embedding"), col("qe")), 6) + 0.0)
+            .as("score"))
+        .as[(Long, Long, Double)]
+      def ids(ranked: DataFrame, out: String): DataFrame =
+        ranked.groupBy(col("query_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("rank"), col("vec_id")))),
+            x => x.getField("vec_id")).as(out))
+      val bq = ids(Knn.topKScoredAgg(rerScored, 10), "bq_ids")
+      val exact = ids(Knn.topKPerQueryAgg(emb, qs, 10, Knn.Cosine), "exact_ids")
+      exact.join(bq, Seq("query_id"))
+        .select(col("query_id"),
+          round(Metrics.recallAtK(col("exact_ids"), col("bq_ids"), 10), 6)
+            .as("recall"))
+        .orderBy(col("query_id"))
+    }),
   )
+
+  /** One 32-bit sign word of the binary quantization as DuckDB SQL —
+    * the same static 32-term sum the Spark side codegens. */
+  private def bqWord(v: String, off: Int): String =
+    (0 until 32).map(i =>
+      s"CASE WHEN CAST($v[${off + i + 1}] AS DOUBLE) > 0.0 THEN ${1L << i} ELSE 0 END")
+      .mkString("(", " + ", ")")
 
   override def oracle: Map[String, String] = Map(
     // Index-audit oracles: the exact totals come from the corpus, the
@@ -1647,5 +1710,40 @@ object IndexQueries extends QueryRegistry {
          |       round(CAST(len(list_intersect(c.cos_ids, e.euc_ids)) AS DOUBLE) / 10.0, 6) AS recall
          |FROM cos_lists c JOIN euc_lists e ON c.query_id = e.query_id
          |ORDER BY c.query_id""".stripMargin,
+
+    "bq_hamming_recall" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |qb AS (SELECT query_id, qe,
+         |         ${bqWord("qe", 0)} AS q_lo, ${bqWord("qe", 32)} AS q_hi
+         |       FROM q),
+         |db AS (SELECT vec_id, embedding,
+         |         ${bqWord("embedding", 0)} AS b_lo, ${bqWord("embedding", 32)} AS b_hi
+         |       FROM embeddings),
+         |h AS (SELECT qb.query_id, db.vec_id, db.embedding, qb.qe,
+         |        bit_count(xor(db.b_lo, qb.q_lo)) + bit_count(xor(db.b_hi, qb.q_hi)) AS hamm
+         |      FROM db, qb),
+         |cand AS (SELECT query_id, vec_id, embedding, qe,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY hamm ASC, vec_id ASC) AS crnk
+         |         FROM h),
+         |rer AS (SELECT query_id, vec_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY (round(${cosine("embedding", "qe")}, 6) + 0.0) DESC,
+         |                     vec_id ASC) AS rnk
+         |        FROM cand WHERE crnk <= 50),
+         |bq AS (SELECT query_id, list(vec_id ORDER BY rnk) AS bq_ids
+         |       FROM rer WHERE rnk <= 10 GROUP BY query_id),
+         |exact_ranked AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY round(${cosine("e.embedding", "q.qe")}, 6) DESC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e, q),
+         |ex AS (SELECT query_id, list(vec_id ORDER BY rnk) AS exact_ids
+         |       FROM exact_ranked WHERE rnk <= 10 GROUP BY query_id)
+         |SELECT x.query_id,
+         |       round(CAST(len(list_intersect(x.exact_ids, b.bq_ids)) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ex x JOIN bq b ON x.query_id = b.query_id
+         |ORDER BY x.query_id""".stripMargin,
   )
 }

@@ -245,7 +245,142 @@ object RetrievalQueries extends QueryRegistry {
         .orderBy(col("maxsim").desc, col("vec_id").asc)
         .limit(10)
     }),
+
+    // RAG chunking audit — the sliding-window tokenizer split every
+    // retrieval corpus is built from: W=16-token windows at stride
+    // S=8, chunk i covering toks[i*S+1 .. i*S+W] (tail chunks run
+    // short, counted separately). The whole chunker is a PER-DOC FOLD
+    // over the start offsets (aggregate over sequence) — map-only, no
+    // explode, no shuffle carries text — and the per-source rollup
+    // content-checks every chunk via a summed 60-bit md5 of
+    // (doc_id:idx:chunk), so a single drifted token boundary anywhere
+    // in the corpus flips the checksum. Long sums are exact and
+    // order-insensitive, so IEEE/fold-order can't flake the hash.
+    "rag_chunk_stats" -> ((s, dir) => {
+      val (w, st) = (ChunkW, ChunkS)
+      val perDoc = documents(s, dir)
+        .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("nc", ceil(col("n").cast("double") / st).cast("int"))
+        .select(col("doc_id"), col("source"), col("n"), col("nc"),
+          when(col("nc") === 0, lit(0L)).otherwise(
+            aggregate(sequence(lit(0), col("nc") - 1), lit(0L), (acc, i) =>
+              acc + TextOps.md5Long(concat(
+                col("doc_id").cast("string"), lit(":"), i.cast("string"), lit(":"),
+                array_join(slice(col("toks"), i * st + 1, lit(w)), " ")))
+                % 1000000007L)).as("csum"),
+          when(col("nc") === 0, lit(0L)).otherwise(
+            aggregate(sequence(lit(0), col("nc") - 1), lit(0L), (acc, i) =>
+              acc + when(col("n") - i * st < w, 1L).otherwise(0L)))
+            .as("short_chunks"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).cast("long").as("n_chunks"),
+          sum(col("short_chunks")).as("short_chunks"),
+          sum(col("csum")).as("checksum"))
+        .orderBy(col("source"))
+    }),
+
+    // BM25 at CHUNK granularity — the retrieval unit a RAG pipeline
+    // actually serves (score the passage, return the doc+offset).
+    // Same Okapi scoring and float discipline as bm25_topk, but the
+    // corpus is the chunk table: one Generate (flatMap) expands docs
+    // to chunks — the distributed explode shape, no shuffle until the
+    // final top-k head — and the chunk-level df/avglen constants ride
+    // in from one bounded 1-row aggregate exactly like the doc-level
+    // scorer. idf literals are captured and interpolated verbatim
+    // into the oracle (capturedChunkIdf, same rint/libm defense).
+    "chunk_bm25_topk" -> ((s, dir) =>
+      chunkBm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id").asc, col("cidx").asc)
+        .limit(10)),
   )
+
+  /** Chunking constants — single source for both engines (window W
+    * tokens, stride S; chunk i = toks[i*S+1 .. i*S+W], 1-based,
+    * truncating at the tail). */
+  private val ChunkW = 16
+  private val ChunkS = 8
+
+  /** (doc_id, cidx, ctoks) chunk table: explode of the per-doc start
+    * sequence. Empty-token docs chunk to nothing (explode of an empty
+    * sequence drops the row), matching the SQL twin's WHERE len>0. */
+  private def chunkTable(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("nc",
+        ceil(size(col("toks")).cast("double") / ChunkS).cast("int"))
+      .filter(col("nc") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("nc") - 1)).as("cidx"))
+      .select(col("doc_id"), col("cidx").cast("long").as("cidx"),
+        slice(col("toks"), col("cidx") * ChunkS + 1, lit(ChunkW)).as("ctoks"))
+
+  @volatile private var capturedChunkIdf: Option[Map[String, Double]] = None
+
+  private def chunkBm25Scores(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "chunk-bm25-scores") {
+      val chunks = chunkTable(s, dir)
+        .withColumn("dlen", size(col("ctoks")).cast("double"))
+      val row = chunks.agg(
+        count(lit(1)).as("n"),
+        sum(col("dlen")).as("sl") +:
+          Terms.map(t => sum(when(array_contains(col("ctoks"), t), 1L)
+            .otherwise(0L)).as(s"df_$t")): _*)
+        .collect()(0) // 1-row head: N_chunks, Σlen, |Terms| df counts
+      val n = row.getAs[Long]("n")
+      val avglen = row.getAs[Double]("sl") / n
+      val idfs = Terms.map { t =>
+        val df = row.getAs[Long](s"df_$t")
+        t -> math.rint(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6) / 1e6
+      }.toMap
+      capturedChunkIdf = Some(idfs)
+      val score: Column = Terms.map { t =>
+        val idf = idfs(t)
+        val tf = size(filter(col("ctoks"), x => x === t)).cast("double")
+        (lit(idf) * (tf * lit(K1Plus1.toDouble))) /
+          (tf + lit(K1.toDouble) *
+            (lit(OneMinusB.toDouble) + (lit(B.toDouble) * col("dlen")) / lit(avglen)))
+      }.reduce(_ + _)
+      chunks.select(col("doc_id"), col("cidx"), (round(score, 6) + 0.0).as("bm25"))
+    }
+
+  /** The chunk-corpus scoring as DuckDB CTEs (t → ct → n/tf → sc). */
+  private def chunkBm25Sql: String = {
+    import graft.queries.TextQueries.{F => TF}
+    def idfSql(t: String): String = capturedChunkIdf match {
+      case Some(m) => "CAST(" + String.format(java.util.Locale.ROOT,
+        "%.6f", Double.box(m(t))) + " AS DOUBLE)"
+      case None =>
+        s"round(ln(1 + (CAST(n.n AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5)), 6)"
+    }
+    val contrib = Terms.map { t =>
+      s"""(${idfSql(t)}
+         | * (tf_$t * CAST($K1Plus1 AS DOUBLE)))
+         | / (tf_$t + CAST($K1 AS DOUBLE)
+         |    * (CAST($OneMinusB AS DOUBLE) + (CAST($B AS DOUBLE) * dlen) / n.avglen))"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    val dfSel = Terms.map(t =>
+      s"sum(CASE WHEN list_contains(ctoks, '$t') THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(", ")
+    val tfSel = Terms.map(t =>
+      s"CAST(len(list_filter(ctoks, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+      .mkString(", ")
+    s"""WITH t AS (SELECT doc_id, ${TF.toks("text")} AS toks FROM documents),
+       |d AS (SELECT doc_id, toks,
+       |        CAST(ceil(len(toks) / $ChunkS.0) AS INT) AS nc
+       |      FROM t WHERE len(toks) > 0),
+       |cx AS (SELECT doc_id, toks, unnest(range(nc)) AS cidx FROM d),
+       |ct AS (SELECT doc_id, CAST(cidx AS BIGINT) AS cidx,
+       |         toks[CAST(cidx * $ChunkS + 1 AS INT):CAST(cidx * $ChunkS + $ChunkW AS INT)] AS ctoks
+       |       FROM cx),
+       |n AS (SELECT count(*) AS n, CAST(sum(len(ctoks)) AS DOUBLE) / count(*) AS avglen,
+       |             $dfSel
+       |      FROM ct),
+       |tf AS (SELECT doc_id, cidx, CAST(len(ctoks) AS DOUBLE) AS dlen, $tfSel FROM ct),
+       |sc AS (SELECT doc_id, cidx, round($contrib, 6) + 0.0 AS bm25 FROM tf, n)""".stripMargin
+  }
 
   override def oracle: Map[String, String] = Map(
 
@@ -323,5 +458,34 @@ object RetrievalQueries extends QueryRegistry {
          |ORDER BY maxsim DESC, e.vec_id ASC
          |LIMIT 10""".stripMargin
     },
+
+    "rag_chunk_stats" -> {
+      import graft.queries.TextQueries.{F => TF}
+      val md5 = TF.md5L(
+        s"doc_id || ':' || i || ':' || array_to_string(" +
+          s"toks[CAST(i * $ChunkS + 1 AS INT):CAST(i * $ChunkS + $ChunkW AS INT)], ' ')")
+      s"""WITH t AS (SELECT doc_id, source, ${TF.toks("text")} AS toks FROM documents),
+         |d AS (SELECT doc_id, source, toks, len(toks) AS n,
+         |        CAST(ceil(len(toks) / $ChunkS.0) AS INT) AS nc
+         |      FROM t),
+         |p AS (SELECT doc_id, source, nc,
+         |        CASE WHEN nc = 0 THEN 0 ELSE
+         |          list_sum(list_transform(range(nc), i -> $md5 % 1000000007)) END AS csum,
+         |        CASE WHEN nc = 0 THEN 0 ELSE
+         |          list_sum(list_transform(range(nc),
+         |            i -> CASE WHEN n - i * $ChunkS < $ChunkW THEN 1 ELSE 0 END)) END AS short_chunks
+         |      FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nc) AS BIGINT) AS n_chunks,
+         |       CAST(sum(short_chunks) AS BIGINT) AS short_chunks,
+         |       CAST(sum(csum) AS BIGINT) AS checksum
+         |FROM p GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "chunk_bm25_topk" ->
+      s"""$chunkBm25Sql
+         |SELECT doc_id, cidx, bm25 FROM sc
+         |ORDER BY bm25 DESC, doc_id ASC, cidx ASC
+         |LIMIT 10""".stripMargin,
   )
 }

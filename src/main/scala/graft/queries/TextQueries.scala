@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
@@ -826,7 +826,83 @@ object TextQueries extends QueryRegistry {
       Dedup.simhashPairsFromSketch(sharedSimhashSketches(s, dir)._2,
         maxDist = 7, bits = 60)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
+
+    // per-source document cap — the Common-Crawl-style spam control
+    // that bounds any one host/source's contribution to the training
+    // mix: keep the top-K docs per source by quality score, report the
+    // kept/dropped census per source. Scale shape: ONE shuffle keyed
+    // on source (hash partition), per-partition sort inside the window
+    // — the source cardinality bounds the output, and no row carries
+    // text past the scoring map. Tie-break doc_id ASC on the rounded
+    // score keeps rank assignment identical across engines.
+    "source_cap_survivors" -> ((s, dir) => {
+      val K = 15
+      documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          round(TextOps.qualityScore(col("text")), 6).as("q"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("q").desc, col("doc_id").asc)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rnk") <= K, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rnk") > K, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("rnk") <= K, col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+        .orderBy(col("source"))
+    }),
+
+    // PII redaction — the compliance scrub every training-data
+    // pipeline runs before tokenization: regexp_replace of emails,
+    // IPv4 addresses and phone numbers with typed placeholder tokens.
+    // The corpus itself carries no PII, so each doc PLANTS a
+    // deterministic synthetic triple derived from doc_id (same formula
+    // interpolated on both engines) — the audit then proves (a) every
+    // planted item is found and counted, (b) the redacted text carries
+    // ZERO residual matches, (c) the redacted corpus checksum matches
+    // bit-for-bit. Scale shape: map-only over the scan (three chained
+    // codegen'd regexp_replace ops), one bounded per-source rollup.
+    // Patterns use the RE2-safe subset (\d, \b, bounded classes) so
+    // Java regex (Spark) and RE2 (DuckDB) agree on every match.
+    "pii_redaction_audit" -> ((s, dir) => {
+      val raw = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com ip 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"), lit(" phone +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val clean =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(raw, PiiEmail, "<EMAIL>"),
+            PiiIp, "<IP>"),
+          PiiPhone, "<PHONE>")
+      def matches(c: Column, p: String): Column =
+        size(regexp_extract_all(c, lit(p), lit(0))).cast("long")
+      documents(s, dir)
+        .select(col("source"),
+          matches(raw, PiiEmail).as("m_email"),
+          matches(raw, PiiIp).as("m_ip"),
+          matches(raw, PiiPhone).as("m_phone"),
+          (matches(clean, PiiEmail) + matches(clean, PiiIp) +
+            matches(clean, PiiPhone)).as("m_res"),
+          (TextOps.md5Long(clean) % 1000000007L).as("csum"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("m_email")).as("emails_redacted"),
+          sum(col("m_ip")).as("ips_redacted"),
+          sum(col("m_phone")).as("phones_redacted"),
+          (sum(col("m_res")) === lit(0L)).as("residual_clean"),
+          sum(col("csum")).as("checksum"))
+        .orderBy(col("source"))
+    }),
   )
+
+  /** PII patterns — ONE literal each, interpolated verbatim into the
+    * oracle SQL so the engines can never drift. RE2-safe subset only
+    * (no lookaround, no backrefs): Java regex and RE2 agree on these. */
+  private val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhone = "\\+\\d{1,2}-\\d{3}-\\d{4}"
 
   override def oracle: Map[String, String] = Map(
     "token_stats" ->
@@ -1270,5 +1346,50 @@ object TextQueries extends QueryRegistry {
          |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+
+    "source_cap_survivors" ->
+      s"""WITH t AS (SELECT doc_id, source, text, ${F.toks("text")} AS toks FROM documents),
+         |q AS (SELECT doc_id, source,
+         |        round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |              + ${F.stopRatio} * 0.3
+         |              + (1.0 - ${F.punct}) * 0.3, 6) AS q
+         |      FROM t),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rnk
+         |      FROM q)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN rnk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN rnk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       CAST(sum(CASE WHEN rnk <= 15 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "pii_redaction_audit" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |        text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+         |             || '.com ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+         |             || ' phone +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+         |      FROM documents),
+         |c AS (SELECT doc_id, source, raw,
+         |        regexp_replace(regexp_replace(regexp_replace(raw,
+         |          '$PiiEmail', '<EMAIL>', 'g'),
+         |          '$PiiIp', '<IP>', 'g'),
+         |          '$PiiPhone', '<PHONE>', 'g') AS clean
+         |      FROM t),
+         |m AS (SELECT source,
+         |        len(regexp_extract_all(raw, '$PiiEmail')) AS m_email,
+         |        len(regexp_extract_all(raw, '$PiiIp')) AS m_ip,
+         |        len(regexp_extract_all(raw, '$PiiPhone')) AS m_phone,
+         |        len(regexp_extract_all(clean, '$PiiEmail'))
+         |          + len(regexp_extract_all(clean, '$PiiIp'))
+         |          + len(regexp_extract_all(clean, '$PiiPhone')) AS m_res,
+         |        ${F.md5L("clean")} % 1000000007 AS csum
+         |      FROM c)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(m_email) AS BIGINT) AS emails_redacted,
+         |       CAST(sum(m_ip) AS BIGINT) AS ips_redacted,
+         |       CAST(sum(m_phone) AS BIGINT) AS phones_redacted,
+         |       sum(m_res) = 0 AS residual_clean,
+         |       CAST(sum(csum) AS BIGINT) AS checksum
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
   )
 }

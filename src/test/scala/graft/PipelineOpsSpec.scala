@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contracts for the round-10 pipeline operators: PII redaction,
+  * per-source caps, RAG chunking, chunk-level BM25 and binary-
+  * quantized retrieval. The DuckDB oracle pins exact values; these
+  * tests pin the structural invariants that must hold on ANY corpus.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("pii_redaction_audit: every planted item found, zero residual") {
+    val rows = q("pii_redaction_audit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("emails_redacted") == n)
+      assert(r.getAs[Long]("ips_redacted") == n)
+      assert(r.getAs[Long]("phones_redacted") == n)
+      assert(r.getAs[Boolean]("residual_clean"))
+    }
+  }
+
+  test("source_cap_survivors: cap honored, census adds up") {
+    val rows = q("source_cap_survivors").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept, dropped) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))
+      assert(kept <= 15)
+      assert(kept + dropped == n)
+      assert(kept == math.min(n, 15L))
+    }
+  }
+
+  test("rag_chunk_stats: chunk counts match the ceil(n/S) plan") {
+    val stats = q("rag_chunk_stats").collect()
+    assert(stats.nonEmpty)
+    // independent recount of expected chunks from the raw corpus
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select(ceil(size(graft.functions.TextOps.tokens(col("text")))
+        .cast("double") / 8).cast("long").as("nc"))
+      .agg(sum(col("nc"))).collect()(0).getLong(0)
+    assert(stats.map(_.getAs[Long]("n_chunks")).sum == expected)
+    // every doc has >= 1 chunk and the tail chunk of every doc is
+    // short unless n is a multiple of S past W, so short_chunks >= 1
+    // per non-empty source at these lengths
+    stats.foreach(r => assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_docs")))
+  }
+
+  test("chunk_bm25_topk: 10 descending-scored chunks, valid offsets") {
+    val rows = q("chunk_bm25_topk").collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[Long]("cidx") >= 0))
+  }
+
+  test("bq_hamming_recall: 5 queries, recall in [0,1], self in shortlist") {
+    val rows = q("bq_hamming_recall").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      // a query's own vector is Hamming-0 to itself, so it is always
+      // in the candidate set and survives the exact rerank at rank 1;
+      // with the exact top-10 containing self too, recall > 0
+      assert(rec > 0.0)
+    }
+  }
+}
