@@ -316,6 +316,36 @@ object EventQueries extends QueryRegistry {
           sum(col("user_id")).as("sum_uid"),
           sum(col("event_id")).as("sum_eid"))
     }),
+
+    // retention cohorts — the classic product-analytics matrix: users
+    // grouped by first-active day, re-activity counted at day offsets
+    // 0..7, retention = active/cohort_size. Scale shape: one
+    // user+day distinct (shuffle on the pair), one user-keyed min-agg
+    // for cohort assignment, a co-partitioned user-keyed join back,
+    // then the output-bounded (days × 8) rollup with the tiny
+    // offset-0 size table broadcast back on. Dates truncate in the
+    // session's UTC zone on both engines (the events_hourly
+    // discipline), and retention is an exact-int division rounded
+    // identically, so the matrix hash-matches.
+    "retention_cohorts" -> ((s, dir) => {
+      val acts = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohorts = acts.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+      val counts = acts.join(cohorts, Seq("user_id"))
+        .select(col("user_id"), col("c"), datediff(col("d"), col("c")).as("off"))
+        .filter(col("off") <= 7)
+        .groupBy(col("c"), col("off"))
+        .agg(count(lit(1)).as("n_active")) // (user, day) already distinct
+      val sizes = counts.filter(col("off") === 0)
+        .select(col("c"), col("n_active").as("cohort_size"))
+      counts.join(broadcast(sizes), Seq("c"))
+        .select(date_format(col("c"), "yyyy-MM-dd").as("cohort"),
+          col("off").cast("long").as("day_offset"),
+          col("n_active"), col("cohort_size"),
+          (round(col("n_active").cast("double") / col("cohort_size"), 6) + 0.0)
+            .as("retention"))
+        .orderBy(col("cohort"), col("day_offset"))
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -485,5 +515,21 @@ object EventQueries extends QueryRegistry {
         |       CAST(sum(event_id) AS BIGINT) AS sum_eid
         |FROM events
         |WHERE user_id BETWEEN 40 AND 80 AND value BETWEEN 50.0 AND 200.0""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS c FROM acts GROUP BY user_id),
+        |cnt AS (SELECT c.c, date_diff('day', c.c, a.d) AS off,
+        |          CAST(count(*) AS BIGINT) AS n_active
+        |        FROM acts a JOIN c ON a.user_id = c.user_id
+        |        WHERE date_diff('day', c.c, a.d) <= 7
+        |        GROUP BY c.c, off),
+        |sz AS (SELECT c, n_active AS cohort_size FROM cnt WHERE off = 0)
+        |SELECT strftime(cnt.c, '%Y-%m-%d') AS cohort,
+        |       CAST(off AS BIGINT) AS day_offset,
+        |       cnt.n_active, sz.cohort_size,
+        |       round(CAST(cnt.n_active AS DOUBLE) / sz.cohort_size, 6) + 0.0 AS retention
+        |FROM cnt JOIN sz ON cnt.c = sz.c
+        |ORDER BY cohort, day_offset""".stripMargin,
   )
 }

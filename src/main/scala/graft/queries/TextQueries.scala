@@ -851,6 +851,38 @@ object TextQueries extends QueryRegistry {
         .orderBy(col("source"))
     }),
 
+    // cross-doc n-gram novelty — the freshness census an ingest
+    // pipeline tracks per batch/source: for every doc, how many of its
+    // distinct 5-gram shingles appear here FIRST (doc_id order) vs in
+    // some earlier doc. Scale shape: one shuffle keyed on the shingle
+    // hash for the first-seen census, then a join back on the SAME key
+    // (co-partitioned — the exchange is reused, pinned in PlanSpec's
+    // global sweeps), then a bounded per-source rollup; the shingle
+    // frame is the memoized dedup index, so the tokenize→shingle→md5
+    // work is shared with the minhash family, not recomputed.
+    "ngram_novelty" -> ((s, dir) => {
+      val (hashed, _) = sharedDedupIndex(s, dir)
+      val ex = hashed.select(col("doc_id"),
+        explode(array_distinct(col("shh"))).as("h"))
+      val firstSeen = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      val flags = ex.join(firstSeen, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_nov"))
+      documents(s, dir).select(col("doc_id"), col("source"))
+        .join(flags, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_sh", "n_nov"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).as("n_shingles"),
+          sum(col("n_nov")).as("n_novel"),
+          when(sum(col("n_sh")) === 0L, lit(0.0)).otherwise(
+            round(sum(col("n_nov")).cast("double") / sum(col("n_sh")), 6) + 0.0)
+            .as("novelty"))
+        .orderBy(col("source"))
+    }),
+
     // PII redaction — the compliance scrub every training-data
     // pipeline runs before tokenization: regexp_replace of emails,
     // IPv4 addresses and phone numbers with typed placeholder tokens.
@@ -1362,6 +1394,27 @@ object TextQueries extends QueryRegistry {
          |       CAST(sum(CASE WHEN rnk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |       CAST(sum(CASE WHEN rnk <= 15 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, source, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, source, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, source,
+         |         list_distinct(list_transform(sh, s -> ${F.md5L("s")} % ${F.P})) AS shh
+         |       FROM sh),
+         |ex AS (SELECT doc_id, unnest(shh) AS h FROM hs),
+         |fs AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h),
+         |fl AS (SELECT e.doc_id, count(*) AS n_sh,
+         |         sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_nov
+         |       FROM ex e JOIN fs f ON e.h = f.h GROUP BY e.doc_id),
+         |d AS (SELECT t.doc_id, t.source,
+         |        coalesce(fl.n_sh, 0) AS n_sh, coalesce(fl.n_nov, 0) AS n_nov
+         |      FROM t LEFT JOIN fl ON t.doc_id = fl.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+         |       CAST(sum(n_nov) AS BIGINT) AS n_novel,
+         |       CASE WHEN sum(n_sh) = 0 THEN 0.0
+         |            ELSE round(CAST(sum(n_nov) AS DOUBLE) / sum(n_sh), 6) + 0.0 END AS novelty
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "pii_redaction_audit" ->
       s"""WITH t AS (SELECT doc_id, source,

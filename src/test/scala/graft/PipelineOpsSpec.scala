@@ -59,6 +59,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("cidx") >= 0))
   }
 
+  test("ngram_novelty: totals conserved, novelty bounded") {
+    val rows = q("ngram_novelty").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // every distinct shingle in the corpus is novel in exactly one doc
+    // (its first), so Σ novel == corpus-wide distinct shingle count
+    val totalNovel = rows.map(_.getAs[Long]("n_novel")).sum
+    val distinctShingles = graft.operators.Dedup
+      .shingled(spark.read.parquet(s"$dir/documents.parquet"))
+      .select(explode(array_distinct(col("shh"))).as("h"))
+      .distinct().count()
+    assert(totalNovel == distinctShingles)
+  }
+
+  test("retention_cohorts: offset-0 equals cohort size, retention <= 1") {
+    val rows = q("retention_cohorts").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (active, size) = (r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"))
+      assert(active <= size)
+      if (r.getAs[Long]("day_offset") == 0L) assert(active == size)
+      assert(r.getAs[Double]("retention") <= 1.0)
+    }
+  }
+
   test("bq_hamming_recall: 5 queries, recall in [0,1], self in shortlist") {
     val rows = q("bq_hamming_recall").collect()
     assert(rows.length == 5)
