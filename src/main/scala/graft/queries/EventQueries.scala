@@ -346,6 +346,33 @@ object EventQueries extends QueryRegistry {
             .as("retention"))
         .orderBy(col("cohort"), col("day_offset"))
     }),
+
+    // data-completeness / gap audit — the ingest-health check a
+    // pipeline runs on every arriving day: bucket events into 5-min
+    // slots, report per day how many of the 288 slots carry data and
+    // the longest empty run (boundary gaps included via the -1
+    // sentinel and the trailing 287-max term). Scale shape: one
+    // (day, slot) distinct — the only corpus-sized shuffle — then a
+    // per-day window over ≤288 rows and a days-bounded output. Slot
+    // arithmetic is exact integer epoch math, identical both engines.
+    "events_gap_audit" -> ((s, dir) => {
+      val slots = events(s, dir)
+        .select(to_date(col("ts")).as("d"),
+          floor((col("ts").cast("long") % 86400L) / 300L).cast("int").as("slot"))
+        .distinct()
+      val w = Window.partitionBy(col("d")).orderBy(col("slot"))
+      slots.withColumn("prev", lag(col("slot"), 1, -1).over(w))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_active"),
+          max(col("slot") - col("prev") - 1).as("maxig"),
+          max(col("slot")).as("maxs"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n_active").cast("long").as("n_active"),
+          (lit(288L) - col("n_active")).as("n_empty"),
+          greatest(col("maxig").cast("long"), lit(287L) - col("maxs").cast("long"))
+            .as("max_gap_run"))
+        .orderBy(col("day"))
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -531,5 +558,23 @@ object EventQueries extends QueryRegistry {
         |       round(CAST(cnt.n_active AS DOUBLE) / sz.cohort_size, 6) + 0.0 AS retention
         |FROM cnt JOIN sz ON cnt.c = sz.c
         |ORDER BY cohort, day_offset""".stripMargin,
+
+    "events_gap_audit" ->
+      """WITH s AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
+        |             -- floor BEFORE the BIGINT cast: DuckDB double->int casts
+        |             -- ROUND (Spark's timestamp->long cast truncates)
+        |             CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) % 86400) / 300) AS INT) AS slot
+        |           FROM events),
+        |g AS (SELECT d, slot,
+        |        lag(slot, 1, -1) OVER (PARTITION BY d ORDER BY slot) AS prev
+        |      FROM s),
+        |p AS (SELECT d, count(*) AS n_active, max(slot - prev - 1) AS maxig,
+        |        max(slot) AS maxs
+        |      FROM g GROUP BY d)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |       CAST(n_active AS BIGINT) AS n_active,
+        |       CAST(288 - n_active AS BIGINT) AS n_empty,
+        |       CAST(greatest(maxig, 287 - maxs) AS BIGINT) AS max_gap_run
+        |FROM p ORDER BY day""".stripMargin,
   )
 }

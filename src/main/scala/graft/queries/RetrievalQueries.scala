@@ -294,7 +294,71 @@ object RetrievalQueries extends QueryRegistry {
       chunkBm25Scores(s, dir)
         .orderBy(col("bm25").desc, col("doc_id").asc, col("cidx").asc)
         .limit(10)),
+
+    // inverted-index PHRASE search — the term-partitioned design the
+    // BM25 scorer's comment contrasts with: a durable postings store
+    // (term, doc_id, 1-based position) partitioned by a 64-way term-
+    // hash bucket, probed for the adjacent-pair phrase "hash join".
+    // Scale shape: the build is one explode + partitioned write (the
+    // index cost you pay once); the probe computes each term's bucket
+    // DRIVER-SIDE from the same md5 the partitioning used, so the
+    // scan prunes to 2 of 64 partitions before any IO, and the
+    // position intersection joins two term-posting frames on doc_id —
+    // at 100 TB the probe cost tracks the two df's, never the corpus.
+    "phrase_search" -> ((s, dir) => {
+      val store = s.read.parquet(postingsPath(s, dir))
+      def postings(term: String, out: String): DataFrame =
+        store.filter(col("bucket") === bucketOf(term) && col("term") === term)
+          .select(col("doc_id"), col("pos").as(out))
+      postings("hash", "pa").join(postings("join", "pb"), Seq("doc_id"))
+        .filter(col("pb") === col("pa") + 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_phrase"))
+        .orderBy(col("n_phrase").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // audit of the same postings store: vocabulary size, posting
+    // count, max document frequency — the census that sizes posting
+    // lists (and flags the stop-term skew a term-partitioned layout
+    // must plan around)
+    "inverted_postings_stats" -> ((s, dir) => {
+      val store = s.read.parquet(postingsPath(s, dir))
+      store.groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("cnt")).as("n_postings"),
+          max(col("df")).as("max_df"))
+    }),
   )
+
+  /** Driver-side twin of the store's bucket expression
+    * (pmod(md5Long(term), 64)) — lets the probe prune partitions
+    * without touching data. md5Long = first 15 md5 hex digits as a
+    * non-negative 60-bit long, so plain % is pmod. */
+  private def bucketOf(term: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 64).toInt
+  }
+
+  /** Durable postings store, built once per (session, dir): one
+    * explode of the tokenized corpus, written partitioned by the
+    * 64-way term-hash bucket so term-equality probes become partition
+    * pruning (the same discipline as the LSH/IVF stores). */
+  private def postingsPath(s: SparkSession, dir: String): String =
+    SharedBuilds.of(s, dir, "inverted-postings") {
+      val path = Tables.buildPath(dir, "inverted-postings")
+      documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos0", "term")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("term"),
+          pmod(TextOps.md5Long(col("term")), lit(64L)).cast("int").as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      path
+    }
 
   /** Chunking constants — single source for both engines (window W
     * tokens, stride S; chunk i = toks[i*S+1 .. i*S+W], 1-based,
@@ -487,5 +551,29 @@ object RetrievalQueries extends QueryRegistry {
          |SELECT doc_id, cidx, bm25 FROM sc
          |ORDER BY bm25 DESC, doc_id ASC, cidx ASC
          |LIMIT 10""".stripMargin,
+
+    "phrase_search" -> {
+      import graft.queries.TextQueries.{F => TF}
+      s"""WITH t AS (SELECT doc_id, ${TF.toks("text")} AS toks FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+         |p1 AS (SELECT doc_id, pos FROM u WHERE tok = 'hash'),
+         |p2 AS (SELECT doc_id, pos FROM u WHERE tok = 'join')
+         |SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_phrase
+         |FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+         |GROUP BY p1.doc_id
+         |ORDER BY n_phrase DESC, p1.doc_id ASC
+         |LIMIT 20""".stripMargin
+    },
+
+    "inverted_postings_stats" -> {
+      import graft.queries.TextQueries.{F => TF}
+      s"""WITH t AS (SELECT doc_id, ${TF.toks("text")} AS toks FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |g AS (SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df FROM u GROUP BY tok)
+         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |       CAST(sum(cnt) AS BIGINT) AS n_postings,
+         |       CAST(max(df) AS BIGINT) AS max_df
+         |FROM g""".stripMargin
+    },
   )
 }

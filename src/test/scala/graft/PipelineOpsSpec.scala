@@ -88,6 +88,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("phrase_search: counts match a map-side adjacency recount") {
+    val rows = q("phrase_search").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_phrase") >= 1))
+    // independent recount without the index: adjacent-pair scan
+    val toks = graft.functions.TextOps.tokens(col("text"))
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select(size(filter(zip_with(toks, slice(toks, 2, 1000000),
+        (a, b) => a === "hash" && b === "join"), x => x)).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    // query is top-20; at sf0.001 fewer docs than 20 match, so totals agree
+    if (rows.length < 20) assert(rows.map(_.getAs[Long]("n_phrase")).sum == expected)
+  }
+
+  test("inverted_postings_stats: posting count == corpus token count") {
+    val r = q("inverted_postings_stats").collect()(0)
+    val tokens = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(sum(size(graft.functions.TextOps.tokens(col("text")))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(r.getAs[Long]("n_postings") == tokens)
+    assert(r.getAs[Long]("max_df") <= 500)
+    assert(r.getAs[Long]("n_terms") >= 1)
+  }
+
+  test("events_gap_audit: slot census adds to 288, gap bounded") {
+    val rows = q("events_gap_audit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") + r.getAs[Long]("n_empty") == 288L)
+      assert(r.getAs[Long]("max_gap_run") <= r.getAs[Long]("n_empty"))
+      assert(r.getAs[Long]("max_gap_run") >= 0L)
+    }
+  }
+
   test("bq_hamming_recall: 5 queries, recall in [0,1], self in shortlist") {
     val rows = q("bq_hamming_recall").collect()
     assert(rows.length == 5)

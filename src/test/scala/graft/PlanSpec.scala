@@ -468,7 +468,7 @@ class PlanSpec extends SparkSpec {
   test("declared pruned probes read partition-pruned persisted indexes") {
     for ((q, pcol) <- Seq("lsh_pruned_knn" -> "bucket", "ivf_pruned_knn" -> "cluster",
         "ivfpq_knn" -> "cluster", "ivfpq_residual_knn" -> "cluster",
-        "ivf_multi_knn" -> "cluster")) {
+        "ivf_multi_knn" -> "cluster", "phrase_search" -> "bucket")) {
       spark.catalog.clearCache()
       val pf = partitionFiltersOf(SparkEntry.queries(q)(spark, sfDir))
       assert(pf.contains(pcol), s"$q: $pf")
