@@ -373,6 +373,57 @@ object EventQueries extends QueryRegistry {
             .as("max_gap_run"))
         .orderBy(col("day"))
     }),
+
+    // EXACT order-statistics quantiles per group — p50/p90/p99 by
+    // rank (percentile_disc semantics: smallest value whose rank
+    // reaches ceil(q·n)), the exact companion of the approximate
+    // events_value_sketches twin. Scale shape: the honest exact cost
+    // is one sort within each event_type partition (a type-keyed
+    // window); quantile VALUES are raw parquet doubles picked, never
+    // computed, so both engines agree bit-for-bit. The tiny per-type
+    // count table rides back in broadcast. At 100 TB you reach for
+    // the sketch twin; this is the ground-truth auditor.
+    "events_value_quantiles" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ranked = ev.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("value").asc, col("event_id").asc)))
+        .join(broadcast(n), Seq("event_type"))
+      def pick(q: Double, alias: String) =
+        max(when(col("rnk") === ceil(lit(q) * col("n")).cast("long"),
+          col("value"))).as(alias)
+      ranked.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+        .orderBy(col("event_type"))
+    }),
+
+    // session path analysis: the event-type transition matrix within
+    // 30-min-gap sessions — which action follows which, the input to
+    // any funnel/markov model. Three user-keyed window passes (the
+    // same partitioning reused: gap flag → session id → lag pair) and
+    // a (types × types)-bounded rollup; "_start" rows count session
+    // entry points.
+    "session_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = events(s, dir)
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > SessionGapMs, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.withColumn("prev_type", lag(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id"), col("sid"))
+            .orderBy(col("ts"), col("event_id"))))
+        .select(coalesce(col("prev_type"), lit("_start")).as("from_type"),
+          col("event_type").as("to_type"))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -576,5 +627,36 @@ object EventQueries extends QueryRegistry {
         |       CAST(288 - n_active AS BIGINT) AS n_empty,
         |       CAST(greatest(maxig, 287 - maxs) AS BIGINT) AS max_gap_run
         |FROM p ORDER BY day""".stripMargin,
+
+    "events_value_quantiles" ->
+      """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+        |r AS (SELECT e.event_type, e.value, n.n,
+        |        row_number() OVER (PARTITION BY e.event_type
+        |          ORDER BY e.value ASC, e.event_id ASC) AS rnk
+        |      FROM events e JOIN n ON e.event_type = n.event_type)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |       max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+        |       max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+        |       max(CASE WHEN rnk = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "session_transitions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, event_type, epoch_ms(ts) AS ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x),
+        |p AS (
+        |  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id),
+        |                  '_start') AS from_type,
+        |         event_type AS to_type
+        |  FROM s)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM p GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
   )
 }

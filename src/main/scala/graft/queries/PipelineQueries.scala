@@ -180,6 +180,82 @@ object PipelineQueries extends QueryRegistry {
             .as("alloc_tokens_100k"))
         .orderBy(col("source"))
     }),
+
+    // the SAMPLING step the mixture weights exist for: per-source
+    // acceptance rate min(1, boost) (boost = the α=1/2 temperature
+    // up/down factor per token; >1 sources keep everything — true
+    // upsampling duplicates rows, out of audit scope), quantized to
+    // an integer micro-threshold, and each doc accepted iff its
+    // seeded md5 residue clears it — the deterministic hash-based
+    // subsample any reproducible 100 TB curation run uses instead of
+    // rand(). Scale shape: the rate table is the bounded per-domain
+    // frame (broadcast back); the corpus pass is map-only + one
+    // bounded rollup. The float path into the threshold reuses the
+    // ordered-fold tot_sq discipline, then FLOORS into integers, so
+    // the oracle replay is exact.
+    "mixture_resample_audit" -> ((s, dir) => {
+      val w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val rates = documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .withColumn("sq", sqrt(col("n_tokens").cast("double")))
+        .withColumn("tot_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("tot_sq",
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("source").as("k"),
+                col("sq").as("x"))).over(w)),
+              e => e.getField("x")),
+            lit(0.0), (a, x) => a + x))
+        .select(col("source"), col("n_docs"),
+          least(lit(1000000L),
+            floor((col("sq") / col("tot_sq")) * col("tot_tokens").cast("double")
+              / col("n_tokens").cast("double") * lit(1000000.0)).cast("long"))
+            .as("micro"))
+      documents(s, dir)
+        .select(col("source"),
+          (TextOps.md5Long(concat(lit("mix:"), col("doc_id").cast("string")))
+            % 1000000L).as("h"))
+        .join(broadcast(rates), Seq("source"))
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("micro")).as("accept_micro"),
+          sum(when(col("h") < col("micro"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy(col("source"))
+    }),
+
+    // co-occurrence lift — the PMI-family corpus statistic with the
+    // log dropped (lift = N·df_ab / (df_a·df_b); rational arithmetic
+    // is bit-identical across engines where libm log is not — the
+    // N/df-IDF doctrine): which token pairs appear in the same doc
+    // far above chance. Scale shape: pair generation is a doc-keyed
+    // self-join over per-doc DISTINCT tokens (Σ distinct² per doc,
+    // the winnowing-join cost class — a df-cap guards template terms
+    // on a real corpus), pair space bounded by vocab², df table
+    // broadcast back twice.
+    "cooccurrence_lift" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      val n = documents(s, dir).count() // 1-value head (the bm25 N shape)
+      val dfp = d.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val pairs = d.as("x")
+        .join(d.withColumnRenamed("tok", "tok2"), Seq("doc_id"))
+        .filter(col("tok") < col("tok2"))
+        .groupBy(col("tok"), col("tok2")).agg(count(lit(1)).as("df_ab"))
+        .filter(col("df_ab") >= 20)
+      pairs
+        .join(broadcast(dfp.withColumnRenamed("df", "df_a")), Seq("tok"))
+        .join(broadcast(dfp.withColumnRenamed("tok", "tok2")
+          .withColumnRenamed("df", "df_b")), Seq("tok2"))
+        .select(col("tok").as("a"), col("tok2").as("b"), col("df_ab"),
+          (round(lit(n).cast("double") * col("df_ab") /
+            (col("df_a") * col("df_b")), 6) + 0.0).as("lift"))
+        .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+        .limit(30)
+    }),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -285,5 +361,54 @@ object PipelineQueries extends QueryRegistry {
         |       round((sq / tot_sq) * CAST(tot_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS boost,
         |       CAST(floor((sq / tot_sq) * 100000.0) AS BIGINT) AS alloc_tokens_100k
         |FROM p2, tot ORDER BY source""".stripMargin,
+
+    "mixture_resample_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs, sum(len(toks)) AS n_tokens
+        |        FROM t GROUP BY source),
+        |p2 AS (SELECT source, n_docs, n_tokens,
+        |              sqrt(CAST(n_tokens AS DOUBLE)) AS sq
+        |       FROM per),
+        |tot AS (SELECT sum(n_tokens) AS tot_tokens,
+        |               list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sq ORDER BY source)),
+        |                           (a, x) -> a + x) AS tot_sq
+        |        FROM p2),
+        |rates AS (SELECT source, n_docs,
+        |            least(1000000,
+        |              CAST(floor((sq / tot_sq) * CAST(tot_tokens AS DOUBLE)
+        |                / CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT)) AS micro
+        |          FROM p2, tot),
+        |h AS (SELECT source,
+        |        CAST(('0x'||substr(md5('mix:' || doc_id),1,15)) AS BIGINT) % 1000000 AS h
+        |      FROM t)
+        |SELECT h.source, CAST(max(r.n_docs) AS BIGINT) AS n_docs,
+        |       CAST(max(r.micro) AS BIGINT) AS accept_micro,
+        |       CAST(sum(CASE WHEN h.h < r.micro THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM h JOIN rates r ON h.source = r.source
+        |GROUP BY h.source ORDER BY h.source""".stripMargin,
+
+    "cooccurrence_lift" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                                   x -> x <> '')) AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |dfp AS (SELECT tok, count(*) AS df FROM d GROUP BY tok),
+        |pr AS (SELECT x.tok AS a, y.tok AS b, count(*) AS df_ab
+        |       FROM d x JOIN d y ON x.doc_id = y.doc_id AND x.tok < y.tok
+        |       GROUP BY x.tok, y.tok HAVING count(*) >= 20)
+        |SELECT pr.a, pr.b, CAST(pr.df_ab AS BIGINT) AS df_ab,
+        |       round(CAST(n.n AS DOUBLE) * pr.df_ab / (fa.df * fb.df), 6) + 0.0 AS lift
+        |FROM pr
+        |JOIN dfp fa ON pr.a = fa.tok
+        |JOIN dfp fb ON pr.b = fb.tok
+        |CROSS JOIN n
+        |ORDER BY lift DESC, a ASC, b ASC
+        |LIMIT 30""".stripMargin,
   )
 }

@@ -122,6 +122,53 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("events_value_quantiles: monotone quantiles, counts match") {
+    val rows = q("events_value_quantiles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99)
+    }
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+  }
+
+  test("session_transitions: every event is a transition target") {
+    val rows = q("session_transitions").collect()
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum == total)
+    // _start rows == total sessions across users (cross-checked
+    // against the declared sessionization census)
+    val starts = rows.filter(_.getAs[String]("from_type") == "_start")
+      .map(_.getAs[Long]("n_transitions")).sum
+    val sessions = q("events_user_sessions").collect()
+      .map(_.getAs[Long]("n_sessions")).sum
+    assert(starts == sessions)
+  }
+
+  test("mixture_resample_audit: rates bounded, saturated sources keep all") {
+    val rows = q("mixture_resample_audit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, micro, kept) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("accept_micro"), r.getAs[Long]("n_sampled"))
+      assert(micro >= 0L && micro <= 1000000L)
+      assert(kept <= n)
+      if (micro == 1000000L) assert(kept == n)
+    }
+  }
+
+  test("cooccurrence_lift: ordered pairs, positive lift, support floor") {
+    val rows = q("cooccurrence_lift").collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      assert(r.getAs[String]("a") < r.getAs[String]("b"))
+      assert(r.getAs[Long]("df_ab") >= 20L)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
   test("bq_hamming_recall: 5 queries, recall in [0,1], self in shortlist") {
     val rows = q("bq_hamming_recall").collect()
     assert(rows.length == 5)
