@@ -46,6 +46,17 @@ object TextOps {
   /** Token-level hash reduced into the prime field. */
   def tokenHashP(t: Column): Column = md5Long(t) % P
 
+  /** Deterministic train/val/test assignment from the document id:
+    * hash-bucket 0–89 → train, 90–94 → val, 95–99 → test. Hash-based
+    * (not rand()) so the split is reproducible across engines, runs,
+    * and partitionings — the property that makes a 100 TB corpus
+    * re-splittable without persisting an assignment table. DuckDB
+    * mirror lives in TextQueries.F.split. */
+  def splitLabel(id: Column): Column = {
+    val h = md5Long(concat(lit("split:"), id.cast("string"))) % 100
+    when(h < 90, "train").when(h < 95, "val").otherwise("test")
+  }
+
   /** n-token shingles joined by single spaces; empty array when the doc
     * has fewer than n tokens. */
   def shingles(toks: Column, n: Int): Column =

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** Graph-analytics queries over the co-purchase graph implied by the
+  * relational tables: parts are nodes, an edge (a → b, weight w) means
+  * parts a and b appeared together in w orders. This is the classic
+  * item-graph a recommender/curation pipeline derives from behavioral
+  * logs; at 100 TB the edge build is the only quadratic-looking step
+  * and it is bounded by design — pairs are generated WITHIN an order
+  * (TPC-H orders have ≤ a dozen lines), so the self-join on
+  * `l_orderkey` produces O(Σ lines(o)²) rows with a small constant,
+  * never a cross-corpus cartesian.
+  *
+  * Cross-engine exactness: ranks are fixed-point longs (see
+  * [[graft.operators.PageRank]]), so the DuckDB oracle unrolls the
+  * same three iterations in integer arithmetic and matches bit for
+  * bit — no float tolerance anywhere.
+  */
+object GraphQueries extends QueryRegistry {
+  import Tables._
+
+  /** Co-purchase edge list (src, dst, w), both directions. */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+    a.join(b, "ok")
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 3-iteration damped PageRank over the co-purchase graph, top-20
+    // parts. Per iteration: one src-keyed join + one dst-keyed sum —
+    // the two-shuffle superstep that holds at any scale.
+    "pagerank_copurchase" -> ((s, dir) =>
+      PageRank.run(copurchaseEdges(s, dir), 3)
+        .select(col("node").as("part_id"), col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("part_id"))
+        .limit(20)),
+
+    // degree histogram of the same graph: how many parts have k
+    // co-purchase neighbors — the graph-shape audit run before any
+    // iterative algorithm (a power-law tail with mega-hubs is the
+    // signal to salt or clip before PageRank/components)
+    "copurchase_degree_hist" -> ((s, dir) =>
+      copurchaseEdges(s, dir)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("deg"))),
+  )
+
+  private val edgesSql =
+    """e AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** One unrolled integer-PageRank iteration reading ranks from `prev`. */
+  private def iterSql(name: String, prev: String): String =
+    s"""$name AS (
+       |  SELECT nd.node,
+       |         (${PageRank.DampDen - PageRank.DampNum} * (${PageRank.FP} // (SELECT n FROM p))) // ${PageRank.DampDen}
+       |         + (${PageRank.DampNum} * CAST(coalesce(sum((r.rank * w.w) // w.ow), 0) AS BIGINT)) // ${PageRank.DampDen} AS rank
+       |  FROM nodes nd
+       |  LEFT JOIN ew w ON w.dst = nd.node
+       |  LEFT JOIN $prev r ON r.node = w.src
+       |  GROUP BY nd.node)""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "pagerank_copurchase" ->
+      s"""WITH $edgesSql,
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+         |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN outw o ON e.src = o.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e),
+         |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT node, ${PageRank.FP} // (SELECT n FROM p) AS rank FROM nodes),
+         |${iterSql("it1", "r0")},
+         |${iterSql("it2", "it1")},
+         |${iterSql("it3", "it2")}
+         |SELECT node AS part_id, rank AS rank_fp FROM it3
+         |ORDER BY rank_fp DESC, part_id LIMIT 20""".stripMargin,
+
+    "copurchase_degree_hist" ->
+      s"""WITH $edgesSql,
+         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_parts
+         |FROM d GROUP BY deg ORDER BY deg""".stripMargin,
+  )
+}

@@ -256,9 +256,88 @@ object PipelineQueries extends QueryRegistry {
         .orderBy(col("lift").desc, col("a").asc, col("b").asc)
         .limit(30)
     }),
+
+    // BPE merge TRAINING (Sennrich et al. 2016, the public byte-pair
+    // encoding algorithm): 5 greedy merge rounds over the corpus,
+    // reporting each learned merge and its pair count. The scale trick
+    // is the classic one — train on the WORD-FREQUENCY table, not the
+    // corpus: the corpus is scanned exactly once (word count, one
+    // shuffle); every merge round then runs over the vocab-sized
+    // (sym, freq) frame — pair explode + one agg — so 100 TB of text
+    // costs the same per round as 100 MB once the vocab is built.
+    // Each round's top pair is a 1-row driver head (the bounded-
+    // collect discipline); the merge applies as two sentinel-space
+    // replace passes: pass 1's leftmost non-overlapping scan skips
+    // only boundary-sharing occurrences, which are isolated singletons
+    // by construction, so pass 2 completes exactly the greedy
+    // left-to-right merge BPE defines. Ranks tie-break on pair text,
+    // so the learned sequence is deterministic on any engine.
+    "bpe_train_merges" -> ((s, dir) => {
+      import s.implicits._
+      val chars = (w: org.apache.spark.sql.Column) =>
+        concat_ws(" ", transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+      var vocab = documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(chars(col("word")).as("sym"), col("freq"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (step <- 1 to 5) {
+        val a = split(col("sym"), " ")
+        val pairs = vocab.select(col("freq"),
+            explode(when(size(a) < 2, array().cast("array<string>"))
+              .otherwise(transform(sequence(lit(1), size(a) - 1),
+                i => concat(element_at(a, i), lit(" "), element_at(a, i + 1))))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+        if (top.nonEmpty) {
+          val pair = top(0).getString(0)
+          val merged = pair.replace(" ", "")
+          merges += ((step.toLong, pair, merged, top(0).getLong(1)))
+          val padded = concat(lit(" "), col("sym"), lit(" "))
+          val r1 = replace(padded, lit(s" $pair "), lit(s" $merged "))
+          val r2 = replace(r1, lit(s" $pair "), lit(s" $merged "))
+          vocab = vocab.select(trim(r2).as("sym"), col("freq")).localCheckpoint()
+        }
+      }
+      merges.toSeq.toDF("merge_step", "pair", "merged", "cnt")
+        .orderBy(col("merge_step"))
+    }),
   )
 
+  /** One unrolled BPE merge round for the DuckDB oracle: pair counts
+    * from w{i-1}, top-1 by (cnt desc, pair asc), two-pass sentinel
+    * replace into w{i} — the exact SQL twin of the Spark loop above. */
+  private def bpeIterSql(i: Int): String = {
+    val prev = if (i == 1) "w0" else s"w${i - 1}"
+    val mp = s"' '||(SELECT pair FROM t$i)||' '"
+    val mm = s"' '||(SELECT replace(pair, ' ', '') FROM t$i)||' '"
+    s"""p$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |  SELECT freq, unnest(list_transform(generate_series(1, len(sa)-1), j -> sa[j]||' '||sa[j+1])) AS pair
+       |  FROM (SELECT freq, string_split(sym, ' ') AS sa FROM $prev)) GROUP BY pair),
+       |t$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+       |w$i AS (SELECT trim(replace(replace(' '||sym||' ', $mp, $mm), $mp, $mm)) AS sym, freq FROM $prev)""".stripMargin
+  }
+
+  private def bpeOracleSql: String = {
+    val iters = (1 to 5).map(bpeIterSql).mkString(",\n")
+    val rows = (1 to 5).map(i =>
+      s"SELECT $i AS merge_step, pair, replace(pair, ' ', '') AS merged, cnt FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') AS sym,
+       |         freq
+       |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |        FROM (SELECT unnest(${TextQueries.F.toks("text")}) AS word FROM documents)
+       |        GROUP BY word)),
+       |$iters
+       |SELECT CAST(merge_step AS BIGINT) AS merge_step, pair, merged, cnt
+       |FROM ($rows) ORDER BY merge_step""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "bpe_train_merges" -> bpeOracleSql,
+
     "tfidf_top_terms" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

@@ -70,6 +70,11 @@ object TextQueries extends QueryRegistry {
     }
     val punct =
       "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / length(text) END)"
+    /** DuckDB mirror of TextOps.splitLabel over an id expression. */
+    def split(id: String) =
+      s"""(CASE WHEN ${md5L(s"'split:'||$id")} % 100 < 90 THEN 'train'
+         |      WHEN ${md5L(s"'split:'||$id")} % 100 < 95 THEN 'val'
+         |      ELSE 'test' END)""".stripMargin
   }
 
   /** Shared dedup-index build: the three minhash-family queries
@@ -504,6 +509,37 @@ object TextQueries extends QueryRegistry {
         .groupBy(col("cnt").as("group_size"))
         .agg(count(lit(1)).as("n_groups"))
         .orderBy(col("group_size"))),
+
+    // deterministic hash split (90/5/5 train/val/test) with per-split
+    // audit stats — map-only over the scan (the split is a pure
+    // function of the id, so no assignment table is ever joined)
+    "hash_split_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("split", TextOps.splitLabel(col("doc_id")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("split"))),
+
+    // train/test CONTAMINATION audit: near-dup pairs (the minhash
+    // pipeline's verified jaccard ≥ 0.3 pairs) labeled with the hash
+    // split of each side — a val/test doc near-duplicating a train doc
+    // is leakage a benchmark-honest pipeline must count before
+    // training. Split labels are computed inline from the pair ids
+    // (no join against an assignment table — map-only on top of the
+    // banded candidate join).
+    "split_leakage_audit" -> ((s, dir) => {
+      val (hashed, cand) = sharedDedupIndex(s, dir)
+      Dedup.minhashNearDupsFrom(hashed, cand, 0.3)
+        .withColumn("split_a", TextOps.splitLabel(col("a")))
+        .withColumn("split_b", TextOps.splitLabel(col("b")))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+            .as("n_cross"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
 
     // MinHash+LSH near-dup pipeline, exact-Jaccard reranked
     "minhash_near_dups" -> ((s, dir) => {
@@ -1079,6 +1115,35 @@ object TextQueries extends QueryRegistry {
          |FROM j
          |WHERE round(jaccard * 0.5 + greatest(cos, 0.0) * 0.5, 6) >= 0.15
          |ORDER BY a, b""".stripMargin,
+
+    "hash_split_stats" ->
+      s"""WITH d AS (SELECT ${F.split("doc_id")} AS split, n_chars, lang FROM documents)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM d GROUP BY split ORDER BY split""".stripMargin,
+
+    "split_leakage_audit" ->
+      s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0, ${Dedup.MinhashH - 1}), i ->
+         |          coalesce(list_min(list_transform(shh, x -> ((i*2+1)*x + 7919*i) % ${F.P})), ${F.P})) AS sig
+         |        FROM hs),
+         |bnd AS (SELECT doc_id, b AS band,
+         |          list_reduce(list_prepend(0::BIGINT, sig[b*${Dedup.Rows}+1 : b*${Dedup.Rows}+${Dedup.Rows}]),
+         |                      (h, x) -> (h * 31 + x) % ${F.P}) AS band_hash
+         |        FROM sig, (SELECT unnest(generate_series(0, ${Dedup.Bands - 1})) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bnd x JOIN bnd y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |j AS (SELECT c.a, c.b, round(${F.jac("x.sh", "y.sh")}, 6) AS jaccard
+         |      FROM cand c JOIN sh x ON c.a = x.doc_id JOIN sh y ON c.b = y.doc_id),
+         |pr AS (SELECT a, b, ${F.split("a")} AS split_a, ${F.split("b")} AS split_b
+         |       FROM j WHERE jaccard >= 0.3)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+         |FROM pr GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
 
     "near_dup_purge" ->
       s"""WITH t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+import graft.queries.GraphQueries
+
+/** Pins the fixed-point PageRank arithmetic against hand-computed
+  * integer iterations (every truncation step worked out by hand), and
+  * the declared co-purchase queries' shape on the sf corpus.
+  */
+class PageRankSpec extends SparkSpec {
+
+  test("two integer iterations match hand-computed fixed-point values") {
+    import spark.implicits._
+    // star: 1 -> {2,3}, 2 -> 1, 3 -> 1 (all weight 1); n = 3
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r = PageRank.run(edges, 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // init = 1e12 // 3 = 333333333333; jump = (15 * init) // 100 = 49999999999
+    // it1: r1 = jump + (85 * 666666666666) // 100 = 616666666665
+    //      r2 = r3 = jump + (85 * (333333333333 // 2)) // 100 = 191666666665
+    // it2: r1 = jump + (85 * 383333333330) // 100 = 375833333329
+    //      r2 = r3 = jump + (85 * (616666666665 // 2)) // 100 = 312083333331
+    assert(r === Map(1L -> 375833333329L, 2L -> 312083333331L, 3L -> 312083333331L))
+  }
+
+  test("symmetric 2-cycle is a fixed point at rank 1/2") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val r = PageRank.run(edges, 3).collect().map(_.getLong(1))
+    assert(r.toSeq === Seq(500000000000L, 500000000000L))
+  }
+
+  test("declared co-purchase queries return sane shapes on sf0.001") {
+    val pr = GraphQueries.queries("pagerank_copurchase")(spark, sfDir).collect()
+    assert(pr.length == 20)
+    assert(pr.map(_.getLong(1)).toSeq == pr.map(_.getLong(1)).sortBy(-_).toSeq,
+      "must be sorted by rank desc")
+    assert(pr.forall(_.getLong(1) > 0))
+    val deg = GraphQueries.queries("copurchase_degree_hist")(spark, sfDir).collect()
+    assert(deg.nonEmpty && deg.map(_.getLong(1)).sum > 0)
+  }
+}
