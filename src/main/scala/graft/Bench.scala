@@ -49,6 +49,22 @@ object Bench {
         col("ts"), (col("user_id") + col("rep") * nUser).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // lineitem (for the pagerank probe): salt order AND part keys, so
+    // the co-purchase graph becomes `reps` disjoint copies — nodes and
+    // edges both scale linearly, the honest 10× for an iterative-graph
+    // workload
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val lm = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).collect()(0)
+    val (nOrd, nPart) = (lm.getLong(0) + 1, lm.getLong(1) + 1)
+    li.select(col("*"), rep)
+      .select(
+        (col("l_orderkey") + col("rep") * nOrd).as("l_orderkey"),
+        (col("l_partkey") + col("rep") * nPart).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     (System.nanoTime() - t0) / 1e9
   }
   // Host-speed calibration: a fixed, deterministic, memory-free ALU
@@ -190,7 +206,12 @@ object Bench {
         // distinct-key agg grows) and MaxSim is the map-only scan
         // whose ratio should track raw data volume
         "events_heavy_hitters" -> SparkEntry.queries("events_heavy_hitters"),
-        "late_interaction_topk" -> SparkEntry.queries("late_interaction_topk"))
+        "late_interaction_topk" -> SparkEntry.queries("late_interaction_topk"),
+        // r10: the iterative-graph workload — 3 supersteps of 2 keyed
+        // shuffles each over the co-purchase edges; the edge build is
+        // the data-volume-proportional part, so the ratio should track
+        // corpus growth, never blow up
+        "pagerank_copurchase" -> SparkEntry.queries("pagerank_copurchase"))
       val scaledDir = s"target/bench-scale10/$sfTag"
       val reps = 10
       val buildSec = buildScaled(spark, sfDir, scaledDir, reps)

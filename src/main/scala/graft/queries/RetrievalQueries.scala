@@ -126,6 +126,61 @@ object RetrievalQueries extends QueryRegistry {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // MMR diversified reranking (Carbonell & Goldstein 1998, the
+    // public maximal-marginal-relevance formula): greedy-select 8 of
+    // the cosine top-20 (query = embedding 0) maximizing
+    // 0.5·rel − 0.5·max-sim-to-already-selected. The production shape:
+    // the SHORTLIST is a distributed TakeOrderedAndProject over the
+    // corpus; the greedy loop then runs 8 argmax jobs over the
+    // 20-row checkpointed shortlist (each selection a 1-row bounded
+    // head) with the already-selected embeddings riding as array
+    // literals — selection cost is O(k²) whatever the corpus size.
+    // Exactness: rel and pairwise sims use the same ordered-fold
+    // cosine both engines share, rounded to 6 before combining, and
+    // 0.5·x is an exact binary scale — the oracle unrolls the same 8
+    // steps and must select the identical chain.
+    "mmr_diversified_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val cand = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding"),
+          (round(VectorOps.cosine(col("embedding"), col("qe")), 6) + 0.0).as("rel"))
+        .orderBy(col("rel").desc, col("doc_id").asc)
+        .limit(20)
+        .localCheckpoint()
+      var picked = Vector.empty[(Long, Double, Double, Seq[Float])]
+      // `picked.size == step - 1` stops the walk once the shortlist is
+      // exhausted (< 8 candidates) — the oracle's s_i CTEs go empty at
+      // the same step, so both sides stop at the identical prefix
+      for (step <- 1 to 8 if picked.size == step - 1) {
+        val selEmbs = picked.map(_._4)
+        val sims = selEmbs.map(e =>
+          VectorOps.cosine(col("embedding"), typedLit(e)))
+        val maxsim =
+          if (sims.isEmpty) lit(0.0)
+          else if (sims.size == 1) round(sims.head, 6) + 0.0
+          else round(greatest(sims: _*), 6) + 0.0
+        val score = lit(0.5) * col("rel") - lit(0.5) * maxsim
+        val top = cand
+          .filter(!col("doc_id").isin(picked.map(_._1): _*))
+          .select(col("doc_id"), col("rel"),
+            (round(score, 6) + 0.0).as("mmr_score"), col("embedding"))
+          .orderBy(col("mmr_score").desc, col("doc_id").asc)
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val r = top(0)
+          picked :+= ((r.getLong(0), r.getDouble(1), r.getDouble(2),
+            r.getSeq[Float](3).toIndexedSeq))
+        }
+      }
+      picked.zipWithIndex
+        .map { case ((id, rel, sc, _), i) => (i + 1L, id, rel, sc) }
+        .toDF("step", "doc_id", "relevance", "mmr_score")
+        .orderBy(col("step"))
+    }),
+
     // Okapi BM25 top-15 for the fixed query — lexical retrieval as one
     // map-only scan + TakeOrderedAndProject
     "bm25_topk" -> ((s, dir) =>
@@ -446,7 +501,42 @@ object RetrievalQueries extends QueryRegistry {
        |sc AS (SELECT doc_id, cidx, round($contrib, 6) + 0.0 AS bm25 FROM tf, n)""".stripMargin
   }
 
+  /** Unrolled 8-step MMR greedy chain for the DuckDB oracle — each
+    * step re-derives max-sim-to-selected from the prior step CTEs with
+    * the exact rounding layering of the Spark loop above. */
+  private def mmrOracleSql: String = {
+    val qe = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+    def cosSel(j: Int) = cosine("c.embedding", s"(SELECT embedding FROM s$j)")
+    def stepSql(i: Int): String = {
+      val maxsim =
+        if (i == 1) "0.0"
+        else if (i == 2) s"round(${cosSel(1)}, 6) + 0.0"
+        else s"round(greatest(${(1 until i).map(cosSel).mkString(", ")}), 6) + 0.0"
+      val notIn =
+        if (i == 1) ""
+        else "WHERE c.doc_id NOT IN (" +
+          (1 until i).map(j => s"SELECT doc_id FROM s$j").mkString(" UNION ALL ") + ")"
+      s"""s$i AS MATERIALIZED (SELECT c.doc_id, c.rel, c.embedding,
+         |  round(0.5*c.rel - 0.5*($maxsim), 6) + 0.0 AS mmr_score
+         |  FROM cand c $notIn
+         |  ORDER BY mmr_score DESC, c.doc_id LIMIT 1)""".stripMargin
+    }
+    val union = (1 to 8)
+      .map(i => s"SELECT $i AS step, doc_id, rel, mmr_score FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT e.vec_id AS doc_id, e.embedding,
+       |         round(${cosine("e.embedding", qe)}, 6) + 0.0 AS rel
+       |  FROM embeddings e WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, doc_id LIMIT 20),
+       |${(1 to 8).map(stepSql).mkString(",\n")}
+       |SELECT CAST(step AS BIGINT) AS step, doc_id, rel AS relevance, mmr_score
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "mmr_diversified_topk" -> mmrOracleSql,
+
 
     "bm25_topk" ->
       s"""$bm25Sql

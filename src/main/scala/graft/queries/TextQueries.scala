@@ -510,6 +510,28 @@ object TextQueries extends QueryRegistry {
         .agg(count(lit(1)).as("n_groups"))
         .orderBy(col("group_size"))),
 
+    // canonical-form dedup gain: the cheap normalization tier BETWEEN
+    // exact hashing and MinHash — canonical form = lowercase alpha
+    // tokens re-joined with single spaces (case / punctuation /
+    // whitespace variants collapse). Reports how many extra duplicate
+    // docs the canonical hash finds over the raw hash: the census a
+    // pipeline runs to decide whether normalization-dedup is worth a
+    // pass before the expensive near-dup join. Two hash-keyed
+    // shuffles, nothing carries text past the hash projection.
+    "canonical_dedup_gain" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"),
+        TextOps.md5Long(col("text")).as("rh"),
+        TextOps.md5Long(concat_ws(" ", TextOps.tokens(col("text")))).as("ch"))
+      val ragg = d.groupBy(col("rh")).agg(count(lit(1)).as("rc"))
+      val cagg = d.groupBy(col("ch")).agg(count(lit(1)).as("cc"))
+      d.join(ragg, "rh").join(cagg, "ch")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rc") > 1, 1L).otherwise(0L)).as("n_raw_dup_docs"),
+          sum(when(col("cc") > 1, 1L).otherwise(0L)).as("n_canon_dup_docs"),
+          sum(when(col("cc") > 1 && col("rc") === 1, 1L).otherwise(0L))
+            .as("n_gain_docs"))
+    }),
+
     // deterministic hash split (90/5/5 train/val/test) with per-split
     // audit stats — map-only over the scan (the split is a pure
     // function of the id, so no assignment table is ever joined)
@@ -1115,6 +1137,18 @@ object TextQueries extends QueryRegistry {
          |FROM j
          |WHERE round(jaccard * 0.5 + greatest(cos, 0.0) * 0.5, 6) >= 0.15
          |ORDER BY a, b""".stripMargin,
+
+    "canonical_dedup_gain" ->
+      s"""WITH d AS (SELECT doc_id, ${F.md5L("text")} AS rh,
+         |                  ${F.md5L(s"array_to_string(${F.toks("text")}, ' ')")} AS ch
+         |           FROM documents),
+         |r AS (SELECT rh, count(*) AS rc FROM d GROUP BY 1),
+         |c AS (SELECT ch, count(*) AS cc FROM d GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN rc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_raw_dup_docs,
+         |       CAST(sum(CASE WHEN cc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_canon_dup_docs,
+         |       CAST(sum(CASE WHEN cc > 1 AND rc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gain_docs
+         |FROM d JOIN r USING (rh) JOIN c USING (ch)""".stripMargin,
 
     "hash_split_stats" ->
       s"""WITH d AS (SELECT ${F.split("doc_id")} AS split, n_chars, lang FROM documents)
