@@ -274,13 +274,51 @@ object PipelineQueries extends QueryRegistry {
     // so the learned sequence is deterministic on any engine.
     "bpe_train_merges" -> ((s, dir) => {
       import s.implicits._
+      bpeTrain(s, dir)._3
+        .toDF("merge_step", "pair", "merged", "cnt")
+        .orderBy(col("merge_step"))
+    }),
+
+    // tokenizer APPLICATION census over the same trained merges: how
+    // far did 5 merges compress the symbol stream (Σ freq·|syms|
+    // before vs after) and how did the symbol vocabulary change —
+    // the before/after accounting a tokenizer-training run reports.
+    // Rides the memoized training build, so the two bpe queries share
+    // one corpus scan + one merge loop per (session, dir).
+    "bpe_vocab_compression" -> ((s, dir) => {
+      val (w0, w5, _) = bpeTrain(s, dir)
+      def syms(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("freq"), split(col("sym"), " ").as("a"))
+      val before = syms(w0).agg(count(lit(1)).as("n_words"),
+        sum(size(col("a")).cast("long") * col("freq")).as("syms_before"))
+      val after = syms(w5)
+        .agg(sum(size(col("a")).cast("long") * col("freq")).as("syms_after"))
+      val vb = syms(w0).select(explode(col("a")).as("sm"))
+        .agg(countDistinct(col("sm")).as("vocab_before"))
+      val va = syms(w5).select(explode(col("a")).as("sm"))
+        .agg(countDistinct(col("sm")).as("vocab_after"))
+      before.crossJoin(after).crossJoin(vb).crossJoin(va)
+        .withColumn("compression",
+          round(col("syms_after").cast("double") / col("syms_before"), 6))
+    }),
+  )
+
+  /** Shared 5-round BPE training build (see bpe_train_merges for the
+    * algorithm and scale notes): returns the initial and final
+    * vocab-frequency frames plus the learned merges, memoized per
+    * (session, dir) so every bpe query shares one corpus scan and one
+    * merge loop. */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[(Long, String, String, Long)]) =
+    SharedBuilds.of(s, dir, "bpe-train") {
       val chars = (w: org.apache.spark.sql.Column) =>
         concat_ws(" ", transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
-      var vocab = documents(s, dir)
+      val w0 = documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
         .select(chars(col("word")).as("sym"), col("freq"))
         .localCheckpoint()
+      var vocab = w0
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
       for (step <- 1 to 5) {
         val a = split(col("sym"), " ")
@@ -300,10 +338,8 @@ object PipelineQueries extends QueryRegistry {
           vocab = vocab.select(trim(r2).as("sym"), col("freq")).localCheckpoint()
         }
       }
-      merges.toSeq.toDF("merge_step", "pair", "merged", "cnt")
-        .orderBy(col("merge_step"))
-    }),
-  )
+      (w0, vocab, merges.toSeq)
+    }
 
   /** One unrolled BPE merge round for the DuckDB oracle: pair counts
     * from w{i-1}, top-1 by (cnt desc, pair asc), two-pass sentinel
@@ -312,31 +348,50 @@ object PipelineQueries extends QueryRegistry {
     val prev = if (i == 1) "w0" else s"w${i - 1}"
     val mp = s"' '||(SELECT pair FROM t$i)||' '"
     val mm = s"' '||(SELECT replace(pair, ' ', '') FROM t$i)||' '"
-    s"""p$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    s"""p$i AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
        |  SELECT freq, unnest(list_transform(generate_series(1, len(sa)-1), j -> sa[j]||' '||sa[j+1])) AS pair
        |  FROM (SELECT freq, string_split(sym, ' ') AS sa FROM $prev)) GROUP BY pair),
-       |t$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
-       |w$i AS (SELECT trim(replace(replace(' '||sym||' ', $mp, $mm), $mp, $mm)) AS sym, freq FROM $prev)""".stripMargin
+       |t$i AS MATERIALIZED (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+       |w$i AS MATERIALIZED (SELECT trim(replace(replace(' '||sym||' ', $mp, $mm), $mp, $mm)) AS sym, freq FROM $prev)""".stripMargin
   }
 
-  private def bpeOracleSql: String = {
+  /** The shared w0..w5 training chain (the SQL twin of bpeTrain). */
+  private def bpeChainSql: String = {
     val iters = (1 to 5).map(bpeIterSql).mkString(",\n")
-    val rows = (1 to 5).map(i =>
-      s"SELECT $i AS merge_step, pair, replace(pair, ' ', '') AS merged, cnt FROM t$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
+    s"""WITH w0 AS MATERIALIZED (
        |  SELECT array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') AS sym,
        |         freq
        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq
        |        FROM (SELECT unnest(${TextQueries.F.toks("text")}) AS word FROM documents)
        |        GROUP BY word)),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def bpeOracleSql: String = {
+    val rows = (1 to 5).map(i =>
+      s"SELECT $i AS merge_step, pair, replace(pair, ' ', '') AS merged, cnt FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""$bpeChainSql
        |SELECT CAST(merge_step AS BIGINT) AS merge_step, pair, merged, cnt
        |FROM ($rows) ORDER BY merge_step""".stripMargin
   }
 
+  private def bpeCompressionOracleSql: String =
+    s"""$bpeChainSql
+       |SELECT CAST(b.n_words AS BIGINT) AS n_words,
+       |       CAST(b.sb AS BIGINT) AS syms_before,
+       |       CAST(a.sa AS BIGINT) AS syms_after,
+       |       CAST(vb.v AS BIGINT) AS vocab_before,
+       |       CAST(va.v AS BIGINT) AS vocab_after,
+       |       round(CAST(a.sa AS DOUBLE) / b.sb, 6) AS compression
+       |FROM (SELECT count(*) AS n_words, sum(freq * len(string_split(sym, ' '))) AS sb FROM w0) b,
+       |     (SELECT sum(freq * len(string_split(sym, ' '))) AS sa FROM w5) a,
+       |     (SELECT count(DISTINCT sm) AS v FROM (SELECT unnest(string_split(sym, ' ')) AS sm FROM w0)) vb,
+       |     (SELECT count(DISTINCT sm) AS v FROM (SELECT unnest(string_split(sym, ' ')) AS sm FROM w5)) va""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "bpe_train_merges" -> bpeOracleSql,
+    "bpe_vocab_compression" -> bpeCompressionOracleSql,
 
     "tfidf_top_terms" ->
       s"""WITH toks AS (

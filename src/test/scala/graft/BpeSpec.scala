@@ -34,6 +34,21 @@ class BpeSpec extends SparkSpec {
       (4L, "aa b", "aab", 1L)))
   }
 
+  test("compression census is conserved against the learned merge counts") {
+    val m = PipelineQueries.queries("bpe_train_merges")(spark, sfDir).collect()
+    val c = PipelineQueries.queries("bpe_vocab_compression")(spark, sfDir).collect()(0)
+    val (sb, sa) = (c.getLong(1), c.getLong(2))
+    val applied = sb - sa
+    val counted = m.map(_.getLong(3)).sum
+    // each applied merge removes exactly one symbol; overlapping pair
+    // occurrences are counted but at most every second one merges
+    assert(applied <= counted && applied * 2 >= counted,
+      s"applied=$applied must be in [counted/2, counted]=$counted")
+    assert(c.getDouble(5) > 0.0 && c.getDouble(5) < 1.0)
+    // merges add at most one new symbol type each
+    assert(c.getLong(4) <= c.getLong(3) + m.length)
+  }
+
   test("sf corpus yields five deterministic merges with decreasing counts") {
     val out = PipelineQueries.queries("bpe_train_merges")(spark, sfDir).collect()
     assert(out.length == 5)

@@ -504,4 +504,22 @@ class PlanSpec extends SparkSpec {
     val pf = partitionFiltersOf(res)
     assert(pf.contains("cluster"), pf) // cluster IN (...) prunes partitions
   }
+
+  test("pagerank: iterations read the materialized edge frame, never re-derive it") {
+    // PageRank.run localCheckpoints (src,dst,w,ow) once; each superstep
+    // must then plan against that RDD scan. A lineitem FileScan in the
+    // FINAL plan would mean the 3 iterations re-run the co-purchase
+    // self-join 3 times — the de-optimization this pin guards.
+    val p = plan("pagerank_copurchase")
+    assert(!p.contains("FileScan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20 is a heap, not a sort
+  }
+
+  test("hash split stats: map-only over one scan, no assignment-table join") {
+    val p = plan("hash_split_stats")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1, p)
+    assert(!p.contains("Join"), p) // split is a pure id hash — nothing to join
+    assert(p.toLowerCase.contains("partial"), p) // two-phase aggregation
+  }
 }
