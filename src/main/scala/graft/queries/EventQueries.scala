@@ -31,6 +31,42 @@ object EventQueries extends QueryRegistry {
           col("n_events"), col("total_value"))
         .orderBy(col("hour"))),
 
+    // linear multi-touch attribution: every click/view by the same
+    // user in the 24 h before a purchase shares that conversion's
+    // credit equally. Credit is EXACT ppm fixed-point (1e6 per
+    // conversion): each touch gets 1e6 div n and the LAST touch
+    // (latest ts, event_id tiebreak) absorbs the truncation remainder,
+    // so credit conserves to exactly 1e6 × attributed conversions and
+    // long sums keep both engines bit-identical — float 1/n shares
+    // would drift with aggregation order. Shapes: one user-keyed join
+    // (pairs bounded by per-user activity × the 24 h window) + one
+    // conversion-keyed window + one type-keyed rollup.
+    "multitouch_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+      val t = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("tid"), col("user_id"),
+          col("ts").as("tts"), col("event_type").as("touch_type"))
+      val j = p.join(t, "user_id")
+        .filter(col("tts") < col("pts") &&
+          col("tts") >= col("pts") - expr("INTERVAL 24 HOURS"))
+      val byConv = Window.partitionBy(col("pid"))
+      val lastFirst = Window.partitionBy(col("pid"))
+        .orderBy(col("tts").desc, col("tid").desc)
+      j.withColumn("n", count(lit(1)).over(byConv))
+        .withColumn("rn", row_number().over(lastFirst))
+        .withColumn("credit",
+          when(col("rn") === 1,
+            lit(1000000L) - (col("n") - 1L) * expr("1000000 div n"))
+            .otherwise(expr("1000000 div n")))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit")).as("credit_ppm"),
+          countDistinct(col("pid")).as("n_conversions"))
+        .orderBy(col("touch_type"))
+    }),
+
     // integer-exact volume anomaly detection: a day is anomalous for a
     // type when its event count x deviates from the type's daily mean
     // by more than 3 population sigmas — tested WITHOUT floats via the
@@ -461,6 +497,24 @@ object EventQueries extends QueryRegistry {
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "multitouch_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS tid, user_id, ts AS tts, event_type AS touch_type
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.pid, t.tid, t.touch_type, t.tts
+        |      FROM p JOIN t ON p.user_id = t.user_id
+        |        AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 24 HOUR),
+        |wk AS (SELECT pid, tid, touch_type,
+        |         count(*) OVER (PARTITION BY pid) AS n,
+        |         row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rn
+        |       FROM j)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1000000 - (n-1)*(1000000//n)
+        |                     ELSE 1000000//n END) AS BIGINT) AS credit_ppm,
+        |       CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions
+        |FROM wk GROUP BY touch_type ORDER BY touch_type""".stripMargin,
 
     "events_volume_anomalies" ->
       """WITH daily AS (
