@@ -45,12 +45,15 @@ object PageRank {
   val DampNum = 85L
   val DampDen = 100L
 
-  /** Run `iters` PageRank iterations over `edges` (src: long,
-    * dst: long, w: long). Returns (node: long, rank_fp: long). */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
+  /** A prepared graph: the static per-superstep inputs, materialized
+    * once (localCheckpoint — on a cluster, a persisted parquet edge
+    * partition) and reused by every iteration and every caller. */
+  case class Graph(ew: DataFrame, nodes: DataFrame, n: Long)
+
+  /** Materialize the iteration-static frames from an edge list
+    * (src: long, dst: long, w: long). */
+  def prepare(edges: DataFrame): Graph = {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    // static across iterations: materialize once, reuse every superstep
     val ew = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("ow"))
       .localCheckpoint()
@@ -60,14 +63,27 @@ object PageRank {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "PageRank needs a non-empty edge list")
-    val init = FP / n
+    Graph(ew, nodes, n)
+  }
+
+  /** Run `iters` PageRank iterations over `edges`. Returns
+    * (node: long, rank_fp: long). One-shot convenience — callers that
+    * rank the same graph repeatedly should `prepare` once and
+    * `iterate` many (the build-once/probe-many index discipline). */
+  def run(edges: DataFrame, iters: Int): DataFrame =
+    iterate(prepare(edges), iters)
+
+  /** The iteration loop over a prepared graph. */
+  def iterate(g: Graph, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val init = FP / g.n
     val jump = ((DampDen - DampNum) * init) / DampDen
-    var ranks = nodes.select(col("node"), lit(init).as("rank"))
+    var ranks = g.nodes.select(col("node"), lit(init).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = ew.join(ranks, ew("src") === ranks("node"))
-        .select(ew("dst").as("node"),
+      val contrib = g.ew.join(ranks, g.ew("src") === ranks("node"))
+        .select(g.ew("dst").as("node"),
           expr("(rank * w) div ow").as("c"))
-      ranks = nodes
+      ranks = g.nodes
         .join(contrib.groupBy(col("node")).agg(sum(col("c")).as("sc")),
           Seq("node"), "left")
         .select(col("node"),

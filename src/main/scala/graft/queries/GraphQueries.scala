@@ -33,12 +33,22 @@ object GraphQueries extends QueryRegistry {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** Prepared (materialized) co-purchase graph, memoized per
+    * (session, dir): the lineitem self-join + out-weight join run once
+    * and every graph query iterates over the checkpointed frames — the
+    * build-once/probe-many discipline of the index stores applied to
+    * the graph tier (at 100 TB this is the persisted edge partition
+    * every Pregel-style system keeps across supersteps). */
+  private def sharedGraph(s: SparkSession, dir: String): PageRank.Graph =
+    SharedBuilds.of(s, dir, "copurchase-graph")(
+      PageRank.prepare(copurchaseEdges(s, dir)))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3-iteration damped PageRank over the co-purchase graph, top-20
     // parts. Per iteration: one src-keyed join + one dst-keyed sum —
     // the two-shuffle superstep that holds at any scale.
     "pagerank_copurchase" -> ((s, dir) =>
-      PageRank.run(copurchaseEdges(s, dir), 3)
+      PageRank.iterate(sharedGraph(s, dir), 3)
         .select(col("node").as("part_id"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("part_id"))
         .limit(20)),
@@ -48,7 +58,7 @@ object GraphQueries extends QueryRegistry {
     // iterative algorithm (a power-law tail with mega-hubs is the
     // signal to salt or clip before PageRank/components)
     "copurchase_degree_hist" -> ((s, dir) =>
-      copurchaseEdges(s, dir)
+      sharedGraph(s, dir).ew
         .groupBy(col("src"))
         .agg(count(lit(1)).as("deg"))
         .groupBy(col("deg"))

@@ -72,6 +72,30 @@ object RelationalQueries extends QueryRegistry {
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))),
 
+    // TPC-H Q9 shape (product-type profit by nation and year), adapted
+    // to this corpus: no partsupp table, so unit cost is proxied by
+    // p_retailprice — profit = revenue − retailprice·quantity, every
+    // term decimal-exact (the money doctrine above). Plan shape is the
+    // classic Q9: three broadcast dims (name-filtered part, supplier,
+    // nation) against the lineitem scan, ONE orderkey-keyed shuffle
+    // join to orders for the year, two-phase aggregation.
+    "q9_product_profit" -> ((s, dir) => {
+      val amount = revenue -
+        col("p_retailprice").cast("decimal(14,2)") *
+          col("l_quantity").cast("decimal(14,2)")
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir).filter(col("p_name").contains("widget"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(amount).cast("double").as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     // part dim join + top-10 types by shipped quantity
     "top_part_types" -> ((s, dir) =>
       lineitem(s, dir)
@@ -557,6 +581,20 @@ object RelationalQueries extends QueryRegistry {
         |GROUP BY o.o_orderkey, orderdate
         |ORDER BY revenue DESC, o.o_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n.n_name AS nation,
+        |       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+        |                - CAST(p.p_retailprice AS DECIMAL(14,2)) * CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS profit,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY n.n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
 
     "q5_region_volume" ->
       """SELECT r.r_name, n.n_name,

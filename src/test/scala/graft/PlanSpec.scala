@@ -505,6 +505,13 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("cluster"), pf) // cluster IN (...) prunes partitions
   }
 
+  test("q9: three dims broadcast, name filter pushed, orders join keyed not broadcast") {
+    val p = plan("q9_product_profit")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3, p)
+    assert(p.contains("StringContains(p_name,widget)"), p) // pushed to the part scan
+    assert(p.toLowerCase.contains("partial"), p)
+  }
+
   test("pagerank: iterations read the materialized edge frame, never re-derive it") {
     // PageRank.run localCheckpoints (src,dst,w,ow) once; each superstep
     // must then plan against that RDD scan. A lineitem FileScan in the
