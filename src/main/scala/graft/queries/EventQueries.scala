@@ -464,6 +464,39 @@ object EventQueries extends QueryRegistry {
         .orderBy(col("event_type"))
     }),
 
+    // winsorized robust stats: clip values at the DISCRETE per-type
+    // p05/p95 (the events_value_quantiles rank machinery — discrete
+    // picks are engine-exact where interpolated quantiles risk a
+    // last-ulp divergence in (1−g)·a + g·b), then compare the clipped
+    // decimal-exact mean with the raw one — the outlier-robust
+    // aggregation a metrics pipeline uses for skewed value columns.
+    // Shapes: one type-keyed rank window + a broadcast-bounded
+    // per-type bounds join back.
+    "events_winsorized_stats" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ranked = ev.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("value").asc, col("event_id").asc)))
+        .join(broadcast(n), Seq("event_type"))
+      def pick(q: Double, alias: String) =
+        max(when(col("rnk") === ceil(lit(q) * col("n")).cast("long"),
+          col("value"))).as(alias)
+      val bounds = ranked.groupBy(col("event_type"))
+        .agg(pick(0.05, "p05"), pick(0.95, "p95"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("clipped", least(greatest(col("value"), col("p05")), col("p95")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          (round(sum(col("value").cast(Dec)).cast("double") / count(lit(1)), 6) + 0.0)
+            .as("raw_mean"),
+          (round(sum(col("clipped").cast(Dec)).cast("double") / count(lit(1)), 6) + 0.0)
+            .as("wins_mean"))
+        .orderBy(col("event_type"))
+    }),
+
     // session path analysis: the event-type transition matrix within
     // 30-min-gap sessions — which action follows which, the input to
     // any funnel/markov model. Three user-keyed window passes (the
@@ -737,6 +770,22 @@ object EventQueries extends QueryRegistry {
         |       max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
         |       max(CASE WHEN rnk = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_winsorized_stats" ->
+      """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+        |r AS (SELECT e.event_type, e.value, n.n,
+        |        row_number() OVER (PARTITION BY e.event_type
+        |          ORDER BY e.value ASC, e.event_id ASC) AS rnk
+        |      FROM events e JOIN n ON e.event_type = n.event_type),
+        |b AS (SELECT event_type,
+        |        max(CASE WHEN rnk = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS p05,
+        |        max(CASE WHEN rnk = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS p95
+        |      FROM r GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, max(b.p05) AS p05, max(b.p95) AS p95,
+        |       round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) + 0.0 AS raw_mean,
+        |       round(CAST(sum(CAST(least(greatest(e.value, b.p05), b.p95) AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) + 0.0 AS wins_mean
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "session_transitions" ->
       """WITH x AS (

@@ -72,6 +72,28 @@ object RelationalQueries extends QueryRegistry {
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))),
 
+    // TPC-H Q16 shape (parts/supplier relationship census), adapted:
+    // the part↔supplier relation comes from DISTINCT lineitem pairs
+    // (no partsupp table), the excluded-supplier list is the
+    // negative-balance set (the "complaints" NOT IN of the original).
+    // Shape: one distinct over (part, supp) keys, an anti-join against
+    // a broadcast-bounded exclusion list, a broadcast part dim, and a
+    // distinct-count rollup — supplier diversity per product segment.
+    "q16_supplier_census" -> ((s, dir) => {
+      val rel = lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excluded = supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      rel
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(part(s, dir).filter(col("p_brand") =!= "Brand#1")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+        .limit(30)
+    }),
+
     // TPC-H Q9 shape (product-type profit by nation and year), adapted
     // to this corpus: no partsupp table, so unit cost is proxied by
     // p_retailprice — profit = revenue − retailprice·quantity, every
@@ -581,6 +603,19 @@ object RelationalQueries extends QueryRegistry {
         |GROUP BY o.o_orderkey, orderdate
         |ORDER BY revenue DESC, o.o_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q16_supplier_census" ->
+      """WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |kept AS (SELECT r.l_partkey, r.l_suppkey FROM rel r
+        |         WHERE r.l_suppkey NOT IN
+        |           (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        |       CAST(count(DISTINCT k.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM kept k JOIN part p ON k.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+        |LIMIT 30""".stripMargin,
 
     "q9_product_profit" ->
       """SELECT n.n_name AS nation,
