@@ -464,6 +464,41 @@ object EventQueries extends QueryRegistry {
         .orderBy(col("event_type"))
     }),
 
+    // RFM segmentation (classic marketing analytics): per purchasing
+    // user, Recency = days since last purchase vs the corpus max ts,
+    // Frequency = purchase count, Monetary = decimal-exact value sum;
+    // each scored 1-4 by NTILE over a TOTAL order (metric + user_id
+    // tiebreak — ntile is deterministic only under a total order, so
+    // the tiebreak is what makes the segment assignment replayable),
+    // rolled up into a segment histogram. One user-keyed agg first, so
+    // the ntile windows run over the PER-USER frame, not the event
+    // stream; the global-order windows are the textbook formulation
+    // and honest about their limit — at extreme user cardinality the
+    // same segmentation runs map-only off discrete quartile cut
+    // points (the events_winsorized_stats rank trick), trading the
+    // sort for three broadcast bounds.
+    "user_rfm_segments" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val maxTs = purchases.agg(max(unix_millis(col("ts"))).as("mx"))
+      val per = purchases.groupBy(col("user_id"))
+        .agg(max(unix_millis(col("ts"))).as("last_ms"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast(Dec)).as("monetary"))
+        .crossJoin(broadcast(maxTs))
+        .withColumn("recency_days", expr("(mx - last_ms) div 86400000"))
+      val r = ntile(4).over(Window.orderBy(col("recency_days").asc, col("user_id").asc))
+      val f = ntile(4).over(Window.orderBy(col("freq").desc, col("user_id").asc))
+      val m = ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id").asc))
+      per
+        .withColumn("r", r.cast("long")).withColumn("f", f.cast("long"))
+        .withColumn("m", m.cast("long"))
+        .groupBy(col("r"), col("f"), col("m"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("monetary")).cast("double").as("segment_value"))
+        .orderBy(col("r"), col("f"), col("m"))
+    }),
+
     // winsorized robust stats: clip values at the DISCRETE per-type
     // p05/p95 (the events_value_quantiles rank machinery — discrete
     // picks are engine-exact where interpolated quantiles risk a
@@ -770,6 +805,23 @@ object EventQueries extends QueryRegistry {
         |       max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
         |       max(CASE WHEN rnk = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "user_rfm_segments" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(ms) AS mx FROM p),
+        |per AS (SELECT user_id, max(ms) AS last_ms, count(*) AS freq,
+        |               sum(CAST(value AS DECIMAL(18,4))) AS monetary
+        |        FROM p GROUP BY user_id),
+        |scored AS (SELECT user_id, monetary,
+        |             ntile(4) OVER (ORDER BY ((SELECT mx FROM mx) - last_ms)//86400000 ASC, user_id ASC) AS r,
+        |             ntile(4) OVER (ORDER BY freq DESC, user_id ASC) AS f,
+        |             ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m
+        |           FROM per)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(monetary) AS DOUBLE) AS segment_value
+        |FROM scored GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
 
     "events_winsorized_stats" ->
       """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),

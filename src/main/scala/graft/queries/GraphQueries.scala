@@ -53,6 +53,22 @@ object GraphQueries extends QueryRegistry {
         .orderBy(col("rank_fp").desc, col("part_id"))
         .limit(20)),
 
+    // top-5 co-purchase partners for the first 10 parts — the
+    // item-to-item recommendation probe ("customers who bought X also
+    // bought"), read straight off the shared prepared graph: a
+    // src-keyed window over the filtered edge frame, no rebuild
+    "copurchase_top_partners" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)
+      sharedGraph(s, dir).ew
+        .filter(col("src") < 10)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("src").as("part_id"), col("rnk").cast("long").as("rnk"),
+          col("dst").as("partner_id"), col("w").as("n_co_orders"))
+        .orderBy(col("part_id"), col("rnk"))
+    }),
+
     // degree histogram of the same graph: how many parts have k
     // co-purchase neighbors — the graph-shape audit run before any
     // iterative algorithm (a power-law tail with mega-hubs is the
@@ -97,6 +113,16 @@ object GraphQueries extends QueryRegistry {
          |${iterSql("it3", "it2")}
          |SELECT node AS part_id, rank AS rank_fp FROM it3
          |ORDER BY rank_fp DESC, part_id LIMIT 20""".stripMargin,
+
+    "copurchase_top_partners" ->
+      s"""WITH $edgesSql,
+         |f AS (SELECT src, dst, w FROM e WHERE src < 10),
+         |r AS (SELECT src, dst, w,
+         |        row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rnk
+         |      FROM f)
+         |SELECT src AS part_id, CAST(rnk AS BIGINT) AS rnk,
+         |       dst AS partner_id, w AS n_co_orders
+         |FROM r WHERE rnk <= 5 ORDER BY part_id, rnk""".stripMargin,
 
     "copurchase_degree_hist" ->
       s"""WITH $edgesSql,

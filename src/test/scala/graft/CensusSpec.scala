@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries, RelationalQueries}
+import graft.queries.{EventQueries, GraphQueries, RelationalQueries}
 
 /** Invariant pins for the winsorized robust stats and the Q16-shaped
   * supplier census (both value-pinned by the DuckDB oracle; these
@@ -16,6 +16,29 @@ class CensusSpec extends SparkSpec {
       assert(p05 <= p95)
       assert(winsMean >= p05 - 1e-9 && winsMean <= p95 + 1e-9,
         s"wins_mean $winsMean outside [$p05, $p95] for ${r.getString(0)}")
+    }
+  }
+
+  test("rfm segments partition the purchasing users into 4x4x4 codes") {
+    import org.apache.spark.sql.functions._
+    val out = EventQueries.queries("user_rfm_segments")(spark, sfDir).collect()
+    assert(out.forall(r => Seq(0, 1, 2).map(r.getLong).forall(v => v >= 1 && v <= 4)))
+    val totalUsers = out.map(_.getLong(3)).sum
+    val purchasers = graft.queries.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(totalUsers == purchasers, s"$totalUsers users in segments vs $purchasers purchasers")
+  }
+
+  test("top co-purchase partners rank by weight within each part") {
+    val out = GraphQueries.queries("copurchase_top_partners")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      val ws = sorted.map(_._4).toSeq
+      assert(ws == ws.sorted.reverse, s"weights not descending: $ws")
     }
   }
 
