@@ -73,6 +73,40 @@ object PageRank {
   def run(edges: DataFrame, iters: Int): DataFrame =
     iterate(prepare(edges), iters)
 
+  /** Personalized PageRank (Page et al. 1999 §6 topic-biased jump;
+    * the standard graph-similarity tool behind "related items"): the
+    * teleport mass lands ONLY on `seeds`, so rank concentrates around
+    * the seed neighborhood and high-ranked NON-seeds are the items
+    * most reachable from the seed set. Same fixed-point arithmetic,
+    * same two-shuffle superstep; the seed flag rides the materialized
+    * node frame. */
+  def iteratePersonalized(g: Graph, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sd = seeds.select(col("node")).distinct()
+    val flagged = g.nodes
+      .join(sd.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    val m = flagged.filter(col("is_seed") === 1L).count()
+    require(m > 0, "personalized PageRank needs at least one seed IN the graph")
+    val init = FP / m
+    val jump = ((DampDen - DampNum) * init) / DampDen
+    var ranks = flagged.select(col("node"),
+      when(col("is_seed") === 1L, lit(init)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = g.ew.join(ranks, g.ew("src") === ranks("node"))
+        .select(g.ew("dst").as("node"),
+          expr("(rank * w) div ow").as("c"))
+      ranks = flagged
+        .join(contrib.groupBy(col("node")).agg(sum(col("c")).as("sc")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed") === 1L, lit(jump)).otherwise(lit(0L)) +
+            expr(s"($DampNum * coalesce(sc, 0L)) div $DampDen")).as("rank"))
+    }
+    ranks.select(col("node"), col("rank").as("rank_fp"))
+  }
+
   /** The iteration loop over a prepared graph. */
   def iterate(g: Graph, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

@@ -53,6 +53,24 @@ object GraphQueries extends QueryRegistry {
         .orderBy(col("rank_fp").desc, col("part_id"))
         .limit(20)),
 
+    // personalized PageRank seeded at Brand#2's parts: the top-20
+    // NON-seed parts by biased rank are the items most co-purchase-
+    // reachable from the brand — the graph-walk "related products"
+    // beyond direct partners (a 2-hop-plus signal a plain partner
+    // probe cannot see)
+    "ppr_brand_affinity" -> ((s, dir) => {
+      val g = sharedGraph(s, dir)
+      val seeds = g.nodes.join(
+        part(s, dir).filter(col("p_brand") === "Brand#2")
+          .select(col("p_partkey").as("node")), "node")
+      val seedSet = seeds.select(col("node").as("sn"))
+      PageRank.iteratePersonalized(g, seeds, 3)
+        .join(seedSet, col("node") === col("sn"), "left_anti")
+        .select(col("node").as("part_id"), col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("part_id"))
+        .limit(20)
+    }),
+
     // top-5 co-purchase partners for the first 10 parts — the
     // item-to-item recommendation probe ("customers who bought X also
     // bought"), read straight off the shared prepared graph: a
@@ -100,7 +118,39 @@ object GraphQueries extends QueryRegistry {
        |  LEFT JOIN $prev r ON r.node = w.src
        |  GROUP BY nd.node)""".stripMargin
 
+  /** One unrolled personalized-PageRank iteration (seed-only jump). */
+  private def pprIterSql(name: String, prev: String): String =
+    s"""$name AS (
+       |  SELECT nd.node,
+       |         CASE WHEN nd.node IN (SELECT node FROM seeds)
+       |              THEN (${PageRank.DampDen - PageRank.DampNum} * (${PageRank.FP} // (SELECT m FROM ps))) // ${PageRank.DampDen}
+       |              ELSE 0 END
+       |         + (${PageRank.DampNum} * CAST(coalesce(sum((r.rank * w.w) // w.ow), 0) AS BIGINT)) // ${PageRank.DampDen} AS rank
+       |  FROM nodes nd
+       |  LEFT JOIN ew w ON w.dst = nd.node
+       |  LEFT JOIN $prev r ON r.node = w.src
+       |  GROUP BY nd.node)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "ppr_brand_affinity" ->
+      s"""WITH $edgesSql,
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+         |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN outw o ON e.src = o.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e),
+         |seeds AS (SELECT node FROM nodes
+         |          WHERE node IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2')),
+         |ps AS (SELECT CAST(count(*) AS BIGINT) AS m FROM seeds),
+         |r0 AS (SELECT node,
+         |         CASE WHEN node IN (SELECT node FROM seeds)
+         |              THEN ${PageRank.FP} // (SELECT m FROM ps) ELSE 0 END AS rank
+         |       FROM nodes),
+         |${pprIterSql("it1", "r0")},
+         |${pprIterSql("it2", "it1")},
+         |${pprIterSql("it3", "it2")}
+         |SELECT node AS part_id, rank AS rank_fp FROM it3
+         |WHERE node NOT IN (SELECT node FROM seeds)
+         |ORDER BY rank_fp DESC, part_id LIMIT 20""".stripMargin,
+
     "pagerank_copurchase" ->
       s"""WITH $edgesSql,
          |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),

@@ -32,6 +32,23 @@ class PageRankSpec extends SparkSpec {
     assert(r.toSeq === Seq(500000000000L, 500000000000L))
   }
 
+  test("personalized: seed-only jump concentrates rank, hand-computed trace") {
+    import spark.implicits._
+    // star: 1 -> {2,3}, 2 -> 1, 3 -> 1; seed = {1}, m = 1
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val g = PageRank.prepare(edges)
+    val seeds = Seq(1L).toDF("node")
+    val r = PageRank.iteratePersonalized(g, seeds, 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // init: r1 = 1e12, r2 = r3 = 0; jump(1) = 150000000000
+    // it1: r1 = 150000000000 (+ 0 incoming)
+    //      r2 = r3 = (85 * (1e12 div 2)) div 100 = 425000000000
+    // it2: r1 = 150000000000 + (85 * 850000000000) div 100 = 872500000000
+    //      r2 = r3 = (85 * (150000000000 div 2)) div 100 = 63750000000
+    assert(r === Map(1L -> 872500000000L, 2L -> 63750000000L, 3L -> 63750000000L))
+  }
+
   test("declared co-purchase queries return sane shapes on sf0.001") {
     val pr = GraphQueries.queries("pagerank_copurchase")(spark, sfDir).collect()
     assert(pr.length == 20)
@@ -40,5 +57,13 @@ class PageRankSpec extends SparkSpec {
     assert(pr.forall(_.getLong(1) > 0))
     val deg = GraphQueries.queries("copurchase_degree_hist")(spark, sfDir).collect()
     assert(deg.nonEmpty && deg.map(_.getLong(1)).sum > 0)
+    val ppr = GraphQueries.queries("ppr_brand_affinity")(spark, sfDir).collect()
+    assert(ppr.length == 20 && ppr.forall(_.getLong(1) >= 0))
+    // no seed (Brand#2 part) may appear among the recommended non-seeds
+    import org.apache.spark.sql.functions._
+    val brand2 = graft.queries.Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#2")
+      .collect().map(_.getLong(0)).toSet
+    assert(ppr.forall(r => !brand2.contains(r.getLong(0))))
   }
 }
