@@ -49,6 +49,37 @@ class PageRankSpec extends SparkSpec {
     assert(r === Map(1L -> 872500000000L, 2L -> 63750000000L, 3L -> 63750000000L))
   }
 
+  test("model-based: distributed ranks equal an in-memory integer replica on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 3 + rnd.nextInt(8)
+      val raw = (for {
+        s <- 0 until n; d <- 0 until n
+        if s != d && rnd.nextDouble() < 0.4
+      } yield (s.toLong, d.toLong, 1L + rnd.nextInt(3))).toVector
+      val edges = if (raw.nonEmpty) raw else Vector((0L, 1L, 1L), (1L, 0L, 1L))
+      val iters = 1 + rnd.nextInt(3)
+      val got = PageRank.run(edges.toDF("src", "dst", "w"), iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // straightforward driver-side replica of the same integer recurrence
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val init = PageRank.FP / nodes.length
+      val jump = ((PageRank.DampDen - PageRank.DampNum) * init) / PageRank.DampDen
+      var rank = nodes.map(_ -> init).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        edges.foreach { case (s, d, w) => in(d) += (rank(s) * w) / outw(s) }
+        rank = nodes.map(nd => nd -> (jump + (PageRank.DampNum * in(nd)) / PageRank.DampDen)).toMap
+      }
+      assert(got === rank, s"trial $trial (n=$n, iters=$iters, edges=${edges.length})")
+      // invariants: mass never exceeds the initial total; every node keeps >= jump
+      assert(got.values.sum <= PageRank.FP)
+      assert(got.values.forall(_ >= jump))
+    }
+  }
+
   test("declared co-purchase queries return sane shapes on sf0.001") {
     val pr = GraphQueries.queries("pagerank_copurchase")(spark, sfDir).collect()
     assert(pr.length == 20)
