@@ -135,6 +135,69 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
         col("dst").as("neighbor_id"), round(col("dist"), 6).as("dist"))
   }
 
+  /** O(batch) incremental append — the fourth index tier joins
+    * LSH/IVF/PQ in taking batch maintenance without a corpus rebuild.
+    * Returns the FULL post-append adjacency, provably CONTENT-EQUAL to
+    * `buildAdjacency(old ∪ batch)`:
+    *  - levels and LSH buckets are pure functions of (id, seed) /
+    *    (vector, seed) — build-order independent — so the candidate
+    *    universe is identical either way;
+    *  - new-src rows re-derive from the full bucket join (same pairs a
+    *    rebuild sees);
+    *  - old-src rows merge the STORED top-M with the old→new bucket
+    *    candidates and re-prune: any old→old candidate the original
+    *    prune dropped ranked strictly below all M kept rows in the
+    *    (dist, dst) order, so it can never re-enter a top-M of a
+    *    superset — the merge loses nothing a rebuild would keep.
+    * Stored dists are REANCHORED from the vectors (not reused rounded)
+    * so the merge sorts by the same unrounded keys as a rebuild —
+    * a 6-decimal tie could otherwise order differently. Cost: the
+    * bucket joins touch only pairs with a batch endpoint plus one
+    * edges⋈vectors rehydration — O(batch·bucket + |edges|), never
+    * O(corpus²). */
+  def appendAdjacency(existing: DataFrame, oldVectors: DataFrame,
+                      newBatch: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      blocker: Lsh = defaultBlocker): DataFrame = {
+    val dim = newBatch.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+    def exploded(df: DataFrame) = df.select(
+      col(idCol).as("node_id"), col(vecCol).as("vec"),
+      explode(sequence(lit(0), levelCol(col(idCol)))).as("level"))
+    val exNew = exploded(newBatch)
+    val exOld = exploded(oldVectors)
+    val probes = (b: Column) =>
+      array(b +: (0 until blocker.numPlanes)
+        .map(i => b.bitwiseXOR(lit(1L << i))): _*)
+    def lb(ex: DataFrame) = ex
+      .select(col("level"), col("node_id").as("src"), col("vec").as("src_vec"))
+      .withColumn("bucket", explode(probes(blocker.bucketCol(col("src_vec"), dim))))
+    def rb(ex: DataFrame) = ex
+      .select(col("level"), col("node_id").as("dst"), col("vec").as("dst_vec"))
+      .withColumn("bucket", blocker.bucketCol(col("dst_vec"), dim))
+    // src ∈ batch vs dst ∈ old ∪ batch: rebuild-identical for new srcs
+    val newSrcPairs = lb(exNew).join(rb(exOld.unionByName(exNew)), Seq("level", "bucket"))
+      .filter(col("src") =!= col("dst")).drop("bucket")
+    // src ∈ old vs dst ∈ batch: the candidates old nodes gain
+    val oldNewPairs = lb(exOld).join(rb(exNew), Seq("level", "bucket"))
+      .filter(col("src") =!= col("dst")).drop("bucket")
+    // stored old edges, vectors rehydrated (dst of a stored edge is old)
+    val sv = oldVectors.select(col(idCol).as("src"), col(vecCol).as("src_vec"))
+    val dv = oldVectors.select(col(idCol).as("dst"), col(vecCol).as("dst_vec"))
+    val existingPairs = existing
+      .select(col("level"), col("node_id").as("src"), col("neighbor_id").as("dst"))
+      .join(sv, "src").join(dv, "dst")
+      .select(col("level"), col("src"), col("dst"), col("src_vec"), col("dst_vec"))
+    val w = Window.partitionBy(col("level"), col("src"))
+      .orderBy(col("dist").asc, col("dst").asc)
+    newSrcPairs.unionByName(oldNewPairs).unionByName(existingPairs)
+      .select(col("level"), col("src"), col("dst"),
+        (lit(1.0) - VectorOps.fastCosine(col("src_vec"), col("dst_vec"))).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("src").as("node_id"), col("level"),
+        col("dst").as("neighbor_id"), round(col("dist"), 6).as("dist"))
+  }
+
   /** Entry point = a highest-level node (deterministic: smallest id among
     * them, vs the reference's "last inserted at max level",
     * src/index.rs:263-266). */

@@ -153,6 +153,23 @@ object IndexQueries extends QueryRegistry {
   private[graft] def hnswBuildPlan(s: SparkSession, dir: String): DataFrame =
     declaredHnsw.buildAdjacency(embeddings(s, dir),
       blocker = new Lsh(numPlanes = 3, seed = 42L))
+  /** Base-half build + O(batch) append of the second half (the
+    * Hnsw.appendAdjacency tier), memoized like every other index
+    * artifact. The declared blocker matches hnswBuildPlan's, so the
+    * appended store is content-comparable with the full rebuild. */
+  private def hnswAppendedAdjacency(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "hnsw-appended") {
+      val emb = embeddings(s, dir)
+      val n = emb.count()
+      val base = emb.filter(col("vec_id") < n / 2)
+      val batch = emb.filter(col("vec_id") >= n / 2)
+      val blocker = new Lsh(numPlanes = 3, seed = 42L)
+      val built = declaredHnsw.buildAdjacency(base, blocker = blocker)
+        .localCheckpoint()
+      declaredHnsw.appendAdjacency(built, base, batch, blocker = blocker)
+        .localCheckpoint()
+    }
+
   private def hnswAdjacency(s: SparkSession, dir: String): DataFrame =
     SharedBuilds.of(s, dir, "hnsw-lsh3") {
       // durable adjacency, partitioned by level: a serving tier can load
@@ -586,6 +603,39 @@ object IndexQueries extends QueryRegistry {
     // must hold EVERY corpus node (exact count, DuckDB-replayable),
     // degrees are pruned to <= M at every level, and level populations
     // are non-increasing (a node at level L occupies all of 0..L).
+    // HNSW O(batch) append audit — the pq_append_audit discipline on
+    // the graph tier: the base-half build + appended second half must
+    // be CONTENT-IDENTICAL to the from-scratch full rebuild (levels
+    // and LSH buckets are build-order-independent pure functions, and
+    // the merge prune provably re-derives every rebuild row — see
+    // Hnsw.appendAdjacency). Counts derive from the corpus; the
+    // equality and degree booleans are computed over the two real
+    // adjacency frames, so a drifted append hash-fails against the
+    // oracle's expected-true row. Levels use xxhash64, so a full SQL
+    // replay is impossible (the hnsw_degree_stats precedent) — the
+    // equality computation in-engine is the strongest available gate.
+    "hnsw_append_audit" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val n = emb.count()
+      val appended = hnswAppendedAdjacency(s, dir)
+      val rebuilt = hnswAdjacency(s, dir)
+      val totals = emb.agg(count(lit(1)).as("total_vectors"),
+        sum(when(col("vec_id") < n / 2, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("vec_id") >= n / 2, 1L).otherwise(0L)).as("n_appended"))
+      // align column ORDER and the partition column's read-back type
+      // before exceptAll (positional): the rebuilt side round-trips
+      // through level-partitioned parquet, which moves `level` last
+      def canon(df: DataFrame): DataFrame = df.select(col("node_id"),
+        col("level").cast("int"), col("neighbor_id"), col("dist"))
+      val eq = canon(appended).exceptAll(canon(rebuilt))
+        .union(canon(rebuilt).exceptAll(canon(appended)))
+        .agg((count(lit(1)) === 0L).as("appended_equals_rebuild"))
+      val deg = appended
+        .groupBy(col("node_id"), col("level")).agg(count(lit(1)).as("d"))
+        .agg(bool_and(col("d") <= lit(declaredHnsw.m.toLong)).as("degree_le_m"))
+      totals.crossJoin(eq).crossJoin(deg)
+    }),
+
     "hnsw_degree_stats" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val perLevel = hnswAdjacency(s, dir)
@@ -1119,6 +1169,15 @@ object IndexQueries extends QueryRegistry {
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
         |       true AS n_buckets_ok, true AS max_bucket_ok
         |FROM embeddings""".stripMargin,
+
+    "hnsw_append_audit" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings)
+        |SELECT CAST(cnt AS BIGINT) AS total_vectors,
+        |       CAST((SELECT count(*) FROM embeddings WHERE vec_id < cnt // 2) AS BIGINT) AS n_base,
+        |       CAST(cnt - (SELECT count(*) FROM embeddings WHERE vec_id < cnt // 2) AS BIGINT) AS n_appended,
+        |       true AS appended_equals_rebuild,
+        |       true AS degree_le_m
+        |FROM n""".stripMargin,
 
     "hnsw_degree_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_level0_nodes,
