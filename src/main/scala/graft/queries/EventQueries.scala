@@ -309,37 +309,9 @@ object EventQueries extends QueryRegistry {
     // rows whatever the corpus; one map-side-combined shuffle, exactly
     // the sketch contract that makes distinct counts cheap at 100 TB.
     "events_hll_distinct" -> ((s, dir) => {
-      val m = 256
-      // 2^-r lookup as an exact-dyadic literal array (Spark's
-      // shiftleft needs a static shift; the array IS the shift table)
-      val inv = typedLit((0 to 53).map(i => 1.0 / (1L << i).toDouble))
-      val ev = events(s, dir)
-        .select(col("event_type"),
-          concat(col("user_id").cast("string"), lit("@"),
-            date_format(col("ts"), "yyyy-MM-dd")).as("us"))
-        .withColumn("h", TextOps.md5Long(concat(lit("hll:"), col("us"))))
-        .withColumn("b", pmod(col("h"), lit(m)))
-        .withColumn("w", shiftright(col("h"), 8))
-        .withColumn("rank",
-          when(col("w") === 0, lit(53L))
-            .otherwise(lit(53L) - length(bin(col("w")))))
-      val reg = ev.groupBy(col("event_type"), col("b"))
-        .agg(max(col("rank")).as("r"))
-      val denom = reg.groupBy(col("event_type"))
-        .agg((Folds.orderedSum(col("b"),
-          element_at(inv, (col("r") + 1).cast("int")))
-          + (lit(m) - count(lit(1))).cast("double")).as("denom"))
-      val exact = ev.groupBy(col("event_type"))
-        .agg(countDistinct(col("us")).as("exact"))
-      denom.join(exact, "event_type")
-        .select(col("event_type"),
-          (round(lit(0.718273) * lit(65536.0) / col("denom"), 6) + 0.0)
-            .as("hll_est"),
-          col("exact").cast("long").as("exact"),
-          (abs(lit(0.718273) * lit(65536.0) / col("denom")
-            - col("exact").cast("double"))
-            <= col("exact").cast("double") * 0.15).as("within_15pct"))
-        .orderBy(col("event_type"))
+      val rows = hllRegisterRows(events(s, dir))
+      hllFinish(rows.groupBy(col("event_type"), col("b"))
+        .agg(max(col("rank")).as("r")), rows)
     }),
 
     // Morton z-value math pinned cross-engine: bucket (user_id, value)
@@ -557,6 +529,52 @@ object EventQueries extends QueryRegistry {
         .orderBy(col("from_type"), col("to_type"))
     }),
   )
+
+  /** HLL register universe (m = 256 buckets). */
+  private[graft] val HllM = 256
+
+  /** Per-event HLL pre-aggregation rows (event_type, us, b, rank):
+    * us = user@day (the distinct unit), bucket = low 8 md5 bits, rank
+    * = leading-zero count of the remaining 53 bits via minimal-width
+    * bin() length — identical arithmetic in DuckDB. Factored out so
+    * the BATCH query and the STREAMING register-maintenance replay
+    * share one formula and can never drift. */
+  private[graft] def hllRegisterRows(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        concat(col("user_id").cast("string"), lit("@"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("us"))
+      .withColumn("h", TextOps.md5Long(concat(lit("hll:"), col("us"))))
+      .withColumn("b", pmod(col("h"), lit(HllM)))
+      .withColumn("w", shiftright(col("h"), 8))
+      .withColumn("rank",
+        when(col("w") === 0, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("w")))))
+
+  /** Finish an HLL estimate from MERGED registers (event_type, b, r):
+    * exact-dyadic 2^-r fold in bucket order, raw estimator, exact twin
+    * + 15% accuracy boolean from `rows`. Register merge is max — the
+    * reason the streaming replay is idempotent under at-least-once
+    * delivery (a replayed batch re-appends rows that change no max). */
+  private[graft] def hllFinish(reg: DataFrame, rows: DataFrame): DataFrame = {
+    // 2^-r lookup as an exact-dyadic literal array (Spark's shiftleft
+    // needs a static shift; the array IS the shift table)
+    val inv = typedLit((0 to 53).map(i => 1.0 / (1L << i).toDouble))
+    val denom = reg.groupBy(col("event_type"))
+      .agg((Folds.orderedSum(col("b"),
+        element_at(inv, (col("r") + 1).cast("int")))
+        + (lit(HllM) - count(lit(1))).cast("double")).as("denom"))
+    val exact = rows.groupBy(col("event_type"))
+      .agg(countDistinct(col("us")).as("exact"))
+    denom.join(exact, "event_type")
+      .select(col("event_type"),
+        (round(lit(0.718273) * lit(65536.0) / col("denom"), 6) + 0.0)
+          .as("hll_est"),
+        col("exact").cast("long").as("exact"),
+        (abs(lit(0.718273) * lit(65536.0) / col("denom")
+          - col("exact").cast("double"))
+          <= col("exact").cast("double") * 0.15).as("within_15pct"))
+      .orderBy(col("event_type"))
+  }
 
   override def oracle: Map[String, String] = Map(
     "events_hourly" ->

@@ -473,7 +473,58 @@ object StreamQueries extends QueryRegistry {
       val (half, idx) = indexAppendReplay(s, dir)
       IndexQueries.lshAppendAudit(half, idx)
     }),
+
+    // EIGHTH replay: incremental SKETCH maintenance — each micro-batch
+    // appends its partial HLL registers to a durable store via
+    // foreachBatch; the serve-side read max-merges them. Because
+    // register merge is max (associative, commutative, IDEMPOTENT), a
+    // retried batch changes nothing — the one streaming state shape
+    // that is exactly-once for free under at-least-once delivery —
+    // and the merged estimate equals the batch twin BIT-FOR-BIT,
+    // which is what the shared events_hll_distinct oracle checks.
+    "stream_hll_replay" -> ((s, dir) => {
+      val partials = hllStreamReplay(s, dir)
+      val merged = partials.groupBy(col("event_type"), col("b"))
+        .agg(max(col("r")).as("r"))
+      EventQueries.hllFinish(merged,
+        EventQueries.hllRegisterRows(Tables.events(s, dir)))
+    }),
   )
+
+  /** Three mtime-ordered event batches through foreachBatch, each
+    * appending its per-batch max registers to the store parquet. */
+  private def hllStreamReplay(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "stream-hll") {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val maxId = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      val third = maxId / 3 + 1
+      val store = buildPath(dir, "stream-hll-store")
+      val in = buildPath(dir, "stream-hll-in")
+      val ckpt = buildPath(dir, "stream-hll-ckpt")
+      rmrf(store, in, ckpt)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      (0 until 3).foreach { i =>
+        writeMtimed(dir, in, f"$i%02d-events",
+          ev.filter(col("event_id") >= i * third &&
+            col("event_id") < (i + 1) * third),
+          1700000000000L + i * 100000L)
+      }
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          EventQueries.hllRegisterRows(batch)
+            .groupBy(col("event_type"), col("b"))
+            .agg(max(col("rank")).as("r"))
+            .write.mode("append").parquet(store)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(store)
+    }
 
   // the shared minhash signature/band CTE prefix (same fragments as
   // TextQueries' minhash_near_dups oracle — one formula, many replays)
@@ -590,5 +641,9 @@ object StreamQueries extends QueryRegistry {
     // shared with lsh_append_audit / lsh_compact_audit: the streaming
     // append path must land the identical store content
     "stream_index_append_replay" -> IndexQueries.lshMaintenanceOracle,
+
+    // the max-merged streaming registers must finish to the identical
+    // estimate — one formula, one oracle (the batch twin's)
+    "stream_hll_replay" -> EventQueries.oracle("events_hll_distinct"),
   )
 }

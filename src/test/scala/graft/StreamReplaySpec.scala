@@ -13,6 +13,27 @@ import graft.streaming.EventStreams
   * ordinary DataFrame code. */
 class StreamReplaySpec extends SparkSpec {
 
+  test("stream_hll_replay equals the batch estimate; register appends are idempotent") {
+    import org.apache.spark.sql.functions._
+    val batch = graft.queries.EventQueries.queries("events_hll_distinct")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val stream = graft.queries.StreamQueries.queries("stream_hll_replay")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(stream.toSeq == batch.toSeq,
+      "max-merged streaming registers must finish to the batch estimate")
+    // idempotence: duplicating every partial register row (an
+    // at-least-once redelivery) changes no max, so the estimate is
+    // unchanged — the property that makes this state shape retry-safe
+    val ev = graft.queries.Tables.events(spark, sfDir)
+    val partials = spark.read.parquet(
+      graft.queries.Tables.buildPath(sfDir, "stream-hll-store"))
+    val doubled = partials.union(partials)
+      .groupBy(col("event_type"), col("b")).agg(max(col("r")).as("r"))
+    val est = graft.queries.EventQueries.hllFinish(doubled,
+      graft.queries.EventQueries.hllRegisterRows(ev)).collect().map(_.toSeq)
+    assert(est.toSeq == batch.toSeq, "doubled partials must not move the estimate")
+  }
+
   test("stream_near_dup_replay equals the batch banded-candidate twin") {
     val res = SparkEntry.queries("stream_near_dup_replay")(spark, sfDir).collect()
     val streamed = res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
