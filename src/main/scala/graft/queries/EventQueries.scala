@@ -95,6 +95,32 @@ object EventQueries extends QueryRegistry {
         .orderBy(col("event_type"))
     }),
 
+    // strict-ORDER 4-step funnel (signup → view → click → purchase):
+    // each step's timestamp is the user's FIRST occurrence strictly
+    // after the previous step — the ordered-progression census behind
+    // activation dashboards (the 2-step funnel_conversion generalized;
+    // order-insensitive co-occurrence would overcount). Four user-keyed
+    // aggs chained by three user-keyed joins; exact timestamps, exact
+    // counts, one conversion ratio as an IEEE-exact division.
+    "events_funnel_steps" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def firstAfter(typ: String, prev: DataFrame, prevCol: String, out: String) =
+        ev.filter(col("event_type") === typ)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevCol))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = firstAfter("view", s1, "t1", "t2")
+      val s3 = firstAfter("click", s2, "t2", "t3")
+      val s4 = firstAfter("purchase", s3, "t3", "t4")
+      def cnt(df: DataFrame, alias: String) = df.agg(count(lit(1)).as(alias))
+      cnt(s1, "n_signup").crossJoin(cnt(s2, "n_viewed"))
+        .crossJoin(cnt(s3, "n_clicked")).crossJoin(cnt(s4, "n_purchased"))
+        .withColumn("full_funnel_rate",
+          round(col("n_purchased").cast("double") / col("n_signup"), 6) + 0.0)
+    }),
+
     // per-type stats
     "events_type_stats" -> ((s, dir) =>
       events(s, dir)
@@ -840,6 +866,24 @@ object EventQueries extends QueryRegistry {
         |       CAST(count(*) AS BIGINT) AS n_users,
         |       CAST(sum(monetary) AS DOUBLE) AS segment_value
         |FROM scored GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
+
+    "events_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |       WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t3
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_viewed,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_clicked,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s4) AS n_purchased,
+        |       round(CAST((SELECT count(*) FROM s4) AS DOUBLE) / (SELECT count(*) FROM s1), 6) + 0.0 AS full_funnel_rate""".stripMargin,
 
     "events_winsorized_stats" ->
       """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),

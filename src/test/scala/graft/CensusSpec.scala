@@ -42,6 +42,14 @@ class CensusSpec extends SparkSpec {
     }
   }
 
+  test("ordered funnel step counts are monotone non-increasing") {
+    val r = EventQueries.queries("events_funnel_steps")(spark, sfDir).collect()(0)
+    val steps = (0 to 3).map(r.getLong)
+    assert(steps == steps.sorted.reverse,
+      s"each funnel step can only lose users: $steps")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("q16 census excludes Brand#1 and negative-balance suppliers") {
     import org.apache.spark.sql.functions._
     val out = RelationalQueries.queries("q16_supplier_census")(spark, sfDir).collect()
