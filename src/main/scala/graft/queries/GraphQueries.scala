@@ -22,11 +22,25 @@ import graft.operators.PageRank
 object GraphQueries extends QueryRegistry {
   import Tables._
 
-  /** Co-purchase edge list (src, dst, w), both directions. */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir)
-    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
-    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+  /** Co-purchase edge list (src, dst, w), both directions; w = the
+    * number of ORDERS where the two parts appear together (per-order
+    * (orderkey, partkey) pairs are distinct'd BEFORE the self-join, so
+    * a part listed on k lines of one order contributes one co-order,
+    * not k·j pair rows — the r10 advisory's inflated-weight fix). */
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    edgesOf(lineitem(s, dir))
+
+  /** The same edge derivation over an arbitrary lineitem slice — the
+    * shared kernel of the full build, the incremental append, and the
+    * streaming replay (one formula, every consumer). Pairs are
+    * generated WITHIN an order, so a slice containing WHOLE orders
+    * yields exactly the edges those orders contribute to a full build:
+    * edge counts are order-additive, which is what makes the O(batch)
+    * append exact. */
+  private[graft] def edgesOf(li: DataFrame): DataFrame = {
+    val op = li.select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+    val a = op.select(col("ok"), col("l_partkey").as("src"))
+    val b = op.select(col("ok"), col("l_partkey").as("dst"))
     a.join(b, "ok")
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
@@ -42,6 +56,40 @@ object GraphQueries extends QueryRegistry {
   private def sharedGraph(s: SparkSession, dir: String): PageRank.Graph =
     SharedBuilds.of(s, dir, "copurchase-graph")(
       PageRank.prepare(copurchaseEdges(s, dir)))
+
+  /** O(batch) incremental edge append — the graph tier joins
+    * LSH/IVF/PQ/HNSW in taking batch maintenance without a corpus
+    * rebuild (the r10 verdict's missing piece). Pairs are order-local
+    * (see [[edgesOf]]), so a batch of WHOLE new orders contributes a
+    * self-contained edge increment; the merge is a union + keyed sum —
+    * one shuffle over |stored edges| + |batch edges|, no lineitem
+    * re-scan of the historical corpus. Edge-count additivity makes
+    * append ≡ rebuild EXACT (long sums are associative), which
+    * pagerank_append_audit checks end-to-end against the full-rebuild
+    * SQL oracle. */
+  private[graft] def edgesAppend(stored: DataFrame, batchLi: DataFrame): DataFrame =
+    stored.unionByName(edgesOf(batchLi))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).as("w"))
+
+  /** DURABLE incrementally-maintained edge store: the even-order half
+    * builds the base store (parquet — the persisted artifact a daily
+    * job reads back), the odd-order half lands via [[edgesAppend]],
+    * and the merged store is re-read from disk — so the audit query
+    * consumes the real two-session artifact (write → read-back →
+    * append → write → read-back), not shared lineage. Memoized per
+    * (session, dir) like every index store. */
+  private def appendedEdgeStore(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "copurchase-edges-appended") {
+      val li = lineitem(s, dir)
+      val basePath = buildPath(dir, "copurchase-edges-base")
+      edgesOf(li.filter(col("l_orderkey") % 2 === 0))
+        .write.mode("overwrite").parquet(basePath)
+      val storePath = buildPath(dir, "copurchase-edges")
+      edgesAppend(s.read.parquet(basePath), li.filter(col("l_orderkey") % 2 === 1))
+        .write.mode("overwrite").parquet(storePath)
+      s.read.parquet(storePath)
+    }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3-iteration damped PageRank over the co-purchase graph, top-20
@@ -87,6 +135,21 @@ object GraphQueries extends QueryRegistry {
         .orderBy(col("part_id"), col("rnk"))
     }),
 
+    // incremental-maintenance audit (the pq_append_audit discipline on
+    // the graph tier): 3 PageRank iterations over the INCREMENTALLY
+    // BUILT durable edge store (even orders as the base build, odd
+    // orders appended via edgesAppend), while the oracle replays the
+    // FULL from-scratch edge build + the same 3 integer iterations —
+    // green means append ≡ rebuild bit-for-bit through the whole
+    // downstream computation, not just on edge counts
+    "pagerank_append_audit" -> ((s, dir) =>
+      PageRank.iterate(
+        SharedBuilds.of(s, dir, "copurchase-graph-appended")(
+          PageRank.prepare(appendedEdgeStore(s, dir))), 3)
+        .select(col("node").as("part_id"), col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("part_id"))
+        .limit(20)),
+
     // degree histogram of the same graph: how many parts have k
     // co-purchase neighbors — the graph-shape audit run before any
     // iterative algorithm (a power-law tail with mega-hubs is the
@@ -101,9 +164,10 @@ object GraphQueries extends QueryRegistry {
   )
 
   private val edgesSql =
-    """e AS (
+    """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
       |  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
-      |  FROM lineitem a JOIN lineitem b
+      |  FROM op a JOIN op b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
       |  GROUP BY 1, 2)""".stripMargin
 
@@ -149,6 +213,21 @@ object GraphQueries extends QueryRegistry {
          |${pprIterSql("it3", "it2")}
          |SELECT node AS part_id, rank AS rank_fp FROM it3
          |WHERE node NOT IN (SELECT node FROM seeds)
+         |ORDER BY rank_fp DESC, part_id LIMIT 20""".stripMargin,
+
+    // the full-rebuild replay IS the oracle for the incremental store —
+    // the incremental_funnel convention: green == append ≡ rebuild
+    "pagerank_append_audit" ->
+      s"""WITH $edgesSql,
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+         |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN outw o ON e.src = o.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e),
+         |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT node, ${PageRank.FP} // (SELECT n FROM p) AS rank FROM nodes),
+         |${iterSql("it1", "r0")},
+         |${iterSql("it2", "it1")},
+         |${iterSql("it3", "it2")}
+         |SELECT node AS part_id, rank AS rank_fp FROM it3
          |ORDER BY rank_fp DESC, part_id LIMIT 20""".stripMargin,
 
     "pagerank_copurchase" ->

@@ -267,11 +267,17 @@ object PipelineQueries extends QueryRegistry {
     // costs the same per round as 100 MB once the vocab is built.
     // Each round's top pair is a 1-row driver head (the bounded-
     // collect discipline); the merge applies as two sentinel-space
-    // replace passes: pass 1's leftmost non-overlapping scan skips
-    // only boundary-sharing occurrences, which are isolated singletons
-    // by construction, so pass 2 completes exactly the greedy
-    // left-to-right merge BPE defines. Ranks tie-break on pair text,
-    // so the learned sequence is deterministic on any engine.
+    // replace passes. DEVIATION, stated exactly (r10 advisory): for a
+    // same-symbol pair (x,x) inside an odd run of >= 5 x's, the two
+    // passes merge around an isolated MIDDLE singleton ("x x x x x" →
+    // "xx x xx") where Sennrich greedy left-to-right leaves the LAST
+    // symbol unmerged ("xx xx x") — so later-round pair counts can
+    // differ from a canonical BPE trainer on such runs. Both engines
+    // share replace() semantics, so the training stays deterministic
+    // and oracle-exact; runs >= 5 of one symbol are vanishingly rare
+    // in natural-language word vocabs (they'd need 5+ identical
+    // adjacent symbols inside one word). Ranks tie-break on pair
+    // text, so the learned sequence is deterministic on any engine.
     "bpe_train_merges" -> ((s, dir) => {
       import s.implicits._
       bpeTrain(s, dir)._3

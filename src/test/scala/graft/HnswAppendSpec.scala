@@ -38,6 +38,64 @@ class HnswAppendSpec extends SparkSpec {
     assertAppendEqualsRebuild(new Hnsw(m = 4, ef = 16, seed = 7L), df, 90L)
   }
 
+  test("empty batch is a no-op (r10 advisory: the dim probe used to throw)") {
+    import spark.implicits._
+    val base = (0L until 20L).map(i => (i, Seq(1f, 0.1f * i, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val h = new Hnsw(m = 4, ef = 16, seed = 11L)
+    val built = h.buildAdjacency(base).localCheckpoint()
+    val appended = h.appendAdjacency(built, base,
+      base.filter(col("vec_id") < 0))
+    assert(appended.collect().map(_.toSeq).toSet ==
+      built.collect().map(_.toSeq).toSet)
+  }
+
+  test("untouched stored rows pass through: no window, no join upstream of them") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val rnd = new scala.util.Random(3)
+    val all = (0L until 100L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq))
+      .toDF("vec_id", "embedding")
+    val base = all.filter(col("vec_id") < 80L)
+    val batch = all.filter(col("vec_id") >= 80L)
+    val h = new Hnsw(m = 4, ef = 16, seed = 3L)
+    val built = h.buildAdjacency(base).localCheckpoint()
+    val Some((repruned, untouched)) =
+      h.appendAdjacencyParts(built, base, batch)
+    // structural: the untouched branch re-prunes nothing (no Window)
+    // and the stored adjacency reaches its anti-join UN-JOINED — the
+    // r10 full-edge-frame rehydration is provably absent from the plan
+    val plan = untouched.queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.isEmpty,
+      "untouched rows must not be re-pruned")
+    val antis = plan.collect { case j: LJoin if j.joinType == LeftAnti => j }
+    assert(antis.size == 1, s"expected exactly one anti-join, got ${antis.size}")
+    assert(antis.head.left.collect { case j: LJoin => j }.isEmpty,
+      "stored rows must flow to the anti-join without any join (no vector rehydration)")
+    // behavioral: untouched ⊂ stored (byte-identical pass-through),
+    // non-trivially so, and the two branches reassemble the rebuild
+    val storedSet = built.collect().map(_.toSeq).toSet
+    val untouchedSet = untouched.collect().map(_.toSeq).toSet
+    assert(untouchedSet.nonEmpty, "fixture must leave some nodes untouched")
+    assert(untouchedSet.subsetOf(storedSet))
+    val together = repruned.unionByName(untouched).collect().map(_.toSeq).toSet
+    val rebuilt = h.buildAdjacency(all).collect().map(_.toSeq).toSet
+    assert(together == rebuilt)
+    // and the branches PARTITION the stored key space: every stored
+    // (node, level) is exactly one of untouched / re-pruned — the
+    // window input excludes precisely the untouched majority
+    def keys(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("node_id"), col("level")).distinct()
+      .collect().map(r => (r.getLong(0), r.get(1).toString.toInt)).toSet
+    val untouchedKeys = keys(untouched)
+    val reprunedOldKeys = keys(repruned.filter(col("node_id") < 80L))
+    assert((untouchedKeys intersect reprunedOldKeys).isEmpty)
+    // (touched old keys with no stored edges may appear only in repruned)
+    assert(untouchedKeys == (keys(built) diff reprunedOldKeys))
+  }
+
   test("appending an empty-overlap batch leaves old top-M intact when unbeaten") {
     import spark.implicits._
     // base: two clusters; batch: one far-away vector that shares no
