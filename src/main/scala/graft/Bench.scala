@@ -82,6 +82,17 @@ object Bench {
     s
   }
   private val CalibIters = 400000000L // ~0.5 s/thread on an unloaded core
+
+  // Committed round-10 baseline pair (BENCH_r10.json): steady-median3
+  // total over its 184 queries, and the min single-thread calib reading
+  // bracketing that measurement. deflated_vs_prev divides BOTH rounds'
+  // totals by their own calib before comparing, turning shared-host
+  // tenancy out of the round-over-round ratio (the r10 verdict's
+  // "actually do the division" task). Consumers should still normalize
+  // by n_queries (also emitted) when the query surface grew.
+  private val PrevSteadyTotal = 91.402
+  private val PrevStCalib = 0.85
+  private val PrevNQueries = 184
   private def calib(threads: Int): Double = {
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
@@ -211,7 +222,14 @@ object Bench {
         // shuffles each over the co-purchase edges; the edge build is
         // the data-volume-proportional part, so the ratio should track
         // corpus growth, never blow up
-        "pagerank_copurchase" -> SparkEntry.queries("pagerank_copurchase"))
+        "pagerank_copurchase" -> SparkEntry.queries("pagerank_copurchase"),
+        // r11: the headline incremental composition — ONE phase-B
+        // execution (snapshot-diff read + thin-frame state merges +
+        // funnel agg); the phase-A state build is memoized into the
+        // untimed warm-up run, so the ratio isolates the recurring
+        // daily-tick cost, which is the number that must hold at 100 TB
+        "incremental_funnel_phaseB" -> ((s, d) =>
+          graft.queries.TextQueries.incrementalFunnelProbe(s, d)))
       val scaledDir = s"target/bench-scale10/$sfTag"
       val reps = 10
       val buildSec = buildScaled(spark, sfDir, scaledDir, reps)
@@ -261,10 +279,17 @@ object Bench {
     }
 
     var qs = assemble(keep)
-    val qsBudget = if (scaleJson.isEmpty) 1500 else 1100
+    // budgets leave headroom for the fixed-size calib + deflated +
+    // scale-probe blocks inside the driver's ~2000-char tail window
+    val qsBudget = if (scaleJson.isEmpty) 1450 else 1000
     while (qs.length > qsBudget && keep > 1) { keep -= 8; qs = assemble(keep) }
+    // calib-deflated round-over-round ratio: (this total / this st
+    // calib) over the committed r10 pair — >1 means genuinely more
+    // work per calib-second (e.g. new queries), not a noisier host
+    val stCalib = math.min(calibPre._1, calibPost._1)
+    val deflated = (total / math.max(stCalib, 1e-9)) / (PrevSteadyTotal / PrevStCalib)
     val calibJson =
-      s""","host_calib":{"iters":"4e8","st":[${fmt(calibPre._1, "%.2f")},${fmt(calibPost._1, "%.2f")}],"mt$nThreads":[${fmt(calibPre._2, "%.2f")},${fmt(calibPost._2, "%.2f")}]}"""
+      s""","host_calib":{"iters":"4e8","st":[${fmt(calibPre._1, "%.2f")},${fmt(calibPost._1, "%.2f")}],"mt$nThreads":[${fmt(calibPre._2, "%.2f")},${fmt(calibPost._2, "%.2f")}]},"n_queries":${results.size},"deflated_vs_prev":{"prev":[$PrevSteadyTotal,$PrevStCalib,$PrevNQueries],"ratio":${fmt(deflated, "%.2f")}}"""
     val line =
       s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","mode":"steady-median3","spread":${fmt(spread, "%.2f")},"cold_total_sec":${fmt(coldTotal, "%.3f")},"queries":$qs,"sf":"$sfTag"$calibJson$scaleJson}"""
     // The metric line is emitted THREE ways, because the driver greps

@@ -271,6 +271,34 @@ object TextQueries extends QueryRegistry {
     * pq_append_audit applied to the whole curation pipeline). */
   private def incrFunnelFlags(s: SparkSession, dir: String): DataFrame =
     SharedBuilds.of(s, dir, "incr-funnel-flags") {
+      incrFunnelPhaseB(s, dir).localCheckpoint()
+    }
+
+  /** Bench scale-probe entry: one full phase-B execution (diff-read +
+    * state merges + funnel aggregation), re-run per timing pass —
+    * phase A's memoized state build lands in the untimed warm-up. */
+  private[graft] def incrementalFunnelProbe(s: SparkSession, dir: String): DataFrame =
+    funnelAgg(incrFunnelPhaseB(s, dir))
+
+  /** Snapshot read over the funnel's two-commit store (see
+    * [[incrFunnelState]]): "1" = first commit, "1..2" = the diff. */
+  private def readSnap(s: SparkSession, path: String, opt: String): DataFrame = {
+    import graft.sources.KwiSnapshots
+    val files =
+      if (opt.contains("..")) KwiSnapshots.resolveDiff(path, opt)
+      else KwiSnapshots.resolve(path, opt)
+    // same spread rule as Tables.documents: the shingle work is
+    // interpreted-mode HOFs, so buy map-side parallelism up front
+    s.read.parquet(files: _*)
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** Phase A of the incremental funnel, memoized: the two-commit
+    * document store plus every persisted state table a daily job keeps
+    * between runs. Returns the store path (state lives at
+    * `$path.state`). */
+  private def incrFunnelState(s: SparkSession, dir: String): String =
+    SharedBuilds.of(s, dir, "incr-funnel-state") {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       import scala.jdk.CollectionConverters._
       import graft.sources.{CollectionManager, KwiSnapshots}
@@ -301,15 +329,6 @@ object TextQueries extends QueryRegistry {
       }
       commitBatch(docsAll.filter(col("doc_id") < cutoff), "batch1")
       commitBatch(docsAll.filter(col("doc_id") >= cutoff), "batch2")
-      def readSnap(opt: String): DataFrame = {
-        val files =
-          if (opt.contains("..")) KwiSnapshots.resolveDiff(path, opt)
-          else KwiSnapshots.resolve(path, opt)
-        // same spread rule as Tables.documents: the shingle work is
-        // interpreted-mode HOFs, so buy map-side parallelism up front
-        s.read.parquet(files: _*)
-          .repartition(s.sparkContext.defaultParallelism)
-      }
       // ---- phase A: commit-1 state (text work touches batch1 only;
       // the batch is checkpointed so its three consumers — shingle
       // table, content hashes, quality metrics — scan it once). Every
@@ -324,56 +343,70 @@ object TextQueries extends QueryRegistry {
         df.write.mode("overwrite").parquet(p)
         s.read.parquet(p)
       }
-      val docs1 = readSnap("1").localCheckpoint()
+      val docs1 = readSnap(s, path, "1").localCheckpoint()
       val hashed1 = Dedup.shingled(docs1).localCheckpoint()
       val pairs1 = Dedup.minhashNearDupsFrom(
         hashed1, Dedup.candidatesFrom(hashed1), 0.3).select(col("a"), col("b"))
       // the persisted state: band table, shingle sets, component map,
       // contaminated ids, content hashes, quality metrics, eval
       // shingle hashes (the Bloom bits re-derive from the last)
-      val bandsState = saveState(Dedup.candidateBands(hashed1), "bands")
-      val shState = saveState(hashed1.select(col("doc_id"), col("sh")), "shingles")
-      val compState = saveState(
-        Components.connectedComponents(pairs1), "components")
+      saveState(Dedup.candidateBands(hashed1), "bands")
+      saveState(hashed1.select(col("doc_id"), col("sh")), "shingles")
+      saveState(Components.connectedComponents(pairs1), "components")
       val evalSh = saveState(hashed1.filter(col("doc_id") < 10)
         .select(explode(array_distinct(col("shh"))).as("h")).distinct(),
         "eval-shingles")
-      val contamState = saveState(
-        contamIds(hashed1.filter(col("doc_id") >= 10),
-          typedLit(Dedup.bloomBitsOf(evalSh)), evalSh), "contam")
-      val chState = saveState(docs1.select(col("doc_id"),
+      saveState(contamIds(hashed1.filter(col("doc_id") >= 10),
+        typedLit(Dedup.bloomBitsOf(evalSh)), evalSh), "contam")
+      saveState(docs1.select(col("doc_id"),
         TextOps.md5Long(col("text")).as("ch")), "ch")
-      val metricsState = saveState(funnelMetrics(docs1), "metrics")
-      // ---- phase B: the incremental run — TEXT reads only the diff;
-      // everything else comes off the persisted state tables
-      val bits = typedLit(Dedup.bloomBitsOf(evalSh))
-      val newDocs = readSnap("1..2").localCheckpoint()
-      val hashedN = Dedup.shingled(newDocs).localCheckpoint()
-      val bandsN = Dedup.candidateBands(hashedN).localCheckpoint()
-      val newNew = Dedup.candidatePairs(bandsN)
-      val newOld = bandsState.select(col("doc_id").as("a"), col("band"), col("band_hash"))
-        .join(bandsN.select(col("doc_id").as("b"), col("band"), col("band_hash")),
-          Seq("band", "band_hash"))
-        .select(col("a"), col("b")).distinct() // old id < new id always
-      val shUnion = shState
-        .union(hashedN.select(col("doc_id"), col("sh")))
-      val pairsB = Dedup.minhashNearDupsFrom(
-        shUnion, newNew.union(newOld).distinct(), 0.3).select(col("a"), col("b"))
-      val starEdges = compState.filter(col("node") =!= col("component"))
-        .select(col("component").as("a"), col("node").as("b"))
-      val compAll = Components.connectedComponents(starEdges.union(pairsB))
-        .withColumnRenamed("node", "doc_id")
-      val contamN = contamIds(hashedN, bits, evalSh)
-      val chB = newDocs.select(col("doc_id"), TextOps.md5Long(col("text")).as("ch"))
-      val metricsN = funnelMetrics(newDocs)
-      val contamAll = contamState.union(contamN).distinct()
-        .withColumn("contaminated", lit(true))
-      chState.union(chB)
-        .join(compAll, Seq("doc_id"), "left")
-        .join(broadcast(contamAll), Seq("doc_id"), "left")
-        .join(metricsState.union(metricsN), "doc_id")
-        .localCheckpoint()
+      saveState(funnelMetrics(docs1), "metrics")
+      path
     }
+
+  /** Phase B: the incremental run — TEXT reads only the `1..2` diff
+    * shards; everything else comes off the persisted state tables.
+    * NOT memoized (callers memoize the result): Bench's scale probe
+    * re-executes this whole diff-read + merge to time the r10
+    * headline composition at 1× and 10× (the r10 verdict's task 6). */
+  private[graft] def incrFunnelPhaseB(s: SparkSession, dir: String): DataFrame = {
+    val path = incrFunnelState(s, dir)
+    val stateDir = s"$path.state"
+    def state(name: String): DataFrame = s.read.parquet(s"$stateDir/$name")
+    val bandsState = state("bands")
+    val shState = state("shingles")
+    val compState = state("components")
+    val evalSh = state("eval-shingles")
+    val contamState = state("contam")
+    val chState = state("ch")
+    val metricsState = state("metrics")
+    val bits = typedLit(Dedup.bloomBitsOf(evalSh))
+    val newDocs = readSnap(s, path, "1..2").localCheckpoint()
+    val hashedN = Dedup.shingled(newDocs).localCheckpoint()
+    val bandsN = Dedup.candidateBands(hashedN).localCheckpoint()
+    val newNew = Dedup.candidatePairs(bandsN)
+    val newOld = bandsState.select(col("doc_id").as("a"), col("band"), col("band_hash"))
+      .join(bandsN.select(col("doc_id").as("b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(col("a"), col("b")).distinct() // old id < new id always
+    val shUnion = shState
+      .union(hashedN.select(col("doc_id"), col("sh")))
+    val pairsB = Dedup.minhashNearDupsFrom(
+      shUnion, newNew.union(newOld).distinct(), 0.3).select(col("a"), col("b"))
+    val starEdges = compState.filter(col("node") =!= col("component"))
+      .select(col("component").as("a"), col("node").as("b"))
+    val compAll = Components.connectedComponents(starEdges.union(pairsB))
+      .withColumnRenamed("node", "doc_id")
+    val contamN = contamIds(hashedN, bits, evalSh)
+    val chB = newDocs.select(col("doc_id"), TextOps.md5Long(col("text")).as("ch"))
+    val metricsN = funnelMetrics(newDocs)
+    val contamAll = contamState.union(contamN).distinct()
+      .withColumn("contaminated", lit(true))
+    chState.union(chB)
+      .join(compAll, Seq("doc_id"), "left")
+      .join(broadcast(contamAll), Seq("doc_id"), "left")
+      .join(metricsState.union(metricsN), "doc_id")
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tokenization stats (token counting op)
