@@ -172,12 +172,51 @@ object TextQueries extends QueryRegistry {
         .localCheckpoint()
     }
 
-  /** Map-only per-doc quality + lexical-diversity booleans — the text
-    * work of the funnel's last two stages, factored out so the FULL
-    * pipeline (curation_funnel) and the INCREMENTAL pipeline
+  /** Per-source cap applied inside the funnel (r11): keep the top
+    * [[FunnelCapK]] decon survivors per source by redacted-text
+    * quality score — 20 sources × 25–250 docs each in the testdata,
+    * so the cap genuinely drops rows at every sf. */
+  private[graft] val FunnelCapK = 15
+
+  /** The funnel's PII stage (r11): a deterministic synthetic triple
+    * (same formula as pii_redaction_audit) is planted on the doc_id%7
+    * minority — the "dirty docs" — then ALL text is scrubbed through
+    * the three typed-placeholder replaces. Redaction is a TRANSFORM,
+    * not a filter (real pipelines keep the scrubbed doc), so the
+    * funnel reports how many survivors NEEDED redaction and computes
+    * every downstream quality metric over the REDACTED text. */
+  private def piiPlanted: Column =
+    when(col("doc_id") % 7 === 0, concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com ip 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0."),
+      (col("doc_id") % 100).cast("string"), lit(" phone +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+
+  private def piiRedact(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiPhone, "<PHONE>")
+
+  private def piiMatches(c: Column): Column =
+    (size(regexp_extract_all(c, lit(PiiEmail), lit(0))) +
+      size(regexp_extract_all(c, lit(PiiIp), lit(0))) +
+      size(regexp_extract_all(c, lit(PiiPhone), lit(0)))).cast("long")
+
+  /** Map-only per-doc PII scrub + quality + lexical-diversity metrics —
+    * the text work of the funnel's post-dedup stages, factored out so
+    * the FULL pipeline (curation_funnel) and the INCREMENTAL pipeline
     * (incremental_funnel, which runs this over only the new shards)
-    * execute the identical arithmetic by construction. */
+    * execute the identical arithmetic by construction. Input needs
+    * (doc_id, source, text); quality/TTR/score all read the REDACTED
+    * text (dedup hashes upstream read the original — scrub runs after
+    * dedup, before quality, as in a real pipeline). */
   private def funnelMetrics(docs: DataFrame): DataFrame = docs
+    .withColumn("praw", piiPlanted)
+    .withColumn("pii_hit", piiMatches(col("praw")) > 0L)
+    .withColumn("text", piiRedact(col("praw")))
+    .drop("praw")
+    .withColumn("q", round(TextOps.qualityScore(col("text")), 6))
     .withColumn("toks", TextOps.tokens(col("text")))
     .withColumn("ws", filter(split(col("text"), "\\s+"), w => length(w) > lit(0)))
     .withColumn("nw", size(col("ws")).cast("long"))
@@ -190,7 +229,7 @@ object TextQueries extends QueryRegistry {
         / col("nw")))
     .withColumn("alpha_ratio", when(col("nw") === 0, lit(0.0)).otherwise(
       size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double") / col("nw")))
-    .select(col("doc_id"),
+    .select(col("doc_id"), col("source"), col("pii_hit"), col("q"),
       (col("nw").between(50L, 100000L) &&
         col("mean_len") >= 3.0 && col("mean_len") <= 10.0 &&
         col("sym_ratio") < 0.1 && col("alpha_ratio") >= 0.8).as("q_pass"),
@@ -199,15 +238,23 @@ object TextQueries extends QueryRegistry {
           size(col("toks")) >= 0.32).as("ttr_pass"))
 
   /** The funnel's cross-doc stages over a THIN per-doc frame
-    * (doc_id, ch, component?, contaminated?, q_pass, ttr_pass):
-    * exact-keep window over the content hash, canonical-doc window
-    * over the component, decontamination gate, then the one
-    * conditional aggregation that closes the funnel. Shared by the
-    * full and incremental paths — the exchanges here carry ~25-byte
-    * rows whatever the corpus size; no text survives to this point. */
+    * (doc_id, ch, component?, contaminated?, source, pii_hit, q,
+    * q_pass, ttr_pass): exact-keep window over the content hash,
+    * canonical-doc window over the component, decontamination gate,
+    * PII-scrub census, per-source cap window, then the one conditional
+    * aggregation that closes the funnel. Shared by the full and
+    * incremental paths — the exchanges here carry small rows whatever
+    * the corpus size; no text survives to this point. Stage order is
+    * the real pipeline's: dedup → decon → scrub → source cap →
+    * quality → diversity. The cap ranks decon survivors per source by
+    * (redacted-text quality score desc, doc_id asc) — survivors sort
+    * ahead of non-survivors inside the window, so row_number over the
+    * source partition caps exactly the survivor prefix. */
   private def funnelAgg(thin: DataFrame): DataFrame = {
     val wHash = Window.partitionBy(col("ch"))
     val wComp = Window.partitionBy(col("component"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("decon_keep").desc, col("q").desc, col("doc_id").asc)
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L)).cast("long")
     thin
@@ -217,12 +264,16 @@ object TextQueries extends QueryRegistry {
           min(when(col("exact_keep"), col("doc_id"))).over(wComp)))
       .withColumn("decon_keep",
         col("nd_keep") && !coalesce(col("contaminated"), lit(false)))
+      .withColumn("cap_keep",
+        col("decon_keep") && row_number().over(wSrc) <= FunnelCapK)
       .agg(count(lit(1)).cast("long").as("n_raw"),
         cnt(col("exact_keep")).as("n_exact"),
         cnt(col("nd_keep")).as("n_neardup"),
         cnt(col("decon_keep")).as("n_decontaminated"),
-        cnt(col("decon_keep") && col("q_pass")).as("n_quality"),
-        cnt(col("decon_keep") && col("q_pass") && col("ttr_pass")).as("n_final"))
+        cnt(col("decon_keep") && col("pii_hit")).as("n_pii_redacted"),
+        cnt(col("cap_keep")).as("n_capped"),
+        cnt(col("cap_keep") && col("q_pass")).as("n_quality"),
+        cnt(col("cap_keep") && col("q_pass") && col("ttr_pass")).as("n_final"))
   }
 
   /** Contaminated ids among `corpus` (a shingle table slice with
@@ -308,7 +359,9 @@ object TextQueries extends QueryRegistry {
       val path = Tables.buildPath(dir, "incr-funnel")
       CollectionManager.deleteRecursively(Paths.get(path))
       Files.createDirectories(Paths.get(path))
-      val docsAll = documents(s, dir).select(col("doc_id"), col("text"))
+      // source rides the stored shards: the funnel's cap stage (r11)
+      // partitions by it and phase B must see it on the diff shards
+      val docsAll = documents(s, dir).select(col("doc_id"), col("source"), col("text"))
       val maxId = docsAll.agg(max(col("doc_id"))).collect()(0).getLong(0)
       val cutoff = math.max(10L, (maxId + 1) / 2)
       require(cutoff <= maxId,
@@ -1291,14 +1344,35 @@ object TextQueries extends QueryRegistry {
          |bh AS (SELECT DISTINCT unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id < 10),
          |chh AS (SELECT doc_id, unnest(list_distinct(shh)) AS h FROM hs WHERE doc_id >= 10),
          |contam AS (SELECT DISTINCT doc_id FROM chh JOIN bh USING (h)),
-         |base AS (
-         |  SELECT d.doc_id, d.text, cc.component, ${F.md5L("d.text")} AS ch,
-         |         ${F.toks("d.text")} AS toks,
-         |         list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS ws
+         |pb AS (
+         |  SELECT d.doc_id, d.source, cc.component, ${F.md5L("d.text")} AS ch,
+         |         CASE WHEN d.doc_id % 7 = 0
+         |              THEN d.text || ' contact user' || d.doc_id || '@mail' || (d.doc_id % 7)
+         |                   || '.com ip 10.' || (d.doc_id % 256) || '.0.' || (d.doc_id % 100)
+         |                   || ' phone +1-555-' || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0')
+         |              ELSE d.text END AS praw
          |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+         |base AS (
+         |  SELECT doc_id, source, component, ch,
+         |         len(regexp_extract_all(praw, '$PiiEmail'))
+         |           + len(regexp_extract_all(praw, '$PiiIp'))
+         |           + len(regexp_extract_all(praw, '$PiiPhone')) > 0 AS pii_hit,
+         |         regexp_replace(regexp_replace(regexp_replace(praw,
+         |           '$PiiEmail', '<EMAIL>', 'g'),
+         |           '$PiiIp', '<IP>', 'g'),
+         |           '$PiiPhone', '<PHONE>', 'g') AS text
+         |  FROM pb),
+         |bq AS (SELECT *, ${F.toks("text")} AS toks,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+         |       FROM base),
+         |bqq AS (SELECT *,
+         |          round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |                + ${F.stopRatio} * 0.3
+         |                + (1.0 - ${F.punct}) * 0.3, 6) AS q
+         |        FROM bq),
          |st1 AS (SELECT *, len(ws) AS nw,
          |          (doc_id = min(doc_id) OVER (PARTITION BY ch)) AS exact_keep
-         |        FROM base),
+         |        FROM bqq),
          |st2 AS (SELECT *,
          |          (exact_keep AND (component IS NULL OR doc_id =
          |             min(CASE WHEN exact_keep THEN doc_id END) OVER (PARTITION BY component))) AS nd_keep,
@@ -1312,10 +1386,14 @@ object TextQueries extends QueryRegistry {
          |        FROM st1),
          |st2d AS (SELECT *, (nd_keep AND doc_id NOT IN (SELECT doc_id FROM contam)) AS decon_keep
          |        FROM st2),
-         |st3 AS (SELECT *, (decon_keep AND nw BETWEEN 50 AND 100000
+         |stc AS (SELECT *, (decon_keep AND row_number() OVER (
+         |          PARTITION BY source
+         |          ORDER BY decon_keep DESC, q DESC, doc_id ASC) <= $FunnelCapK) AS cap_keep
+         |        FROM st2d),
+         |st3 AS (SELECT *, (cap_keep AND nw BETWEEN 50 AND 100000
          |          AND mean_len >= 3 AND mean_len <= 10
          |          AND sym_ratio < 0.1 AND alpha_ratio >= 0.8) AS q_keep
-         |        FROM st2d),
+         |        FROM stc),
          |st4 AS (SELECT *, (q_keep AND (len(toks) = 0 OR
          |          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.32)) AS final_keep
          |        FROM st3)
@@ -1323,6 +1401,8 @@ object TextQueries extends QueryRegistry {
          |       CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
          |       CAST(sum(CASE WHEN nd_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
          |       CAST(sum(CASE WHEN decon_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_decontaminated,
+         |       CAST(sum(CASE WHEN decon_keep AND pii_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_redacted,
+         |       CAST(sum(CASE WHEN cap_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
          |       CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |       CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final
          |FROM st4""".stripMargin
