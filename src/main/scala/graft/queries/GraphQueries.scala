@@ -195,6 +195,23 @@ object GraphQueries extends QueryRegistry {
        |  LEFT JOIN $prev r ON r.node = w.src
        |  GROUP BY nd.node)""".stripMargin
 
+  /** The full from-scratch edge build + 3 integer PageRank iterations,
+    * top-20 — the shared oracle of pagerank_copurchase AND of every
+    * incrementally/streaming-maintained variant (green == maintained
+    * store ≡ rebuild through the whole downstream computation). */
+  private[queries] lazy val pagerankFullSql: String =
+    s"""WITH $edgesSql,
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+       |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN outw o ON e.src = o.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, ${PageRank.FP} // (SELECT n FROM p) AS rank FROM nodes),
+       |${iterSql("it1", "r0")},
+       |${iterSql("it2", "it1")},
+       |${iterSql("it3", "it2")}
+       |SELECT node AS part_id, rank AS rank_fp FROM it3
+       |ORDER BY rank_fp DESC, part_id LIMIT 20""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "ppr_brand_affinity" ->
       s"""WITH $edgesSql,
@@ -217,31 +234,9 @@ object GraphQueries extends QueryRegistry {
 
     // the full-rebuild replay IS the oracle for the incremental store —
     // the incremental_funnel convention: green == append ≡ rebuild
-    "pagerank_append_audit" ->
-      s"""WITH $edgesSql,
-         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
-         |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN outw o ON e.src = o.src),
-         |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e),
-         |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-         |r0 AS (SELECT node, ${PageRank.FP} // (SELECT n FROM p) AS rank FROM nodes),
-         |${iterSql("it1", "r0")},
-         |${iterSql("it2", "it1")},
-         |${iterSql("it3", "it2")}
-         |SELECT node AS part_id, rank AS rank_fp FROM it3
-         |ORDER BY rank_fp DESC, part_id LIMIT 20""".stripMargin,
+    "pagerank_append_audit" -> pagerankFullSql,
 
-    "pagerank_copurchase" ->
-      s"""WITH $edgesSql,
-         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
-         |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN outw o ON e.src = o.src),
-         |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e),
-         |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-         |r0 AS (SELECT node, ${PageRank.FP} // (SELECT n FROM p) AS rank FROM nodes),
-         |${iterSql("it1", "r0")},
-         |${iterSql("it2", "it1")},
-         |${iterSql("it3", "it2")}
-         |SELECT node AS part_id, rank AS rank_fp FROM it3
-         |ORDER BY rank_fp DESC, part_id LIMIT 20""".stripMargin,
+    "pagerank_copurchase" -> pagerankFullSql,
 
     "copurchase_top_partners" ->
       s"""WITH $edgesSql,

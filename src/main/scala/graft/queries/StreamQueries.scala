@@ -46,6 +46,11 @@ import graft.streaming.{DedupStream, EventStreams}
   *     per-batch winners are earliest-event rows (sorted single-file
   *     batches), and state eviction is deterministic end-of-batch
   *     watermark math — see exactDedupReplaySink.
+  *   - `stream_graph_replay`: per-batch edge increments are pure
+  *     functions of the batch's (whole) orders and the sum-merge is
+  *     associative/commutative, so the merged store is batch-order
+  *     independent; batchId-keyed overwrite makes a retried batch
+  *     rewrite, not double-count.
   */
 object StreamQueries extends QueryRegistry {
   import Tables._
@@ -489,7 +494,65 @@ object StreamQueries extends QueryRegistry {
       EventQueries.hllFinish(merged,
         EventQueries.hllRegisterRows(Tables.events(s, dir)))
     }),
+
+    // NINTH replay: streaming GRAPH maintenance — each micro-batch of
+    // lineitem rows (whole orders per batch) lands its order-local
+    // co-purchase edge increment in a durable store via foreachBatch;
+    // the serve-side read sum-merges the increments and runs the
+    // 3-iteration integer PageRank. Edge counts are order-additive
+    // longs, so merge-at-read equals a full rebuild exactly — and the
+    // oracle IS the full from-scratch SQL replay (shared with
+    // pagerank_copurchase), closing the loop between the r10 graph
+    // tier and the streaming surface. Unlike HLL's idempotent max,
+    // sum-increments would double-count on a retried batch, so the
+    // sink is made idempotent the standard way: each batch OVERWRITES
+    // its own batchId-keyed partition (a retry rewrites, never
+    // re-appends).
+    "stream_graph_replay" -> ((s, dir) => {
+      val g = graphStreamReplay(s, dir)
+      graft.operators.PageRank.iterate(g, 3)
+        .select(col("node").as("part_id"), col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("part_id"))
+        .limit(20)
+    }),
   )
+
+  /** Three mtime-ordered whole-order lineitem batches through
+    * foreachBatch, each overwriting its own `batch=<id>` partition of
+    * the edge store with its order-local edge increment; returns the
+    * PREPARED sum-merged graph (memoized — the build-once/probe-many
+    * discipline). */
+  private def graphStreamReplay(s: SparkSession, dir: String)
+      : graft.operators.PageRank.Graph =
+    SharedBuilds.of(s, dir, "stream-graph") {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val store = buildPath(dir, "stream-graph-store")
+      val in = buildPath(dir, "stream-graph-in")
+      val ckpt = buildPath(dir, "stream-graph-ckpt")
+      rmrf(store, in, ckpt)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      (0 until 3).foreach { i =>
+        writeMtimed(dir, in, f"$i%02d-lineitem",
+          li.filter(col("l_orderkey") % 3 === i),
+          1700000000000L + i * 100000L)
+      }
+      val q = s.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          GraphQueries.edgesOf(batch)
+            .write.mode("overwrite").parquet(s"$store/batch=$id")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.operators.PageRank.prepare(
+        s.read.parquet(store)
+          .groupBy(col("src"), col("dst"))
+          .agg(sum(col("w")).as("w")))
+    }
 
   /** Three mtime-ordered event batches through foreachBatch, each
     * appending its per-batch max registers to the store parquet. */
@@ -645,5 +708,10 @@ object StreamQueries extends QueryRegistry {
     // the max-merged streaming registers must finish to the identical
     // estimate — one formula, one oracle (the batch twin's)
     "stream_hll_replay" -> EventQueries.oracle("events_hll_distinct"),
+
+    // the full from-scratch edge build + PageRank replay: green means
+    // the streaming-maintained edge store ranks identically to a
+    // batch rebuild (shared with pagerank_copurchase by design)
+    "stream_graph_replay" -> GraphQueries.pagerankFullSql,
   )
 }
