@@ -124,6 +124,62 @@ object EventQueries extends QueryRegistry {
             round(col("n_purchased").cast("double") / col("n_signup"), 6) + 0.0))
     }),
 
+    // time-boxed conversion: of users who signed up, how many made
+    // their FIRST post-signup purchase within 1 / 7 / 30 days — the
+    // "D7 activation" census every growth dashboard tracks (the
+    // unbounded funnel above says IF users convert; this says how
+    // FAST). Exact epoch-ms long arithmetic end to end; the one
+    // double is the final rounded D7 rate (empty-corpus pinned 0.0)
+    "events_conversion_windows" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("t1"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("tp"))
+        .join(s1, "user_id").filter(col("tp") > col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("tp")).as("tp"))
+      def within(days: Int) = coalesce(
+        sum(when(col("tp") - col("t1") <= days * 86400000L, 1L).otherwise(0L)),
+        lit(0L)).cast("long")
+      s1.agg(count(lit(1)).cast("long").as("n_signup"))
+        .crossJoin(fp.agg(within(1).as("n_conv_1d"), within(7).as("n_conv_7d"),
+          within(30).as("n_conv_30d"))) // 1-row × 1-row stapler
+        .withColumn("d7_rate",
+          when(col("n_signup") === 0L, lit(0.0)).otherwise(
+            round(col("n_conv_7d").cast("double") / col("n_signup"), 6) + 0.0))
+    }),
+
+    // fixed-width histogram quantile sketch: per event type, value
+    // cents land in 1024 equal-width bins between the observed min and
+    // max, and p50/p90/p99 are read off the cumulative counts as the
+    // lower edge of the first bin reaching ceil(q·n/100) — the
+    // bounded-state quantile shape (state = 1024 longs per type no
+    // matter the corpus size; t-digest/KLL are the float-fuzzy cousins,
+    // this one is INTEGER-EXACT so DuckDB replays it bit-for-bit).
+    // Two passes: a min/max/count agg, then the binned histogram;
+    // both map-side combine. The cum≥q·n test cross-multiplies
+    // (cum·100 ≥ n·q) to stay in longs
+    "events_quantile_sketch" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("c"))
+      val st = ev.groupBy(col("event_type")).agg(
+        min(col("c")).as("minc"), max(col("c")).as("maxc"),
+        count(lit(1)).as("n"))
+      val binned = ev.join(broadcast(st), "event_type")
+        .withColumn("bin", expr("((c - minc) * 1024) div (maxc - minc + 1)"))
+        .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      val cum = binned.withColumn("cum", sum(col("cnt")).over(wc))
+        .join(broadcast(st), "event_type")
+      def qEdge(q: Int) = min(when(col("cum") * 100 >= col("n") * q,
+        expr("minc + (bin * (maxc - minc + 1)) div 1024"))).as(s"p${q}_cents")
+      cum.groupBy(col("event_type"))
+        .agg(first(col("n")).cast("long").as("n_events"),
+          first(col("minc")).as("min_cents"), first(col("maxc")).as("max_cents"),
+          qEdge(50), qEdge(90), qEdge(99))
+        .orderBy(col("event_type"))
+    }),
+
     // per-type stats
     "events_type_stats" -> ((s, dir) =>
       events(s, dir)
@@ -889,6 +945,45 @@ object EventQueries extends QueryRegistry {
         |       CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0.0
         |            ELSE round(CAST((SELECT count(*) FROM s4) AS DOUBLE) / (SELECT count(*) FROM s1), 6) + 0.0
         |       END AS full_funnel_rate""".stripMargin,
+
+    "events_conversion_windows" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (SELECT e.user_id, s1.t1, min(epoch_ms(e.ts)) AS tp
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s1.t1
+        |       GROUP BY e.user_id, s1.t1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+        |       (SELECT CAST(coalesce(sum(CASE WHEN tp - t1 <= 86400000 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM fp) AS n_conv_1d,
+        |       (SELECT CAST(coalesce(sum(CASE WHEN tp - t1 <= 604800000 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM fp) AS n_conv_7d,
+        |       (SELECT CAST(coalesce(sum(CASE WHEN tp - t1 <= 2592000000 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM fp) AS n_conv_30d,
+        |       CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0.0
+        |            ELSE round(CAST((SELECT coalesce(sum(CASE WHEN tp - t1 <= 604800000 THEN 1 ELSE 0 END), 0) FROM fp) AS DOUBLE)
+        |                       / (SELECT count(*) FROM s1), 6) + 0.0
+        |       END AS d7_rate""".stripMargin,
+
+    "events_quantile_sketch" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |st AS (SELECT event_type, min(c) AS minc, max(c) AS maxc,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM c GROUP BY event_type),
+        |b AS (SELECT c.event_type, ((c.c - st.minc) * 1024) // (st.maxc - st.minc + 1) AS bin,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |      FROM c JOIN st USING (event_type) GROUP BY 1, 2),
+        |cm AS (SELECT b.event_type, b.bin, b.cnt,
+        |              sum(b.cnt) OVER (PARTITION BY b.event_type ORDER BY b.bin) AS cum,
+        |              st.minc, st.maxc, st.n
+        |       FROM b JOIN st USING (event_type))
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |       CAST(max(minc) AS BIGINT) AS min_cents,
+        |       CAST(max(maxc) AS BIGINT) AS max_cents,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 50
+        |                     THEN minc + (bin * (maxc - minc + 1)) // 1024 END) AS BIGINT) AS p50_cents,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 90
+        |                     THEN minc + (bin * (maxc - minc + 1)) // 1024 END) AS BIGINT) AS p90_cents,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 99
+        |                     THEN minc + (bin * (maxc - minc + 1)) // 1024 END) AS BIGINT) AS p99_cents
+        |FROM cm GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_winsorized_stats" ->
       """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),

@@ -161,6 +161,61 @@ object GraphQueries extends QueryRegistry {
         .groupBy(col("deg"))
         .agg(count(lit(1)).as("n_parts"))
         .orderBy(col("deg"))),
+
+    // synchronous label propagation (Raghavan et al. 2007), 2 unrolled
+    // iterations: each node adopts the label with the largest WEIGHTED
+    // neighbor vote (integer sum of co-order counts), ties to the
+    // smallest label — the cheap community detector a recommender runs
+    // before segment-level aggregation. One superstep = the PageRank
+    // shuffle pair (src-keyed label join + dst-keyed vote sum + one
+    // per-node window); votes are longs, so both engines agree
+    // bit-for-bit. Top-20 communities by size
+    "copurchase_communities" -> ((s, dir) => {
+      val g = sharedGraph(s, dir)
+      var labels = g.nodes.select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 2) {
+        val votes = g.ew.join(labels, g.ew("src") === labels("node"))
+          .select(g.ew("dst").as("node"), col("lbl"), g.ew("w"))
+          .groupBy(col("node"), col("lbl")).agg(sum(col("w")).as("cnt"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("node")).orderBy(col("cnt").desc, col("lbl").asc)
+        val top = votes.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") === 1).select(col("node"), col("lbl").as("new_lbl"))
+        labels = labels.select(col("node"), col("lbl").as("old_lbl"))
+          .join(top, Seq("node"), "left")
+          .select(col("node"), coalesce(col("new_lbl"), col("old_lbl")).as("lbl"))
+      }
+      labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("lbl").as("community"), col("n_members"))
+        .orderBy(col("n_members").desc, col("community").asc)
+        .limit(20)
+    }),
+
+    // triangle census + global clustering coefficient: orient every
+    // undirected edge src < dst, count a < b < c closed wedges with
+    // two hash joins — each triangle lands exactly once. The pair
+    // space is bounded because co-purchase edges are order-local
+    // (per-order cliques of <= a dozen parts), the same bound that
+    // keeps the edge build itself subquadratic. Wedges = Σ deg·(deg−1)/2
+    // over distinct-neighbor degrees (exact longs — the product is
+    // always even); the one double is the final rounded coefficient
+    "copurchase_triangles" -> ((s, dir) => {
+      val e = sharedGraph(s, dir).ew
+        .filter(col("src") < col("dst")).select(col("src"), col("dst"))
+      val ab = e.select(col("src").as("a"), col("dst").as("b"))
+      val bc = e.select(col("src").as("b"), col("dst").as("c"))
+      val ac = e.select(col("src").as("a"), col("dst").as("c"))
+      val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+        .agg(count(lit(1)).cast("long").as("n_triangles"))
+      val wedges = sharedGraph(s, dir).ew
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .agg(sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("n_wedges"))
+      tri.crossJoin(wedges) // 1-row × 1-row stapler
+        .withColumn("global_clustering",
+          when(col("n_wedges") === 0L, lit(0.0)).otherwise(
+            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6) + 0.0))
+    }),
   )
 
   private val edgesSql =
@@ -253,5 +308,42 @@ object GraphQueries extends QueryRegistry {
          |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1)
          |SELECT deg, CAST(count(*) AS BIGINT) AS n_parts
          |FROM d GROUP BY deg ORDER BY deg""".stripMargin,
+
+    "copurchase_communities" ->
+      s"""WITH $edgesSql,
+         |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e),
+         |l0 AS (SELECT node, node AS lbl FROM nodes),
+         |${lpaIterSql(1, "l0")},
+         |${lpaIterSql(2, "l1")}
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         |FROM l2 GROUP BY lbl
+         |ORDER BY n_members DESC, community ASC LIMIT 20""".stripMargin,
+
+    "copurchase_triangles" ->
+      s"""WITH $edgesSql,
+         |u AS (SELECT src, dst FROM e WHERE src < dst),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |        FROM u ab JOIN u bc ON ab.dst = bc.src
+         |                  JOIN u ac ON ac.src = ab.src AND ac.dst = bc.dst),
+         |wd AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+         |       FROM (SELECT src, count(*) AS deg FROM e GROUP BY src))
+         |SELECT n_triangles, n_wedges,
+         |       CASE WHEN n_wedges = 0 THEN 0.0
+         |            ELSE round(3.0 * n_triangles / n_wedges, 6) + 0.0
+         |       END AS global_clustering
+         |FROM tri, wd""".stripMargin,
   )
+
+  /** One unrolled synchronous label-propagation iteration reading
+    * labels from `prev`: weighted neighbor vote, ties to the smallest
+    * label, isolated fallback to the previous label. */
+  private def lpaIterSql(i: Int, prev: String): String =
+    s"""v$i AS (SELECT e.dst AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS cnt
+       |        FROM e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+       |t$i AS (SELECT node, lbl FROM (
+       |          SELECT node, lbl,
+       |                 row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+       |          FROM v$i) WHERE rn = 1),
+       |l$i AS (SELECT p.node, coalesce(t$i.lbl, p.lbl) AS lbl
+       |        FROM $prev p LEFT JOIN t$i ON p.node = t$i.node)""".stripMargin
 }
