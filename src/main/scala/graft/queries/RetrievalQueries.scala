@@ -188,6 +188,55 @@ object RetrievalQueries extends QueryRegistry {
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(15)),
 
+    // pseudo-relevance-feedback expansion (Rocchio/RM1 family — the
+    // classic recall lever): take the BM25 top-3 as feedback docs,
+    // pick the 5 heaviest non-query terms in them (integer tf sums,
+    // tie to term asc — a bounded 5-row head, the MMR/BPE collect
+    // discipline), then rescore the corpus with
+    //   expanded = bm25 + 0.3 · Σ_t w_t·satFp(t) / (W·1e6),
+    // where sat is the idf-FREE BM25 tf-saturation and satFp is sat
+    // rounded into 1e-6 FIXED-POINT LONGS: the per-term contributions
+    // sum associatively, so Spark's fold order and DuckDB's SUM order
+    // cannot diverge in the last ulp (the PageRank long-sum doctrine
+    // applied to retrieval). Second pass is map-only (terms ride as
+    // literals); one thin doc_id join staples it to the memoized base
+    // scores. Top-10 by expanded score
+    "bm25_prf_expansion" -> ((s, dir) => {
+      val base = bm25Scores(s, dir)
+      val docs = documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val fb = base.orderBy(col("bm25").desc, col("doc_id").asc).limit(3)
+        .select(col("doc_id"))
+      val ew = docs.join(fb, "doc_id")
+        .select(explode(col("toks")).as("tok"))
+        .filter(!col("tok").isin(Terms: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("w"))
+        .orderBy(col("w").desc, col("tok").asc).limit(5)
+        .collect().map(r => (r.getString(0), r.getLong(1))) // <=5-row head
+      val wTot = ew.map(_._2).sum
+      val row = docs.agg(count(lit(1)).as("n"),
+        sum(size(col("toks")).cast("double")).as("sl")).collect()(0)
+      val avglen = row.getDouble(1) / row.getLong(0) // exact: integer-valued doubles
+      val dlen = size(col("toks")).cast("double")
+      def satFp(t: String): Column = {
+        val tf = size(filter(col("toks"), x => x === t)).cast("double")
+        round(tf * lit(K1Plus1.toDouble) /
+          (tf + lit(K1.toDouble) *
+            (lit(OneMinusB.toDouble) + lit(B.toDouble) * dlen / lit(avglen)))
+          * 1e6).cast("long")
+      }
+      val sumFp = ew.map { case (t, w) => lit(w) * satFp(t) }
+        .reduceOption(_ + _).getOrElse(lit(0L))
+      val exp = docs.select(col("doc_id"), sumFp.as("sfp"))
+      base.join(exp, "doc_id")
+        .select(col("doc_id"), col("bm25"),
+          (round(col("bm25") + lit(0.3) *
+            (col("sfp").cast("double") / lit(wTot * 1e6)), 6) + 0.0)
+            .as("expanded"))
+        .orderBy(col("expanded").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // Hybrid retrieval: BM25 top-20 and cosine-ANN top-20 (query =
     // embedding 0, doc_id ≡ vec_id as in semantic_dedup) fused with
     // RRF (k = 60). Both rank lists are k-row heads; the fusion is a
@@ -543,6 +592,33 @@ object RetrievalQueries extends QueryRegistry {
          |SELECT doc_id, bm25 FROM sc
          |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 15""".stripMargin,
+
+    // full in-SQL replay of the PRF chain: feedback top-3 off the
+    // shared bm25 CTEs, integer term weights, fixed-point saturation
+    // longs (associative SUM — order-proof), same literals
+    "bm25_prf_expansion" -> {
+      val termsNotIn = Terms.map("'" + _ + "'").mkString("(", ",", ")")
+      s"""$bm25Sql,
+         |fb AS (SELECT doc_id FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 3),
+         |ew AS (SELECT tok, CAST(count(*) AS BIGINT) AS w FROM (
+         |         SELECT unnest(t.toks) AS tok FROM t JOIN fb USING (doc_id))
+         |       WHERE tok NOT IN $termsNotIn
+         |       GROUP BY tok ORDER BY w DESC, tok ASC LIMIT 5),
+         |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM ew),
+         |ex AS (SELECT f.doc_id,
+         |         CAST(sum(ew.w * CAST(round(
+         |           (CAST(len(list_filter(f.toks, x -> x = ew.tok)) AS DOUBLE) * CAST($K1Plus1 AS DOUBLE))
+         |           / (CAST(len(list_filter(f.toks, x -> x = ew.tok)) AS DOUBLE)
+         |              + CAST($K1 AS DOUBLE) * (CAST($OneMinusB AS DOUBLE)
+         |                + CAST($B AS DOUBLE) * CAST(len(f.toks) AS DOUBLE) / n.avglen))
+         |           * 1000000.0) AS BIGINT)) AS BIGINT) AS sfp
+         |       FROM t f CROSS JOIN ew, n GROUP BY f.doc_id)
+         |SELECT sc.doc_id, sc.bm25,
+         |       round(sc.bm25 + CAST(0.3 AS DOUBLE)
+         |             * (CAST(ex.sfp AS DOUBLE) / ((SELECT wt FROM ws) * 1000000.0)), 6) + 0.0 AS expanded
+         |FROM sc JOIN ex ON sc.doc_id = ex.doc_id
+         |ORDER BY expanded DESC, sc.doc_id ASC LIMIT 10""".stripMargin
+    },
 
     "hybrid_rrf_fusion" ->
       s"""$bm25Sql,
