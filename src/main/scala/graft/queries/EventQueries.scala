@@ -180,6 +180,23 @@ object EventQueries extends QueryRegistry {
         .orderBy(col("event_type"))
     }),
 
+    // behavioral path trigrams: the 15 most common 3-step event-type
+    // sequences across user timelines — the n-gram census behind
+    // "what do users do next" flow analysis. One user-keyed window
+    // (total order: ts, event_id — the sessionization sort reused),
+    // two leads, one count shuffle over a bounded (types³) key space
+    "events_path_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("s2", lead(col("event_type"), 1).over(w))
+        .withColumn("s3", lead(col("event_type"), 2).over(w))
+        .filter(col("s2").isNotNull && col("s3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1").asc, col("s2").asc, col("s3").asc)
+        .limit(15)
+    }),
+
     // per-type stats
     "events_type_stats" -> ((s, dir) =>
       events(s, dir)
@@ -945,6 +962,17 @@ object EventQueries extends QueryRegistry {
         |       CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0.0
         |            ELSE round(CAST((SELECT count(*) FROM s4) AS DOUBLE) / (SELECT count(*) FROM s1), 6) + 0.0
         |       END AS full_funnel_rate""".stripMargin,
+
+    "events_path_trigrams" ->
+      """WITH s AS (
+        |  SELECT event_type AS s1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+        |  FROM events)
+        |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY s1, s2, s3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin,
 
     "events_conversion_windows" ->
       """WITH s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
