@@ -105,6 +105,30 @@ object PipelineQueries extends QueryRegistry {
         .orderBy(col("label"))
     }),
 
+    // class-separability audit: pairwise euclidean distances between
+    // label centroids, 15 closest pairs first — the "which classes
+    // will confuse a classifier / which label pairs to merge" readout
+    // run after label_centroid_profile. Same deterministic per-dim
+    // means (ordered folds keyed on vec_id), then a pos-keyed
+    // self-join bounded by labels²·dims (100·64 rows here — the
+    // centroid FRAME is the state, never the corpus), distance summed
+    // in pos order so IEEE addition cannot reorder
+    "centroid_separation_audit" -> ((s, dir) => {
+      val per = embeddings(s, dir).select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val m = per.groupBy(col("label"), col("pos"))
+        .agg((orderedSum(col("vec_id"), col("v").cast("double")) /
+          count(lit(1))).as("m"))
+      val a = m.select(col("label").as("la"), col("pos"), col("m").as("ma"))
+      val b = m.select(col("label").as("lb"), col("pos"), col("m").as("mb"))
+      a.join(b, "pos").filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(round(sqrt(orderedSum(col("pos"),
+          (col("ma") - col("mb")) * (col("ma") - col("mb")))), 6).as("dist"))
+        .orderBy(col("dist").asc, col("la").asc, col("lb").asc)
+        .limit(15)
+    }),
+
     // DSIR-style importance weighting for domain mixing (Xie et al.
     // 2023, "Data Selection for Language Models via Importance
     // Resampling"): hashed unigram+bigram features (4096 buckets),
@@ -440,6 +464,23 @@ object PipelineQueries extends QueryRegistry {
          |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
          |FROM sh WHERE shard < 3
          |GROUP BY source, shard ORDER BY source, shard""".stripMargin,
+
+    "centroid_separation_audit" ->
+      """WITH per AS (
+        |  SELECT label, vec_id,
+        |         unnest(range(1, len(embedding)+1)) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |dm AS (
+        |  SELECT label, pos, count(*) AS n,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY vec_id)), (a, x) -> a + x) AS s
+        |  FROM per GROUP BY label, pos),
+        |m AS (SELECT label, pos, s / n AS m FROM dm),
+        |p AS (SELECT x.label AS la, y.label AS lb, x.pos, x.m - y.m AS d
+        |      FROM m x JOIN m y ON x.pos = y.pos AND x.label < y.label)
+        |SELECT la, lb,
+        |       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d * d ORDER BY pos)), (a, x) -> a + x)), 6) AS dist
+        |FROM p GROUP BY la, lb ORDER BY dist ASC, la, lb LIMIT 15""".stripMargin,
 
     "label_centroid_profile" ->
       """WITH per AS (

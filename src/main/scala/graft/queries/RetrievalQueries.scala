@@ -275,6 +275,35 @@ object RetrievalQueries extends QueryRegistry {
         .limit(10)
     }),
 
+    // hard-negative mining — the training-data op behind embedding-
+    // model fine-tuning (DPR/SBERT curricula): docs that score HIGH
+    // lexically (BM25 top-20) but are NOT semantically relevant
+    // (outside the exact-cosine top-20 for the query embedding) are
+    // exactly the "lexically confusable, semantically far" negatives
+    // a contrastive trainer wants. Complement of hybrid fusion: that
+    // query UNIONS the two rankings, this one SUBTRACTS them. Two
+    // distributed top-k heads + a 20-row anti-join — corpus scanned
+    // twice, shuffled never
+    "hard_negative_mining" -> ((s, dir) => {
+      val lex = bm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+        .withColumn("brank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val sem = emb
+        .select(col("vec_id").as("doc_id"),
+          (round(VectorOps.fastCosine(col("embedding"), typedLit(q)), 6) + 0.0)
+            .as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"))
+      lex.join(sem, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("brank").cast("long").as("bm25_rank"),
+          col("bm25"))
+        .orderBy(col("bm25_rank"))
+    }),
+
     // rank-quality metrics of the lexical run against dense relevance —
     // the offline eval loop every RAG/retrieval pipeline runs: the
     // BM25 top-20 is the RUN, the exact-cosine top-10 for query
@@ -619,6 +648,22 @@ object RetrievalQueries extends QueryRegistry {
          |FROM sc JOIN ex ON sc.doc_id = ex.doc_id
          |ORDER BY expanded DESC, sc.doc_id ASC LIMIT 10""".stripMargin
     },
+
+    "hard_negative_mining" ->
+      s"""$bm25Sql,
+         |lex AS (SELECT doc_id, bm25, brank FROM (
+         |    SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS brank
+         |    FROM sc) WHERE brank <= 20),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |sem AS (SELECT doc_id FROM (
+         |    SELECT e.vec_id AS doc_id,
+         |           row_number() OVER (
+         |             ORDER BY (round(${cosine("e.embedding", "q.qe")}, 6) + 0.0) DESC,
+         |                      e.vec_id ASC) AS crank
+         |    FROM embeddings e, qv q) WHERE crank <= 20)
+         |SELECT l.doc_id, CAST(l.brank AS BIGINT) AS bm25_rank, l.bm25
+         |FROM lex l ANTI JOIN sem s ON l.doc_id = s.doc_id
+         |ORDER BY bm25_rank""".stripMargin,
 
     "hybrid_rrf_fusion" ->
       s"""$bm25Sql,

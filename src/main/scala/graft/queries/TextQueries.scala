@@ -979,24 +979,6 @@ object TextQueries extends QueryRegistry {
     // — the source cardinality bounds the output, and no row carries
     // text past the scoring map. Tie-break doc_id ASC on the rounded
     // score keeps rank assignment identical across engines.
-    // temperature-scaled source mixing (the multilingual-sampling
-    // trick, α = 0.5): sampling weight per source ∝ √n_docs, so
-    // head sources are down-weighted and the tail up-weighted before
-    // training. IEEE sqrt is correctly rounded (both engines produce
-    // the identical double), and the normalizer sums √n in 1e-6
-    // FIXED-POINT longs so aggregation order cannot move an ulp —
-    // state is one row per source whatever the corpus size
-    "source_mixture_weights" -> ((s, dir) => {
-      val per = documents(s, dir)
-        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-        .withColumn("sqfp", round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
-      val tot = per.agg(sum(col("sqfp")).as("tfp"))
-      per.crossJoin(tot) // 20-row × 1-row stapler
-        .select(col("source"), col("n_docs"),
-          (round(col("sqfp").cast("double") / col("tfp"), 6) + 0.0).as("weight"))
-        .orderBy(col("source"))
-    }),
-
     "source_cap_survivors" -> ((s, dir) => {
       val K = 15
       documents(s, dir)
@@ -1608,15 +1590,6 @@ object TextQueries extends QueryRegistry {
          |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
-
-    "source_mixture_weights" ->
-      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |               CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS sqfp
-        |             FROM documents GROUP BY source),
-        |tot AS (SELECT CAST(sum(sqfp) AS BIGINT) AS tfp FROM per)
-        |SELECT source, n_docs,
-        |       round(CAST(sqfp AS DOUBLE) / tfp, 6) + 0.0 AS weight
-        |FROM per, tot ORDER BY source""".stripMargin,
 
     "source_cap_survivors" ->
       s"""WITH t AS (SELECT doc_id, source, text, ${F.toks("text")} AS toks FROM documents),
