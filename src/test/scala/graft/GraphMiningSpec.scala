@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{EventQueries, GraphQueries}
+
+/** Model-based pins for the r11 graph-mining and sketch queries:
+  * label propagation and triangle counting against in-memory replicas
+  * on seeded random graphs, the quantile sketch against exact
+  * quantiles (bin-width error bound), and the conversion windows on a
+  * hand-built fixture.
+  */
+class GraphMiningSpec extends SparkSpec {
+
+  test("declared communities query: members partition the node set, sizes descend") {
+    val rows = GraphQueries.queries("copurchase_communities")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sizes = rows.map(_.getLong(1)).toSeq
+    assert(sizes == sizes.sortBy(-_), "must be ordered by size desc")
+    assert(sizes.forall(_ >= 1))
+  }
+
+  test("LPA 2-iteration result equals an in-memory weighted-vote replica") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(7)
+      val raw = (for {
+        s <- 0 until n; d <- 0 until n
+        if s != d && rnd.nextDouble() < 0.45
+      } yield (s.toLong, d.toLong, 1L + rnd.nextInt(4))).toVector
+      val edges = if (raw.nonEmpty) raw else Vector((0L, 1L, 2L), (1L, 0L, 2L))
+      val df = edges.toDF("src", "dst", "w")
+      // distributed: same superstep as the declared query, 2 iterations
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      var labels = nodes.map(v => v -> v).toMap
+      for (_ <- 1 to 2) {
+        val votes = scala.collection.mutable.Map
+          .empty[(Long, Long), Long].withDefaultValue(0L)
+        edges.foreach { case (s, d, w) => votes((d, labels(s))) += w }
+        labels = nodes.map { v =>
+          val mine = votes.collect { case ((`v`, l), c) => (l, c) }.toSeq
+          if (mine.isEmpty) v -> labels(v)
+          else v -> mine.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+      }
+      val expect = labels.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
+      // Spark replica of the declared loop over this edge frame
+      val g = graft.operators.PageRank.prepare(df)
+      var lb = g.nodes.select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 2) {
+        val v2 = g.ew.join(lb, g.ew("src") === lb("node"))
+          .select(g.ew("dst").as("node"), col("lbl"), g.ew("w"))
+          .groupBy(col("node"), col("lbl")).agg(sum(col("w")).as("cnt"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("node")).orderBy(col("cnt").desc, col("lbl").asc)
+        val top = v2.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") === 1).select(col("node"), col("lbl").as("nl"))
+        lb = lb.select(col("node"), col("lbl").as("ol"))
+          .join(top, Seq("node"), "left")
+          .select(col("node"), coalesce(col("nl"), col("ol")).as("lbl"))
+      }
+      val got = lb.collect().map(_.getLong(1)).groupBy(identity)
+        .map { case (l, vs) => l -> vs.length.toLong }
+      assert(got == expect, s"trial $trial: $got vs $expect")
+    }
+  }
+
+  test("triangle count equals brute-force enumeration on seeded random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(8)
+      val und = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.5
+      } yield (a.toLong, b.toLong)).toVector
+      val undSet = und.toSet
+      val expect = (for {
+        a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n
+        if undSet((a.toLong, b.toLong)) && undSet((b.toLong, c.toLong)) &&
+          undSet((a.toLong, c.toLong))
+      } yield 1).size.toLong
+      import spark.implicits._
+      val e = und.toDF("src", "dst") // already src < dst
+      val ab = e.select(col("src").as("a"), col("dst").as("b"))
+      val bc = e.select(col("src").as("b"), col("dst").as("c"))
+      val ac = e.select(col("src").as("a"), col("dst").as("c"))
+      val got = ab.join(bc, "b").join(ac, Seq("a", "c")).count()
+      assert(got == expect, s"trial $trial: $got vs $expect (n=$n, m=${und.size})")
+    }
+  }
+
+  test("quantile sketch: estimates bound the exact quantiles within one bin width") {
+    val rows = EventQueries.queries("events_quantile_sketch")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = ev(t)
+      val n = xs.length
+      val (minc, maxc) = (xs.head, xs.last)
+      // loose upper bound on any single bin's width (integer-div edges
+      // make widths vary by ±1 around range/1024)
+      val width = (maxc - minc + 1 + 1023) / 1024 + 1
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(2) == minc && r.getLong(3) == maxc)
+      for ((q, i) <- Seq(50, 90, 99).zipWithIndex) {
+        val est = r.getLong(4 + i)
+        // exact q-quantile: smallest x with rank*100 >= n*q
+        val exact = xs((math.ceil(n.toDouble * q / 100).toInt - 1).max(0))
+        assert(est <= exact && exact <= est + width,
+          s"$t p$q: est $est, exact $exact, width $width")
+      }
+      assert(r.getLong(4) <= r.getLong(5) && r.getLong(5) <= r.getLong(6),
+        "quantile edges must be monotone")
+    }
+  }
+
+  test("conversion windows on a hand-built timeline") {
+    import spark.implicits._
+    val base = 1704067200000000L // 2024-01-01 in micros
+    def ts(dayOffsetMs: Long) = ((base + dayOffsetMs * 1000L))
+    // user 1: signup day0, purchase day0+2h  -> D1
+    // user 2: signup day0, purchase day5     -> D7 (not D1)
+    // user 3: signup day0, purchase day20    -> D30 only
+    // user 4: signup day0, purchase BEFORE signup only -> never converts
+    // user 5: signup only
+    val day = 86400000L
+    val evs = Seq(
+      (1L, 1L, "signup", ts(0)), (2L, 1L, "purchase", ts(2 * 3600000L)),
+      (3L, 2L, "signup", ts(0)), (4L, 2L, "purchase", ts(5 * day)),
+      (5L, 3L, "signup", ts(0)), (6L, 3L, "purchase", ts(20 * day)),
+      (7L, 4L, "purchase", ts(0)), (8L, 4L, "signup", ts(day)),
+      (9L, 5L, "signup", ts(0)))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val s1 = evs.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("t1"))
+    val fp = evs.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("tp"))
+      .join(s1, "user_id").filter(col("tp") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("tp")).as("tp"))
+    def within(days: Int) = coalesce(
+      sum(when(col("tp") - col("t1") <= days * 86400000L, 1L).otherwise(0L)),
+      lit(0L)).cast("long")
+    val r = fp.agg(within(1).as("d1"), within(7).as("d7"), within(30).as("d30"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 3L)))
+    assert(s1.count() == 5L)
+  }
+}
