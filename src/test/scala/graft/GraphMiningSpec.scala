@@ -44,22 +44,10 @@ class GraphMiningSpec extends SparkSpec {
         }.toMap
       }
       val expect = labels.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
-      // Spark replica of the declared loop over this edge frame
+      // the declared loop itself (GraphQueries.lpaIterate) on this frame
       val g = graft.operators.PageRank.prepare(df)
-      var lb = g.nodes.select(col("node"), col("node").as("lbl"))
-      for (_ <- 1 to 2) {
-        val v2 = g.ew.join(lb, g.ew("src") === lb("node"))
-          .select(g.ew("dst").as("node"), col("lbl"), g.ew("w"))
-          .groupBy(col("node"), col("lbl")).agg(sum(col("w")).as("cnt"))
-        val wTop = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("node")).orderBy(col("cnt").desc, col("lbl").asc)
-        val top = v2.withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") === 1).select(col("node"), col("lbl").as("nl"))
-        lb = lb.select(col("node"), col("lbl").as("ol"))
-          .join(top, Seq("node"), "left")
-          .select(col("node"), coalesce(col("nl"), col("ol")).as("lbl"))
-      }
-      val got = lb.collect().map(_.getLong(1)).groupBy(identity)
+      val got = GraphQueries.lpaIterate(g, 2)
+        .collect().map(_.getLong(1)).groupBy(identity)
         .map { case (l, vs) => l -> vs.length.toLong }
       assert(got == expect, s"trial $trial: $got vs $expect")
     }
