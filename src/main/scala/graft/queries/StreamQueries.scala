@@ -51,6 +51,12 @@ import graft.streaming.{DedupStream, EventStreams}
   *     associative/commutative, so the merged store is batch-order
   *     independent; batchId-keyed overwrite makes a retried batch
   *     rewrite, not double-count.
+  *   - `stream_funnel_replay`: per-doc increments (bands, shingles,
+  *     hashes, metrics, contam flags) are pure per-doc functions;
+  *     the pair set is exactly "all qualifying pairs, generated once
+  *     by the later side's tick", so its union is batch-split
+  *     independent, and the read-side component merge over star
+  *     edges + pairs is order-free (min-id CC).
   */
 object StreamQueries extends QueryRegistry {
   import Tables._
@@ -515,7 +521,115 @@ object StreamQueries extends QueryRegistry {
         .orderBy(col("rank_fp").desc, col("part_id"))
         .limit(20)
     }),
+
+    // TENTH replay: the STREAMING curation-funnel tick — the
+    // incremental funnel's phase B re-expressed as a live ingest loop.
+    // The snapshot-diff docs arrive as three mtime-ordered
+    // micro-batches; each foreachBatch tick runs the per-batch text
+    // work (shingle/band/hash/metrics/PII-scrub/decon) and lands SIX
+    // state increments in batchId-keyed store partitions (idempotent
+    // overwrite-per-batch, the graph replay's retry story), including
+    // the batch's verified near-dup PAIRS against everything seen so
+    // far (phase-A state + earlier batches — each cross-batch pair is
+    // generated exactly once, by the later side's tick). The read side
+    // merges: connected components over phase-A star edges + all
+    // appended pairs (star compression preserves connectivity and
+    // min-id labels, the incremental_funnel argument), then the same
+    // thin-frame funnel aggregation. Oracle = the FULL-corpus funnel
+    // SQL, so green == "a funnel maintained by streaming ticks equals
+    // a from-scratch batch rebuild" — the strongest replay on the
+    // board, closing the loop between the two r10 headline features
+    "stream_funnel_replay" -> ((s, dir) =>
+      TextQueries.funnelAgg(funnelStreamReplay(s, dir))),
   )
+
+  /** Three mtime-ordered micro-batches of the funnel store's
+    * snapshot-diff docs through foreachBatch; returns the merged thin
+    * per-doc frame (memoized). */
+  private def funnelStreamReplay(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "stream-funnel") {
+      import graft.operators.Components
+      val path = TextQueries.incrFunnelState(s, dir)
+      val stateDir = s"$path.state"
+      def state(n: String): DataFrame = s.read.parquet(s"$stateDir/$n")
+      val evalSh = state("eval-shingles")
+      val bits = typedLit(Dedup.bloomBitsOf(evalSh))
+      val diff = TextQueries.readSnap(s, path, "1..2")
+      val in = buildPath(dir, "stream-funnel-in")
+      val store = buildPath(dir, "stream-funnel-store")
+      val ckpt = buildPath(dir, "stream-funnel-ckpt")
+      rmrf(in, store, ckpt)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      (0 until 3).foreach { i =>
+        writeMtimed(dir, in, f"$i%02d-docs",
+          diff.filter(col("doc_id") % 3 === i),
+          1700000000000L + i * 100000L)
+      }
+      // appended-so-far reader: absent on the first tick → empty frame
+      // with the state table's shape (batchId partition column dropped)
+      def soFar(name: String, shapeOf: DataFrame): DataFrame = {
+        val p = s"$store/$name"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          s.read.parquet(p).drop("batch")
+        else shapeOf.limit(0)
+      }
+      val q = s.readStream.schema(diff.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (batch0: DataFrame, id: Long) =>
+          val batch = batch0.localCheckpoint()
+          val hashedB = Dedup.shingled(batch).localCheckpoint()
+          val bandsB = Dedup.candidateBands(hashedB).localCheckpoint()
+          // bands seen BEFORE this batch: phase-A state + earlier ticks
+          val stBands = state("bands")
+            .unionByName(soFar("bands", state("bands")))
+          // candidates: within-batch ∪ batch-vs-seen (id-normalized —
+          // an earlier-batch doc may carry a LARGER id than this one)
+          val cross = stBands
+            .select(col("doc_id").as("x"), col("band"), col("band_hash"))
+            .join(bandsB.select(col("doc_id").as("y"), col("band"), col("band_hash")),
+              Seq("band", "band_hash"))
+            .filter(col("x") =!= col("y"))
+            .select(least(col("x"), col("y")).as("a"),
+              greatest(col("x"), col("y")).as("b"))
+          val cand = Dedup.candidatePairs(bandsB).unionByName(cross).distinct()
+          val shAll = state("shingles")
+            .unionByName(soFar("sh", state("shingles")))
+            .unionByName(hashedB.select(col("doc_id"), col("sh")))
+          val pairsB = Dedup.minhashNearDupsFrom(shAll, cand, 0.3)
+            .select(col("a"), col("b"))
+          def land(df: DataFrame, name: String): Unit =
+            df.write.mode("overwrite").parquet(s"$store/$name/batch=$id")
+          land(bandsB, "bands")
+          land(hashedB.select(col("doc_id"), col("sh")), "sh")
+          land(batch.select(col("doc_id"),
+            TextOps.md5Long(col("text")).as("ch")), "ch")
+          land(TextQueries.funnelMetrics(batch), "metrics")
+          land(TextQueries.contamIds(hashedB, bits, evalSh), "contam")
+          land(pairsB, "pairs")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // merge-at-read, exactly the incremental funnel's phase-B shape
+      def app(name: String, shapeOf: DataFrame) = soFar(name, shapeOf)
+      val starEdges = state("components")
+        .filter(col("node") =!= col("component"))
+        .select(col("component").as("a"), col("node").as("b"))
+      val compAll = Components
+        .connectedComponents(starEdges.union(
+          app("pairs", starEdges.limit(0))))
+        .withColumnRenamed("node", "doc_id")
+      val contamAll = state("contam")
+        .union(app("contam", state("contam")))
+        .distinct().withColumn("contaminated", lit(true))
+      state("ch").union(app("ch", state("ch")))
+        .join(compAll, Seq("doc_id"), "left")
+        .join(broadcast(contamAll), Seq("doc_id"), "left")
+        .join(state("metrics").union(app("metrics", state("metrics"))), "doc_id")
+        .localCheckpoint()
+    }
 
   /** Three mtime-ordered whole-order lineitem batches through
     * foreachBatch, each overwriting its own `batch=<id>` partition of
@@ -713,5 +827,9 @@ object StreamQueries extends QueryRegistry {
     // the streaming-maintained edge store ranks identically to a
     // batch rebuild (shared with pagerank_copurchase by design)
     "stream_graph_replay" -> GraphQueries.pagerankFullSql,
+
+    // the FULL-corpus funnel replay (shared with curation_funnel and
+    // incremental_funnel): green == streaming ticks ≡ batch rebuild
+    "stream_funnel_replay" -> TextQueries.funnelOracleSql,
   )
 }

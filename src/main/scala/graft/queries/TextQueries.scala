@@ -211,7 +211,7 @@ object TextQueries extends QueryRegistry {
     * (doc_id, source, text); quality/TTR/score all read the REDACTED
     * text (dedup hashes upstream read the original — scrub runs after
     * dedup, before quality, as in a real pipeline). */
-  private def funnelMetrics(docs: DataFrame): DataFrame = docs
+  private[queries] def funnelMetrics(docs: DataFrame): DataFrame = docs
     .withColumn("praw", piiPlanted)
     .withColumn("pii_hit", piiMatches(col("praw")) > 0L)
     .withColumn("text", piiRedact(col("praw")))
@@ -250,7 +250,7 @@ object TextQueries extends QueryRegistry {
     * (redacted-text quality score desc, doc_id asc) — survivors sort
     * ahead of non-survivors inside the window, so row_number over the
     * source partition caps exactly the survivor prefix. */
-  private def funnelAgg(thin: DataFrame): DataFrame = {
+  private[queries] def funnelAgg(thin: DataFrame): DataFrame = {
     val wHash = Window.partitionBy(col("ch"))
     val wComp = Window.partitionBy(col("component"))
     val wSrc = Window.partitionBy(col("source"))
@@ -280,7 +280,7 @@ object TextQueries extends QueryRegistry {
     * doc_id >= 10): Bloom screen from the broadcast `bits` literal,
     * exact verify against the broadcast eval shingle-hash frame —
     * the sharedContaminatedIds shape, callable per batch. */
-  private def contamIds(corpus: DataFrame,
+  private[queries] def contamIds(corpus: DataFrame,
       bits: org.apache.spark.sql.Column, evalSh: DataFrame): DataFrame =
     corpus
       .filter(exists(array_distinct(col("shh")),
@@ -333,7 +333,7 @@ object TextQueries extends QueryRegistry {
 
   /** Snapshot read over the funnel's two-commit store (see
     * [[incrFunnelState]]): "1" = first commit, "1..2" = the diff. */
-  private def readSnap(s: SparkSession, path: String, opt: String): DataFrame = {
+  private[queries] def readSnap(s: SparkSession, path: String, opt: String): DataFrame = {
     import graft.sources.KwiSnapshots
     val files =
       if (opt.contains("..")) KwiSnapshots.resolveDiff(path, opt)
@@ -348,7 +348,7 @@ object TextQueries extends QueryRegistry {
     * document store plus every persisted state table a daily job keeps
     * between runs. Returns the store path (state lives at
     * `$path.state`). */
-  private def incrFunnelState(s: SparkSession, dir: String): String =
+  private[queries] def incrFunnelState(s: SparkSession, dir: String): String =
     SharedBuilds.of(s, dir, "incr-funnel-state") {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       import scala.jdk.CollectionConverters._
@@ -1320,7 +1320,7 @@ object TextQueries extends QueryRegistry {
     "incremental_funnel" -> funnelOracleSql,
   ) ++ oracleTail
 
-  private lazy val funnelOracleSql: String =
+  private[queries] lazy val funnelOracleSql: String =
       s"""WITH RECURSIVE t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
          |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
