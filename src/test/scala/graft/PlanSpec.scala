@@ -513,13 +513,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pagerank: iterations read the materialized edge frame, never re-derive it") {
-    // PageRank.run localCheckpoints (src,dst,w,ow) once; each superstep
-    // must then plan against that RDD scan. A lineitem FileScan in the
-    // FINAL plan would mean the 3 iterations re-run the co-purchase
-    // self-join 3 times — the de-optimization this pin guards.
+    // PageRank.prepare persists the co-partitioned (src,dst,w,ow) frame
+    // (r11: persist, not localCheckpoint, so Catalyst keeps the
+    // partitioning metadata); each superstep must plan against
+    // InMemoryTableScan reads of that cache. NOTE the cached relation's
+    // explain text embeds its BUILD recipe (including the lineitem
+    // FileScan), so the old no-FileScan textual pin is no longer
+    // meaningful — the cache-scan presence is the guarantee: a plan
+    // that re-derived the self-join per iteration would lose the
+    // InMemoryTableScan nodes.
     val p = plan("pagerank_copurchase")
-    assert(!p.contains("FileScan parquet"), p)
-    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
     assert(p.contains("TakeOrderedAndProject"), p) // top-20 is a heap, not a sort
   }
 
