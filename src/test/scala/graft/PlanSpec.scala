@@ -513,18 +513,55 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pagerank: iterations read the materialized edge frame, never re-derive it") {
-    // PageRank.prepare persists the co-partitioned (src,dst,w,ow) frame
-    // (r11: persist, not localCheckpoint, so Catalyst keeps the
-    // partitioning metadata); each superstep must plan against
-    // InMemoryTableScan reads of that cache. NOTE the cached relation's
-    // explain text embeds its BUILD recipe (including the lineitem
-    // FileScan), so the old no-FileScan textual pin is no longer
-    // meaningful — the cache-scan presence is the guarantee: a plan
-    // that re-derived the self-join per iteration would lose the
-    // InMemoryTableScan nodes.
-    val p = plan("pagerank_copurchase")
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
-    assert(p.contains("TakeOrderedAndProject"), p) // top-20 is a heap, not a sort
+    // PageRank.prepare persists the co-partitioned (src,dst,w,ow) and
+    // node frames (r11: persist, not localCheckpoint, so Catalyst keeps
+    // the partitioning metadata); each superstep must plan against
+    // InMemoryTableScan reads of those caches — edges ×3 + nodes ×4 in
+    // a 3-iteration plan. NOTE a cached relation's explain text embeds
+    // its BUILD recipe (including the lineitem FileScan), so the old
+    // no-FileScan textual pin is no longer meaningful. Built on a FRESH
+    // prepared graph (not the SharedBuilds memo): the suite-wide
+    // clearCache calls in plan() unpersist memoized frames, which would
+    // make a memo-based assertion depend on suite ordering.
+    val g = graft.operators.PageRank.prepare(
+      graft.queries.GraphQueries.copurchaseEdges(spark, sfDir))
+    try {
+      val p = graft.operators.PageRank.iterate(g, 3)
+        .queryExecution.executedPlan.toString
+      assert("InMemoryTableScan".r.findAllIn(p).length >= 6, p.take(4000))
+    } finally { g.ew.unpersist(); g.nodes.unpersist(); () }
+    // and the declared query's top-20 is a heap, not a global sort
+    assert(plan("pagerank_copurchase").contains("TakeOrderedAndProject"))
+  }
+
+  test("triangles: equi-join wedge closure, partial aggregation, no cartesian") {
+    val p = plan("copurchase_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    // the two closure joins are hash-keyed equi-joins (the 1-row×1-row
+    // result stapler may plan as BroadcastNestedLoopJoin — that is the
+    // established bounded-stapler pattern, not a corpus cartesian)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.toLowerCase.contains("partial"), p)
+  }
+
+  test("prf expansion: second pass is map-only — no Generate, heap top-10") {
+    // the 5 expansion terms ride as literals (collected in a bounded
+    // 5-row head at construction), so the rescoring scan must contain
+    // no explode and the final top-10 must be a TakeOrderedAndProject
+    val p = plan("bm25_prf_expansion")
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("quantile sketch: broadcast stats, two-phase aggregation") {
+    // the per-type min/max/count frame broadcasts back to the scan
+    // (never a corpus-side shuffle for the stats attach), and the
+    // histogram aggregation is partial before the exchange
+    val p = plan("events_quantile_sketch")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.toLowerCase.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("hash split stats: map-only over one scan, no assignment-table join") {
