@@ -129,6 +129,29 @@ object PipelineQueries extends QueryRegistry {
         .limit(15)
     }),
 
+    // intra-class outlier audit — the mislabel detector run next to
+    // the separation audit: each vector's euclidean distance to its
+    // OWN label centroid, 15 farthest first (the rows a labeling-QA
+    // queue reviews). Same deterministic per-dim means; the per-vector
+    // distance joins the centroid frame on (label, pos) — corpus×dims
+    // rows, but the centroid side is labels×dims (broadcast-sized at
+    // any corpus scale) and the fold is pos-ordered
+    "label_outlier_audit" -> ((s, dir) => {
+      val per = embeddings(s, dir).select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val m = per.groupBy(col("label"), col("pos"))
+        .agg((orderedSum(col("vec_id"), col("v").cast("double")) /
+          count(lit(1))).as("m"))
+      per.join(broadcast(m), Seq("label", "pos"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(round(sqrt(orderedSum(col("pos"),
+          (col("v").cast("double") - col("m")) *
+            (col("v").cast("double") - col("m")))), 6).as("dist"))
+        .orderBy(col("dist").desc, col("vec_id").asc)
+        .limit(15)
+        .select(col("vec_id"), col("label"), col("dist"))
+    }),
+
     // DSIR-style importance weighting for domain mixing (Xie et al.
     // 2023, "Data Selection for Language Models via Importance
     // Resampling"): hashed unigram+bigram features (4096 buckets),
@@ -464,6 +487,24 @@ object PipelineQueries extends QueryRegistry {
          |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
          |FROM sh WHERE shard < 3
          |GROUP BY source, shard ORDER BY source, shard""".stripMargin,
+
+    "label_outlier_audit" ->
+      """WITH per AS (
+        |  SELECT label, vec_id,
+        |         unnest(range(1, len(embedding)+1)) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |dm AS (
+        |  SELECT label, pos, count(*) AS n,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY vec_id)), (a, x) -> a + x) AS s
+        |  FROM per GROUP BY label, pos),
+        |m AS (SELECT label, pos, s / n AS m FROM dm),
+        |d AS (SELECT p.label, p.vec_id, p.pos, p.v - m.m AS d
+        |      FROM per p JOIN m ON p.label = m.label AND p.pos = m.pos)
+        |SELECT vec_id, label,
+        |       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d * d ORDER BY pos)), (a, x) -> a + x)), 6) AS dist
+        |FROM d GROUP BY vec_id, label
+        |ORDER BY dist DESC, vec_id ASC LIMIT 15""".stripMargin,
 
     "centroid_separation_audit" ->
       """WITH per AS (
