@@ -180,6 +180,28 @@ object EventQueries extends QueryRegistry {
         .orderBy(col("event_type"))
     }),
 
+    // recency-weighted popularity with POWER-OF-TWO decay (half-life =
+    // 1 day): each event contributes value_cents >> age_days, so the
+    // decayed sum is exact integer arithmetic — the trending score a
+    // feed ranker keeps, without the float pow() that would drift in
+    // the last ulp across engines (the fixed-point doctrine applied to
+    // exponential decay). Age anchors at the corpus max timestamp (a
+    // 1-row head); shift capped at 62 so old events contribute exactly
+    // 0 instead of a poisoned shift
+    "events_decayed_popularity" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        unix_millis(col("ts")).as("ms"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val maxMs = ev.agg(max(col("ms"))).collect()(0).getLong(0)
+      ev.withColumn("age_d",
+          least(expr(s"(${maxMs}L - ms) div 86400000L"), lit(62L)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("raw_cents"),
+          sum(expr("shiftright(cents, cast(age_d as int))")).as("decayed_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // behavioral path trigrams: the 15 most common 3-step event-type
     // sequences across user timelines — the n-gram census behind
     // "what do users do next" flow analysis. One user-keyed window
@@ -962,6 +984,18 @@ object EventQueries extends QueryRegistry {
         |       CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0.0
         |            ELSE round(CAST((SELECT count(*) FROM s4) AS DOUBLE) / (SELECT count(*) FROM s1), 6) + 0.0
         |       END AS full_funnel_rate""".stripMargin,
+
+    "events_decayed_popularity" ->
+      """WITH c AS (SELECT event_type, epoch_ms(ts) AS ms,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |mx AS (SELECT max(ms) AS mm FROM c),
+        |a AS (SELECT event_type, cents,
+        |        least(((SELECT mm FROM mx) - ms) // 86400000, 62) AS age_d
+        |      FROM c)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |       CAST(sum(cents >> CAST(age_d AS INTEGER)) AS BIGINT) AS decayed_cents
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_path_trigrams" ->
       """WITH s AS (

@@ -174,6 +174,31 @@ object GraphQueries extends QueryRegistry {
         .orderBy(col("rank_fp").desc, col("part_id"))
         .limit(20)),
 
+    // association-rule mining over the same baskets (Apriori's output
+    // tier at pair granularity): rule src→dst with support = co-order
+    // count, confidence = P(dst|src), lift = P(dst|src)/P(dst) — all
+    // in exact ppm fixed-point (cross-multiplied integer division, no
+    // float ratios), top-20 by lift. Reads the shared prepared graph
+    // (w IS the pair support) + one distinct-order census per part;
+    // support floor ≥ 2 (a repeated co-purchase) keeps one-off noise out
+    // while staying non-degenerate at every sf (max co-order count is
+    // 3-5 in the testdata)
+    "basket_association_rules" -> ((s, dir) => {
+      val op = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val perPart = op.groupBy(col("p")).agg(count(lit(1)).as("n_ord"))
+      val nOrders = op.select(col("ok")).distinct().count() // 1-value head
+      sharedGraph(s, dir).ew
+        .filter(col("w") >= 2)
+        .join(broadcast(perPart.select(col("p").as("src"), col("n_ord").as("n_src"))), "src")
+        .join(broadcast(perPart.select(col("p").as("dst"), col("n_ord").as("n_dst"))), "dst")
+        .select(col("src"), col("dst"), col("w").as("support"),
+          expr("(w * 1000000L) div n_src").as("confidence_ppm"),
+          expr(s"(w * ${nOrders}L * 1000000L) div (n_src * n_dst)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("src").asc, col("dst").asc)
+        .limit(20)
+    }),
+
     // degree histogram of the same graph: how many parts have k
     // co-purchase neighbors — the graph-shape audit run before any
     // iterative algorithm (a power-law tail with mega-hubs is the
@@ -318,6 +343,17 @@ object GraphQueries extends QueryRegistry {
          |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1)
          |SELECT deg, CAST(count(*) AS BIGINT) AS n_parts
          |FROM d GROUP BY deg ORDER BY deg""".stripMargin,
+
+    "basket_association_rules" ->
+      s"""WITH $edgesSql,
+         |pp AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS n_ord FROM op GROUP BY 1),
+         |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op)
+         |SELECT e.src, e.dst, e.w AS support,
+         |       CAST((e.w * 1000000) // a.n_ord AS BIGINT) AS confidence_ppm,
+         |       CAST((e.w * (SELECT n FROM no) * 1000000) // (a.n_ord * b.n_ord) AS BIGINT) AS lift_ppm
+         |FROM e JOIN pp a ON e.src = a.p JOIN pp b ON e.dst = b.p
+         |WHERE e.w >= 2
+         |ORDER BY lift_ppm DESC, e.src, e.dst LIMIT 20""".stripMargin,
 
     "copurchase_communities" ->
       s"""WITH $edgesSql,
