@@ -250,13 +250,15 @@ object TextQueries extends QueryRegistry {
     * (redacted-text quality score desc, doc_id asc) — survivors sort
     * ahead of non-survivors inside the window, so row_number over the
     * source partition caps exactly the survivor prefix. */
-  private[queries] def funnelAgg(thin: DataFrame): DataFrame = {
+  /** Per-doc stage-keep flags over the thin funnel frame — the shared
+    * kernel of the census aggregation AND the export materialization
+    * (the two consumers of "which docs survived"). Adds `final_keep`,
+    * the gate the exported training set applies. */
+  private[queries] def funnelFlags(thin: DataFrame): DataFrame = {
     val wHash = Window.partitionBy(col("ch"))
     val wComp = Window.partitionBy(col("component"))
     val wSrc = Window.partitionBy(col("source"))
       .orderBy(col("decon_keep").desc, col("q").desc, col("doc_id").asc)
-    def cnt(c: org.apache.spark.sql.Column) =
-      sum(when(c, 1L).otherwise(0L)).cast("long")
     thin
       .withColumn("exact_keep", col("doc_id") === min(col("doc_id")).over(wHash))
       .withColumn("nd_keep", col("exact_keep") && (col("component").isNull ||
@@ -266,6 +268,14 @@ object TextQueries extends QueryRegistry {
         col("nd_keep") && !coalesce(col("contaminated"), lit(false)))
       .withColumn("cap_keep",
         col("decon_keep") && row_number().over(wSrc) <= FunnelCapK)
+      .withColumn("final_keep",
+        col("cap_keep") && col("q_pass") && col("ttr_pass"))
+  }
+
+  private[queries] def funnelAgg(thin: DataFrame): DataFrame = {
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L)).cast("long")
+    funnelFlags(thin)
       .agg(count(lit(1)).cast("long").as("n_raw"),
         cnt(col("exact_keep")).as("n_exact"),
         cnt(col("nd_keep")).as("n_neardup"),
@@ -274,6 +284,25 @@ object TextQueries extends QueryRegistry {
         cnt(col("cap_keep")).as("n_capped"),
         cnt(col("cap_keep") && col("q_pass")).as("n_quality"),
         cnt(col("cap_keep") && col("q_pass") && col("ttr_pass")).as("n_final"))
+  }
+
+  /** The full-corpus thin funnel frame (doc_id, ch, component?,
+    * contaminated?, source, pii_hit, q, q_pass, ttr_pass) — shared by
+    * curation_funnel and training_export_census. Decon drops CORPUS
+    * docs that leak eval shingles; the eval stand-ins (doc_id < 10)
+    * are not on the corpus side of the sweep, so they pass that stage
+    * untouched (contam is a broadcast-size id list — a left join,
+    * never a shuffle of the funnel frame at scale). */
+  private def fullCorpusThin(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val cc = sharedComponents(s, dir).withColumnRenamed("node", "doc_id")
+    val contam = sharedContaminatedIds(s, dir)
+      .withColumn("contaminated", lit(true))
+    docs
+      .select(col("doc_id"), TextOps.md5Long(col("text")).as("ch"))
+      .join(cc, Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(funnelMetrics(docs), "doc_id")
   }
 
   /** Contaminated ids among `corpus` (a shingle table slice with
@@ -718,21 +747,27 @@ object TextQueries extends QueryRegistry {
     // text and reduce to a thin (doc_id, booleans) frame before the
     // doc_id join. One conditional aggregation closes the funnel — no
     // per-stage jobs, no driver loops
-    "curation_funnel" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val cc = sharedComponents(s, dir).withColumnRenamed("node", "doc_id")
-      // decon drops CORPUS docs that leak eval shingles; the eval
-      // stand-ins (doc_id < 10) are not on the corpus side of the
-      // sweep, so they pass this stage untouched (contam is a
-      // broadcast-size id list — a left join, never a shuffle of
-      // the funnel frame at scale)
-      val contam = sharedContaminatedIds(s, dir)
-        .withColumn("contaminated", lit(true))
-      funnelAgg(docs
-        .select(col("doc_id"), TextOps.md5Long(col("text")).as("ch"))
-        .join(cc, Seq("doc_id"), "left")
-        .join(broadcast(contam), Seq("doc_id"), "left")
-        .join(funnelMetrics(docs), "doc_id"))
+    "curation_funnel" -> ((s, dir) => funnelAgg(fullCorpusThin(s, dir))),
+
+    // the EXPORT census — the pipeline's actual deliverable: the
+    // funnel's final survivors materialized as a training set
+    // partitioned by (deterministic hash split × source), with per-
+    // partition doc and char budgets — what a trainer's data loader
+    // reads and what a data card reports. Composes the full funnel
+    // flags with the pure-function split label (no assignment table);
+    // one extra thin join + one bounded (3×20 partitions) rollup on
+    // top of the funnel's cost
+    "training_export_census" -> ((s, dir) => {
+      val kept = funnelFlags(fullCorpusThin(s, dir))
+        .filter(col("final_keep"))
+        .select(col("doc_id"), col("source"))
+      kept
+        .join(documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("split", TextOps.splitLabel(col("doc_id")))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("split"), col("source"))
     }),
 
     // the incremental twin: same six funnel counts, computed from the
@@ -1311,6 +1346,7 @@ object TextQueries extends QueryRegistry {
          |FROM cc GROUP BY component ORDER BY component""".stripMargin,
 
     "curation_funnel" -> funnelOracleSql,
+    "training_export_census" -> exportCensusOracleSql,
 
     // the incremental path must land on the IDENTICAL six counts a
     // full-corpus rebuild produces — so its oracle IS the full-corpus
@@ -1320,7 +1356,25 @@ object TextQueries extends QueryRegistry {
     "incremental_funnel" -> funnelOracleSql,
   ) ++ oracleTail
 
+  // NOTE: concatenation, not interpolation-into-a-stripMargin template:
+  // the ctes text itself contains lines whose first non-blank char is a
+  // `||` SQL concat — re-running stripMargin over interpolated content
+  // would eat those pipes
   private[queries] lazy val funnelOracleSql: String =
+    funnelOracleCtes + "\n" +
+      """SELECT CAST(count(*) AS BIGINT) AS n_raw,
+        |       CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |       CAST(sum(CASE WHEN nd_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+        |       CAST(sum(CASE WHEN decon_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_decontaminated,
+        |       CAST(sum(CASE WHEN decon_keep AND pii_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_redacted,
+        |       CAST(sum(CASE WHEN cap_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+        |       CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |       CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+        |FROM st4""".stripMargin
+
+  /** The funnel stage chain through st4 (per-doc keep flags) — shared
+    * by the census oracle and the export-census oracle. */
+  private lazy val funnelOracleCtes: String =
       s"""WITH RECURSIVE t AS (SELECT doc_id, ${F.toks("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, ${F.sh} AS sh FROM t),
          |hs AS (SELECT doc_id, list_transform(sh, s -> ${F.md5L("s")} % ${F.P}) AS shh FROM sh),
@@ -1396,16 +1450,16 @@ object TextQueries extends QueryRegistry {
          |        FROM stc),
          |st4 AS (SELECT *, (q_keep AND (len(toks) = 0 OR
          |          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.32)) AS final_keep
-         |        FROM st3)
-         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
-         |       CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-         |       CAST(sum(CASE WHEN nd_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
-         |       CAST(sum(CASE WHEN decon_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_decontaminated,
-         |       CAST(sum(CASE WHEN decon_keep AND pii_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_redacted,
-         |       CAST(sum(CASE WHEN cap_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
-         |       CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-         |       CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final
-         |FROM st4""".stripMargin
+         |        FROM st3)""".stripMargin
+
+  private lazy val exportCensusOracleSql: String =
+    funnelOracleCtes + "\n" +
+      s"""SELECT ${F.split("st4.doc_id")} AS split, st4.source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+         |FROM st4 JOIN documents d ON st4.doc_id = d.doc_id
+         |WHERE st4.final_keep
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private lazy val oracleTail: Map[String, String] = Map(
     "dup_span_stats" ->
