@@ -156,6 +156,11 @@ object EventQueries extends QueryRegistry {
     // bounded-state quantile shape (state = 1024 longs per type no
     // matter the corpus size; t-digest/KLL are the float-fuzzy cousins,
     // this one is INTEGER-EXACT so DuckDB replays it bit-for-bit).
+    // The APPROXIMATE tier next to events_value_quantiles' exact
+    // rank-window picks — same contrast as HLL vs countDistinct: the
+    // exact twin sorts the whole frame per type, this one never holds
+    // more than the bin grid (GraphMiningSpec pins the one-bin-width
+    // error bound against the exact quantiles).
     // Two passes: a min/max/count agg, then the binned histogram;
     // both map-side combine. The cum≥q·n test cross-multiplies
     // (cum·100 ≥ n·q) to stay in longs
