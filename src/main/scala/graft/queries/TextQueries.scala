@@ -1014,6 +1014,38 @@ object TextQueries extends QueryRegistry {
     // — the source cardinality bounds the output, and no row carries
     // text past the scoring map. Tie-break doc_id ASC on the rounded
     // score keeps rank assignment identical across engines.
+    // ingest drift monitor: a Kolmogorov–Smirnov sup-distance between
+    // the doc-length distributions of two ingest halves (doc_id
+    // parity stands in for yesterday/today), per source — the
+    // distribution-drift alarm a 100 TB ingestion pipeline watches
+    // (a source whose length profile shifts got a scraper change).
+    // INTEGER-EXACT: D is the max of |cumA·nB − cumB·nA| over the
+    // merged support, reported in ppm via cross-multiplied division —
+    // no float CDFs to drift in the last ulp. One (source, value)
+    // agg + one source-keyed window over the bounded support
+    "ingest_drift_audit" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val even = col("doc_id") % 2 === 0
+      val per = d.groupBy(col("source"), col("n_chars"))
+        .agg(sum(when(even, 1L).otherwise(0L)).as("ca"),
+          sum(when(!even, 1L).otherwise(0L)).as("cb"))
+      val tot = d.groupBy(col("source")).agg(
+        sum(when(even, 1L).otherwise(0L)).as("na"),
+        sum(when(!even, 1L).otherwise(0L)).as("nb"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      per
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .join(broadcast(tot), "source")
+        .groupBy(col("source"), col("na"), col("nb"))
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("dmax"))
+        .select(col("source"), col("na").as("n_even"), col("nb").as("n_odd"),
+          when(col("na") * col("nb") === 0L, lit(0L))
+            .otherwise(expr("(dmax * 1000000L) div (na * nb)")).as("ks_ppm"))
+        .orderBy(col("source"))
+    }),
+
     "source_cap_survivors" -> ((s, dir) => {
       val K = 15
       documents(s, dir)
@@ -1644,6 +1676,29 @@ object TextQueries extends QueryRegistry {
          |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+
+    "ingest_drift_audit" ->
+      """WITH per AS (
+        |  SELECT source, n_chars,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM documents GROUP BY source, n_chars),
+        |tot AS (
+        |  SELECT source,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM documents GROUP BY source),
+        |cm AS (
+        |  SELECT source, n_chars, ca, cb,
+        |         sum(ca) OVER (PARTITION BY source ORDER BY n_chars) AS cuma,
+        |         sum(cb) OVER (PARTITION BY source ORDER BY n_chars) AS cumb
+        |  FROM per)
+        |SELECT cm.source, t.na AS n_even, t.nb AS n_odd,
+        |       CASE WHEN t.na * t.nb = 0 THEN 0
+        |            ELSE CAST((max(abs(cuma * t.nb - cumb * t.na)) * 1000000) // (t.na * t.nb) AS BIGINT)
+        |       END AS ks_ppm
+        |FROM cm JOIN tot t ON cm.source = t.source
+        |GROUP BY cm.source, t.na, t.nb ORDER BY cm.source""".stripMargin,
 
     "source_cap_survivors" ->
       s"""WITH t AS (SELECT doc_id, source, text, ${F.toks("text")} AS toks FROM documents),
