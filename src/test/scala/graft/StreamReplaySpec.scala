@@ -241,6 +241,22 @@ class StreamReplaySpec extends SparkSpec {
     }
   }
 
+  test("stream_graph_replay: a full re-delivery (at-least-once) does not double-count") {
+    // pass 1: fresh store; pass 2: same inputs and store, checkpoint
+    // cleared — AvailableNow redelivers every batch, and each must
+    // OVERWRITE its own batchId partition (the idempotence claim the
+    // replay's docstring makes). Merged edge content must be
+    // byte-identical, with no row-count inflation.
+    val first = graft.queries.StreamQueries
+      .graphStreamReplayCore(spark, sfDir, reset = true)
+      .collect().map(_.toSeq).toSet
+    val second = graft.queries.StreamQueries
+      .graphStreamReplayCore(spark, sfDir, reset = false)
+      .collect().map(_.toSeq).toSet
+    assert(first.nonEmpty)
+    assert(second == first, "re-delivered batches must rewrite, not re-append")
+  }
+
   test("stream_decontam_replay has no false negatives vs the exact overlap join") {
     val flags = SparkEntry.queries("stream_decontam_replay")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
