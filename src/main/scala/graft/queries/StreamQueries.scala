@@ -548,6 +548,17 @@ object StreamQueries extends QueryRegistry {
     * per-doc frame (memoized). */
   private def funnelStreamReplay(s: SparkSession, dir: String): DataFrame =
     SharedBuilds.of(s, dir, "stream-funnel") {
+      funnelStreamReplayCore(s, dir, reset = true).localCheckpoint()
+    }
+
+  /** One full streaming pass; `reset = false` keeps store + inputs and
+    * clears only the checkpoint, forcing a full re-delivery. A
+    * re-delivered batch sees LATER batches' state too, so its pairs
+    * partition gains extra-but-legitimate pairs (already present in
+    * the later batch's partition) — the MERGED funnel result is
+    * invariant, which StreamReplaySpec pins with two passes. */
+  private[graft] def funnelStreamReplayCore(s: SparkSession, dir: String,
+      reset: Boolean): DataFrame = {
       import graft.operators.Components
       val path = TextQueries.incrFunnelState(s, dir)
       val stateDir = s"$path.state"
@@ -558,13 +569,15 @@ object StreamQueries extends QueryRegistry {
       val in = buildPath(dir, "stream-funnel-in")
       val store = buildPath(dir, "stream-funnel-store")
       val ckpt = buildPath(dir, "stream-funnel-ckpt")
-      rmrf(in, store, ckpt)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-      (0 until 3).foreach { i =>
-        writeMtimed(dir, in, f"$i%02d-docs",
-          diff.filter(col("doc_id") % 3 === i),
-          1700000000000L + i * 100000L)
-      }
+      if (reset) {
+        rmrf(in, store, ckpt)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+        (0 until 3).foreach { i =>
+          writeMtimed(dir, in, f"$i%02d-docs",
+            diff.filter(col("doc_id") % 3 === i),
+            1700000000000L + i * 100000L)
+        }
+      } else rmrf(ckpt)
       // appended-so-far reader: absent on the first tick → empty frame
       // with the state table's shape (batchId partition column dropped)
       def soFar(name: String, shapeOf: DataFrame): DataFrame = {
@@ -596,8 +609,14 @@ object StreamQueries extends QueryRegistry {
           val shAll = state("shingles")
             .unionByName(soFar("sh", state("shingles")))
             .unionByName(hashedB.select(col("doc_id"), col("sh")))
+          // MATERIALIZED (eager localCheckpoint) BEFORE any store
+          // write: on a re-delivered batch, the lazy pair plan reads
+          // this batch's own previous partitions, which the land()
+          // overwrites below would delete out from under it —
+          // read-completely-before-overwrite is the idempotence
+          // discipline
           val pairsB = Dedup.minhashNearDupsFrom(shAll, cand, 0.3)
-            .select(col("a"), col("b"))
+            .select(col("a"), col("b")).localCheckpoint()
           def land(df: DataFrame, name: String): Unit =
             df.write.mode("overwrite").parquet(s"$store/$name/batch=$id")
           land(bandsB, "bands")
@@ -628,8 +647,7 @@ object StreamQueries extends QueryRegistry {
         .join(compAll, Seq("doc_id"), "left")
         .join(broadcast(contamAll), Seq("doc_id"), "left")
         .join(state("metrics").union(app("metrics", state("metrics"))), "doc_id")
-        .localCheckpoint()
-    }
+  }
 
   /** Three mtime-ordered whole-order lineitem batches through
     * foreachBatch, each overwriting its own `batch=<id>` partition of

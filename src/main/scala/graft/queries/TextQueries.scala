@@ -272,7 +272,7 @@ object TextQueries extends QueryRegistry {
         col("cap_keep") && col("q_pass") && col("ttr_pass"))
   }
 
-  private[queries] def funnelAgg(thin: DataFrame): DataFrame = {
+  private[graft] def funnelAgg(thin: DataFrame): DataFrame = {
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L)).cast("long")
     funnelFlags(thin)

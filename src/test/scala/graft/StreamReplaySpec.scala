@@ -257,6 +257,21 @@ class StreamReplaySpec extends SparkSpec {
     assert(second == first, "re-delivered batches must rewrite, not re-append")
   }
 
+  test("stream_funnel_replay: a full re-delivery leaves the merged funnel invariant") {
+    // subtler than the graph case: a re-delivered batch now sees LATER
+    // batches' state, so its pairs partition gains extra pairs — but
+    // every one is a legitimate qualifying pair already present in the
+    // later batch's partition, and the component merge is set-based,
+    // so the MERGED census must not move.
+    def census(reset: Boolean) = graft.queries.TextQueries.funnelAgg(
+      graft.queries.StreamQueries.funnelStreamReplayCore(spark, sfDir, reset))
+      .collect().map(_.toSeq).toSeq
+    val first = census(reset = true)
+    val second = census(reset = false)
+    assert(first.nonEmpty && first.head.head.asInstanceOf[Long] > 0L)
+    assert(second == first, "re-delivery must not change the funnel census")
+  }
+
   test("stream_decontam_replay has no false negatives vs the exact overlap join") {
     val flags = SparkEntry.queries("stream_decontam_replay")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
