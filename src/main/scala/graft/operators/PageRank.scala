@@ -46,9 +46,27 @@ object PageRank {
   val DampDen = 100L
 
   /** A prepared graph: the static per-superstep inputs, materialized
-    * once (localCheckpoint — on a cluster, a persisted parquet edge
-    * partition) and reused by every iteration and every caller. */
-  case class Graph(ew: DataFrame, nodes: DataFrame, n: Long)
+    * once (persist — on a cluster, a persisted parquet edge partition)
+    * and reused by every iteration and every caller.
+    *
+    * Cache-lifetime contract: `prepare` persist()s ew/nodes and the
+    * cached frames keep LINEAGE to their source (possibly a mutable
+    * parquet store) — if an entry is evicted under memory pressure it
+    * recomputes from that source, so a caller that rewrites the store
+    * in place (the replay/test rm-rf-and-rewrite pattern) must either
+    * hold the graph only while the files are stable or cut lineage
+    * with its own checkpoint first. Call [[Graph.unpersist]] when done
+    * with a non-memoized graph; SharedBuilds-memoized graphs are
+    * intentionally session-lifetime (PlanSpec's clearCache note). */
+  case class Graph(ew: DataFrame, nodes: DataFrame, n: Long) {
+    /** Release the persisted frames (async). After this, consumers of
+      * still-live downstream frames fall back to recomputing from the
+      * source — only safe while the source files are unchanged. */
+    def unpersist(): Unit = {
+      ew.unpersist(false)
+      nodes.unpersist(false)
+    }
+  }
 
   /** Materialize the iteration-static frames from an edge list
     * (src: long, dst: long, w: long).
@@ -97,7 +115,11 @@ object PageRank {
     * the seed neighborhood and high-ranked NON-seeds are the items
     * most reachable from the seed set. Same fixed-point arithmetic,
     * same two-shuffle superstep, same depth controls as [[iterate]];
-    * the seed flag rides the materialized node frame. */
+    * the seed flag rides the materialized node frame (persisted for
+    * the run with the same [[Graph]] cache-lifetime contract — the
+    * returned frame's lineage reaches it, so it stays cached until
+    * session cache-clear / eviction, recomputing from the source
+    * graph if evicted). */
   def iteratePersonalized(g: Graph, seeds: DataFrame, iters: Int,
       checkpointEvery: Int = 5,
       earlyExitTolFp: Option[Long] = None): DataFrame = {

@@ -191,13 +191,18 @@ object EventQueries extends QueryRegistry {
     // feed ranker keeps, without the float pow() that would drift in
     // the last ulp across engines (the fixed-point doctrine applied to
     // exponential decay). Age anchors at the corpus max timestamp (a
-    // 1-row head); shift capped at 62 so old events contribute exactly
-    // 0 instead of a poisoned shift
+    // 1-row head; an EMPTY corpus anchors at 0 and yields the empty
+    // aggregate instead of NPE-ing on the null max); shift capped at
+    // 62 so old NON-NEGATIVE cents contribute exactly 0 instead of a
+    // poisoned shift (arithmetic shiftright of a negative long floors
+    // at -1, not 0 — value is a price-like non-negative in this
+    // corpus; a corpus with refunds would clamp cents at 0 first)
     "events_decayed_popularity" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_type"),
         unix_millis(col("ts")).as("ms"),
         floor(col("value") * 100).cast("long").as("cents"))
-      val maxMs = ev.agg(max(col("ms"))).collect()(0).getLong(0)
+      val maxRow = ev.agg(max(col("ms"))).collect()(0)
+      val maxMs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       ev.withColumn("age_d",
           least(expr(s"(${maxMs}L - ms) div 86400000L"), lit(62L)))
         .groupBy(col("event_type"))

@@ -57,6 +57,22 @@ object GraphQueries extends QueryRegistry {
     SharedBuilds.of(s, dir, "copurchase-graph")(
       PageRank.prepare(copurchaseEdges(s, dir)))
 
+  /** Memoized basket census next to the shared graph: the per-part
+    * distinct-order counts (a bounded, persisted frame) and the 1-value
+    * total-order count — the SharedBuilds discipline applied to the
+    * association-rule denominators, so repeated invocations don't
+    * re-run the distinct + count() driver action per query (r11
+    * hygiene note). */
+  private def sharedOrderCensus(s: SparkSession, dir: String): (DataFrame, Long) =
+    SharedBuilds.of(s, dir, "copurchase-order-census") {
+      val op = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val perPart = op.groupBy(col("p")).agg(count(lit(1)).as("n_ord")).persist()
+      perPart.count() // materialize
+      val nOrders = op.select(col("ok")).distinct().count()
+      (perPart, nOrders)
+    }
+
   /** O(batch) incremental edge append — the graph tier joins
     * LSH/IVF/PQ/HNSW in taking batch maintenance without a corpus
     * rebuild (the r10 verdict's missing piece). Pairs are order-local
@@ -179,15 +195,13 @@ object GraphQueries extends QueryRegistry {
     // count, confidence = P(dst|src), lift = P(dst|src)/P(dst) — all
     // in exact ppm fixed-point (cross-multiplied integer division, no
     // float ratios), top-20 by lift. Reads the shared prepared graph
-    // (w IS the pair support) + one distinct-order census per part;
-    // support floor ≥ 2 (a repeated co-purchase) keeps one-off noise out
-    // while staying non-degenerate at every sf (max co-order count is
-    // 3-5 in the testdata)
+    // (w IS the pair support) + the memoized per-part/total order
+    // census (sharedOrderCensus — built once per session, like the
+    // graph itself); support floor ≥ 2 (a repeated co-purchase) keeps
+    // one-off noise out while staying non-degenerate at every sf (max
+    // co-order count is 3-5 in the testdata)
     "basket_association_rules" -> ((s, dir) => {
-      val op = lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val perPart = op.groupBy(col("p")).agg(count(lit(1)).as("n_ord"))
-      val nOrders = op.select(col("ok")).distinct().count() // 1-value head
+      val (perPart, nOrders) = sharedOrderCensus(s, dir)
       sharedGraph(s, dir).ew
         .filter(col("w") >= 2)
         .join(broadcast(perPart.select(col("p").as("src"), col("n_ord").as("n_src"))), "src")

@@ -213,7 +213,11 @@ object RetrievalQueries extends QueryRegistry {
         .groupBy(col("tok")).agg(count(lit(1)).as("w"))
         .orderBy(col("w").desc, col("tok").asc).limit(5)
         .collect().map(r => (r.getString(0), r.getLong(1))) // <=5-row head
-      val wTot = ew.map(_._2).sum
+      // guard the degenerate corpus where every feedback-doc token is a
+      // query term: ew empty → wTot 0 → 0/0 = NaN would silently rank
+      // the top-10 by NaN ordering. max(.,1) makes the expansion term
+      // exactly 0 there (expanded == bm25), in BOTH engines
+      val wTot = math.max(ew.map(_._2).sum, 1L)
       val row = docs.agg(count(lit(1)).as("n"),
         sum(size(col("toks")).cast("double")).as("sl")).collect()(0)
       val avglen = row.getDouble(1) / row.getLong(0) // exact: integer-valued doubles
@@ -633,7 +637,7 @@ object RetrievalQueries extends QueryRegistry {
          |         SELECT unnest(t.toks) AS tok FROM t JOIN fb USING (doc_id))
          |       WHERE tok NOT IN $termsNotIn
          |       GROUP BY tok ORDER BY w DESC, tok ASC LIMIT 5),
-         |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM ew),
+         |ws AS (SELECT greatest(coalesce(CAST(sum(w) AS BIGINT), 0), 1) AS wt FROM ew),
          |ex AS (SELECT f.doc_id,
          |         CAST(sum(ew.w * CAST(round(
          |           (CAST(len(list_filter(f.toks, x -> x = ew.tok)) AS DOUBLE) * CAST($K1Plus1 AS DOUBLE))
@@ -644,8 +648,8 @@ object RetrievalQueries extends QueryRegistry {
          |       FROM t f CROSS JOIN ew, n GROUP BY f.doc_id)
          |SELECT sc.doc_id, sc.bm25,
          |       round(sc.bm25 + CAST(0.3 AS DOUBLE)
-         |             * (CAST(ex.sfp AS DOUBLE) / ((SELECT wt FROM ws) * 1000000.0)), 6) + 0.0 AS expanded
-         |FROM sc JOIN ex ON sc.doc_id = ex.doc_id
+         |             * (CAST(coalesce(ex.sfp, 0) AS DOUBLE) / ((SELECT wt FROM ws) * 1000000.0)), 6) + 0.0 AS expanded
+         |FROM sc LEFT JOIN ex ON sc.doc_id = ex.doc_id
          |ORDER BY expanded DESC, sc.doc_id ASC LIMIT 10""".stripMargin
     },
 

@@ -1006,14 +1006,6 @@ object TextQueries extends QueryRegistry {
         maxDist = 7, bits = 60)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
 
-    // per-source document cap — the Common-Crawl-style spam control
-    // that bounds any one host/source's contribution to the training
-    // mix: keep the top-K docs per source by quality score, report the
-    // kept/dropped census per source. Scale shape: ONE shuffle keyed
-    // on source (hash partition), per-partition sort inside the window
-    // — the source cardinality bounds the output, and no row carries
-    // text past the scoring map. Tie-break doc_id ASC on the rounded
-    // score keeps rank assignment identical across engines.
     // ingest drift monitor: a Kolmogorov–Smirnov sup-distance between
     // the doc-length distributions of two ingest halves (doc_id
     // parity stands in for yesterday/today), per source — the
@@ -1046,6 +1038,14 @@ object TextQueries extends QueryRegistry {
         .orderBy(col("source"))
     }),
 
+    // per-source document cap — the Common-Crawl-style spam control
+    // that bounds any one host/source's contribution to the training
+    // mix: keep the top-K docs per source by quality score, report the
+    // kept/dropped census per source. Scale shape: ONE shuffle keyed
+    // on source (hash partition), per-partition sort inside the window
+    // — the source cardinality bounds the output, and no row carries
+    // text past the scoring map. Tie-break doc_id ASC on the rounded
+    // score keeps rank assignment identical across engines.
     "source_cap_survivors" -> ((s, dir) => {
       val K = 15
       documents(s, dir)
