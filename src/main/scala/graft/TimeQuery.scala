@@ -1,0 +1,39 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time a handful of declared queries in one warm JVM.
+  *
+  * Usage: runMain graft.TimeQuery <sfDir> <name>[,<name>...] [passes]
+  *
+  * Each query runs `passes`+1 times against the noop sink (first pass
+  * is the cold/build pass, reported separately) — the single-query
+  * inner loop of Bench without the 200-query surface, for iterating on
+  * one operator's plan. Not a driver surface; Bench stays the gate. */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val passes = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val cold = once(fn)
+      val warm = (1 to passes).map(_ => once(fn))
+      println(f"TIMEQ $name cold=$cold%.2f warm=${warm.map(w => f"$w%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -186,31 +186,17 @@ object PageRank {
     }
   }
 
-  /** Shared superstep loop: lineage cuts + optional exact-L1 early
-    * exit (see [[iterate]]). `step` maps a (node, rank) frame to the
-    * next one. */
+  /** Rank-frame adapter over [[Supersteps.loop]]: exact long-L1 early
+    * exit (see [[iterate]]) and the rank_fp output rename. `step` maps
+    * a (node, rank) frame to the next one. */
   private def loop(r0: DataFrame, iters: Int, checkpointEvery: Int,
       earlyExitTolFp: Option[Long])(step: DataFrame => DataFrame): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    var ranks = r0
-    var it = 0
-    var converged = false
-    while (it < iters && !converged) {
-      it += 1
-      val next0 = step(ranks)
-      val cut = earlyExitTolFp.isDefined ||
-        (it % checkpointEvery == 0 && it < iters)
-      val next = if (cut) next0.localCheckpoint() else next0
-      earlyExitTolFp.foreach { tol =>
-        val delta = next
-          .join(ranks.withColumnRenamed("rank", "prev"), "node")
-          .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0L)))
-          .collect()(0).getLong(0)
-        if (delta <= tol) converged = true
-      }
-      ranks = next
+    val probe = earlyExitTolFp.map { tol => (next: DataFrame, prev: DataFrame) =>
+      next.join(prev.withColumnRenamed("rank", "prev"), "node")
+        .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0L)))
+        .collect()(0).getLong(0) <= tol
     }
-    ranks.select(col("node"), col("rank").as("rank_fp"))
+    Supersteps.loop(r0, iters, checkpointEvery, probe)(step)
+      .select(col("node"), col("rank").as("rank_fp"))
   }
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/** Exact triangle counting, degree-ordered (the "compact-forward" /
+  * arboricity-bounded algorithm: Latapy 2008, Chiba–Nishizeki 1985) —
+  * the graph-shape statistic a curation pipeline computes for
+  * clustering coefficients and community-quality audits.
+  *
+  * Scale design (the part that must survive 100 TB): the naive
+  * src<dst wedge join fans out Σ deg(b)² at the wedge's MIDDLE vertex,
+  * which on a power-law graph explodes at the hubs (the r11 verdict's
+  * one plan-quality flag — 148M wedges already at sf0.1). Orienting
+  * every undirected edge from its lower-(degree, id) endpoint to its
+  * higher one and generating wedges at the LOWEST-rank vertex bounds
+  * per-vertex fan-out by out-degree², and the degree ordering caps
+  * out-degree at O(√m): a hub of degree d keeps out-edges only to
+  * neighbors of rank ≥ its own, so total wedge volume is O(m^1.5)
+  * worst case and O(m·arboricity) in general — hub-proof, while the
+  * count stays EXACT (each triangle is generated exactly once, at its
+  * lowest-rank vertex, closed by its one oriented third edge).
+  *
+  * All joins are plain equi-joins (vertex- and edge-keyed hash
+  * shuffles); counts are longs, so the result is bit-identical across
+  * engines and the DuckDB oracle can keep the INDEPENDENT naive
+  * src<dst formulation — cross-algorithm agreement is a stronger
+  * check than re-orienting the oracle.
+  */
+object Triangles {
+
+  /** Degree-ordered orientation of an undirected graph given as a
+    * BOTH-DIRECTION distinct edge list (src, dst): keep (a → b) iff
+    * (deg(a), a) < (deg(b), b). Each undirected edge survives exactly
+    * once; `rb` carries b's degree so downstream wedge generation can
+    * compare endpoint ranks without another join. */
+  private[graft] def orient(e: DataFrame): DataFrame = {
+    val d = e.groupBy(col("src")).agg(F.count(lit(1)).as("deg"))
+    e.select(col("src"), col("dst"))
+      .join(d.select(col("src"), col("deg").as("da")), "src")
+      .join(d.select(col("src").as("dst"), col("deg").as("db")), "dst")
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("src") < col("dst")))
+      .select(col("src").as("a"), col("dst").as("b"), col("db").as("rb"))
+  }
+
+  /** Exact triangle count of the undirected graph `e` (both-direction
+    * distinct edge list). Returns a 1-row (n_triangles: long) frame.
+    * Wedges are generated at the lowest-rank vertex `a` over its
+    * oriented out-edges (b, c ordered by rank so each wedge appears
+    * once), then closed by a semi-join against the oriented edge set —
+    * the closing edge {b, c} is oriented b → c because rank(b) <
+    * rank(c). */
+  def count(e: DataFrame): DataFrame = {
+    val o = orient(e)
+    val ab = o.select(col("a"), col("b"), col("rb").as("r1"))
+    val ac = o.select(col("a"), col("b").as("c"), col("rb").as("r2"))
+    val bc = o.select(col("a").as("b"), col("b").as("c"))
+    ab.join(ac, "a")
+      .filter(col("r1") < col("r2") ||
+        (col("r1") === col("r2") && col("b") < col("c")))
+      .join(bc, Seq("b", "c"), "left_semi")
+      .agg(F.count(lit(1)).cast("long").as("n_triangles"))
+  }
+
+  /** Test-only naive baseline (the pre-r12 shape): orient src < dst,
+    * wedge at the middle vertex. O(Σ deg²) fan-out — kept ONLY to pin
+    * the degree-ordered count's orientation invariance in
+    * GraphMiningSpec; no declared query ships it. */
+  private[graft] def countNaive(e: DataFrame): DataFrame = {
+    val u = e.filter(col("src") < col("dst")).select(col("src"), col("dst"))
+    val ab = u.select(col("src").as("a"), col("dst").as("b"))
+    val bc = u.select(col("src").as("b"), col("dst").as("c"))
+    val ac = u.select(col("src").as("a"), col("dst").as("c"))
+    ab.join(bc, "b").join(ac, Seq("a", "c"), "left_semi")
+      .agg(F.count(lit(1)).cast("long").as("n_triangles"))
+  }
+
+  /** O(batch) incremental count: triangles GAINED by adding the new
+    * undirected edges `newBoth` (both-direction, disjoint from the
+    * stored set — i.e. merged-minus-stored existence, weight changes
+    * to existing edges add no triangles) to the stored graph `oldBoth`
+    * (both-direction). Returns a 1-row (n_delta: long) frame with
+    * n_delta = triangles(old ∪ new) − triangles(old), computed WITHOUT
+    * re-enumerating the stored graph's wedges.
+    *
+    * Inclusion–exclusion over each triangle's new-edge count f ≥ 1
+    * (1 → 1, 2 → 2−1, 3 → 3−3+1, so every gained triangle nets
+    * exactly 1):
+    *  - c1 = Σ_T f: for each new edge, its merged-graph common
+    *    neighbors — two joins fanning out |batch| × deg, never a
+    *    stored-graph self-join;
+    *  - c2 = Σ_T C(f,2): wedges of two new edges at a shared center,
+    *    closed in the merged edge set — |batch|-local fan-out;
+    *  - c3 = Σ_T C(f,3): triangles entirely within the batch (the
+    *    degree-ordered [[count]] on the batch alone).
+    * Every term is batch-anchored, so maintenance cost scales with the
+    * batch, not the corpus — the same O(batch) discipline as the
+    * LSH/IVF/PQ/HNSW append tiers. */
+  def delta(oldBoth: DataFrame, newBoth0: DataFrame): DataFrame = {
+    // the batch edge set feeds all three terms (adjacency union, the
+    // c1 anchors, both c2 sides, c3) — materialize it once per call
+    // (batch-sized, so the cut is cheap) instead of re-executing its
+    // lineage (typically an anti-join against the store) per term
+    val newBoth = newBoth0.select(col("src"), col("dst")).localCheckpoint()
+    val adjM = oldBoth.select(col("src"), col("dst"))
+      .unionByName(newBoth.select(col("src"), col("dst")))
+    val nCanon = newBoth.filter(col("src") < col("dst"))
+    val c1 = nCanon.select(col("src").as("u"), col("dst").as("v"))
+      .join(adjM.select(col("src").as("u"), col("dst").as("wn")), "u")
+      .filter(col("wn") =!= col("v"))
+      .join(adjM.select(col("src").as("v"), col("dst").as("wn")),
+        Seq("v", "wn"), "left_semi")
+      .agg(F.count(lit(1)).cast("long").as("c1"))
+    val c2 = newBoth.select(col("src").as("ctr"), col("dst").as("x"))
+      .join(newBoth.select(col("src").as("ctr"), col("dst").as("y")), "ctr")
+      .filter(col("x") < col("y"))
+      .join(adjM.filter(col("src") < col("dst"))
+        .select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"), "left_semi")
+      .agg(F.count(lit(1)).cast("long").as("c2"))
+    val c3 = count(newBoth)
+      .select(col("n_triangles").as("c3"))
+    c1.crossJoin(c2).crossJoin(c3) // 1-row × 1-row × 1-row stapler
+      .select((col("c1") - col("c2") + col("c3")).as("n_delta"))
+  }
+}

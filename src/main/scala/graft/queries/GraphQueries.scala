@@ -114,21 +114,38 @@ object GraphQueries extends QueryRegistry {
     * not a window: a row_number window must SORT the whole
     * edges-sized vote frame inside each node partition, while max_by
     * folds it with map-side partial aggregation (measured ~2× on the
-    * sf0.1 vote frame). Returns (node, lbl). */
-  private[graft] def lpaIterate(g: PageRank.Graph, iters: Int): DataFrame = {
-    var labels = g.nodes.select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to iters) {
+    * sf0.1 vote frame). Returns (node, lbl).
+    *
+    * Depth controls ride the shared [[graft.operators.Supersteps]]
+    * driver (the r11 verdict's LPA/PageRank unification): lineage cuts
+    * every `checkpointEvery` supersteps bound plan depth on
+    * to-convergence runs, and `earlyExitOnStable` stops when the EXACT
+    * label-change count hits 0 — labels are a pure function of the
+    * previous labeling, so a zero-change superstep is a true fixed
+    * point and exit never changes the result (integer criterion,
+    * oracle-friendly). The declared 2-iteration query never reaches a
+    * cut, so its plan and oracle parity are unchanged. */
+  private[graft] def lpaIterate(g: PageRank.Graph, iters: Int,
+      checkpointEvery: Int = 5, earlyExitOnStable: Boolean = false): DataFrame = {
+    val probe =
+      if (!earlyExitOnStable) None
+      else Some { (next: DataFrame, prev: DataFrame) =>
+        next.join(prev.withColumnRenamed("lbl", "prev_lbl"), "node")
+          .filter(col("lbl") =!= col("prev_lbl"))
+          .count() == 0L
+      }
+    val l0 = g.nodes.select(col("node"), col("node").as("lbl"))
+    graft.operators.Supersteps.loop(l0, iters, checkpointEvery, probe) { labels =>
       val top = g.ew.join(labels, g.ew("src") === labels("node"))
         .select(g.ew("dst").as("node"), col("lbl"), g.ew("w"))
         .groupBy(col("node"), col("lbl")).agg(sum(col("w")).as("cnt"))
         .groupBy(col("node"))
         .agg(max_by(col("lbl"), struct(col("cnt"), (-col("lbl")).as("neg")))
           .as("new_lbl"))
-      labels = labels.select(col("node"), col("lbl").as("old_lbl"))
+      labels.select(col("node"), col("lbl").as("old_lbl"))
         .join(top, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_lbl"), col("old_lbl")).as("lbl"))
     }
-    labels
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -241,22 +258,21 @@ object GraphQueries extends QueryRegistry {
         .orderBy(col("n_members").desc, col("community").asc)
         .limit(20)),
 
-    // triangle census + global clustering coefficient: orient every
-    // undirected edge src < dst, count a < b < c closed wedges with
-    // two hash joins — each triangle lands exactly once. The pair
-    // space is bounded because co-purchase edges are order-local
-    // (per-order cliques of <= a dozen parts), the same bound that
-    // keeps the edge build itself subquadratic. Wedges = Σ deg·(deg−1)/2
-    // over distinct-neighbor degrees (exact longs — the product is
-    // always even); the one double is the final rounded coefficient
+    // triangle census + global clustering coefficient. The count is
+    // DEGREE-ORDERED (graft.operators.Triangles: orient each edge
+    // low-rank → high-rank, wedge at the lowest-rank vertex) — the
+    // hub-proof exact algorithm whose wedge fan-out is bounded by
+    // arboricity instead of Σ deg(middle)², the r11 verdict's one
+    // plan-quality flag (148M wedges at sf0.1 under the naive shape;
+    // a power-law hub at 100× makes that THE skewed-shuffle killer).
+    // The oracle keeps the INDEPENDENT naive src<dst formulation —
+    // the count is orientation-invariant, so green is cross-ALGORITHM
+    // agreement, not just cross-engine. Wedges = Σ deg·(deg−1)/2 over
+    // distinct-neighbor degrees (exact longs — the product is always
+    // even); the one double is the final rounded coefficient
     "copurchase_triangles" -> ((s, dir) => {
-      val e = sharedGraph(s, dir).ew
-        .filter(col("src") < col("dst")).select(col("src"), col("dst"))
-      val ab = e.select(col("src").as("a"), col("dst").as("b"))
-      val bc = e.select(col("src").as("b"), col("dst").as("c"))
-      val ac = e.select(col("src").as("a"), col("dst").as("c"))
-      val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
-        .agg(count(lit(1)).cast("long").as("n_triangles"))
+      val tri = graft.operators.Triangles.count(
+        sharedGraph(s, dir).ew.select(col("src"), col("dst")))
       val wedges = sharedGraph(s, dir).ew
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .agg(sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("n_wedges"))
@@ -265,7 +281,55 @@ object GraphQueries extends QueryRegistry {
           when(col("n_wedges") === 0L, lit(0.0)).otherwise(
             round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6) + 0.0))
     }),
+
+    // O(batch) incremental triangle maintenance (the pq_append_audit
+    // convention on the mining tier), on a realistic 90/10 split:
+    // orders with l_orderkey % 10 ≠ 0 are the stored corpus, the
+    // % 10 = 0 tenth is the batch. The base store is built ONCE
+    // (write → read-back, with its triangle count computed at build
+    // time — the durable "yesterday's count" artifact a daily job
+    // carries forward); the RECURRING cost is Triangles.delta — three
+    // batch-anchored terms (new-edge common neighbors, new-new
+    // wedges, batch-internal triangles via inclusion–exclusion),
+    // never a stored-graph wedge re-enumeration. The ORACLE recounts
+    // both the base and the full merged graph from scratch with the
+    // naive wedge shape: green means stored-count + delta ≡ full
+    // recount, exact through the whole census
+    "triangle_append_audit" -> ((s, dir) => {
+      val (base, nBase, batchE) = sharedTriBaseStore(s, dir)
+      // the RECURRING tick, timed on every invocation: diff the batch
+      // edges against the store (left_anti keyed on the edge — O(batch
+      // ⋈ stored), the new-existence set; weight-only changes add no
+      // triangles) and count the gained triangles batch-anchored
+      val newE = batchE.join(base, Seq("src", "dst"), "left_anti")
+      graft.operators.Triangles.delta(base, newE)
+        .select(lit(nBase).as("n_base"), col("n_delta"),
+          (lit(nBase) + col("n_delta")).as("n_total"))
+    }),
   )
+
+  /** Durable triangle-tier fixture, memoized per (session, dir) like
+    * every index store: the co-purchase edges of the 90% corpus
+    * (orders % 10 ≠ 0) written to parquet and READ BACK, the store's
+    * triangle count computed once at build time (the persisted census
+    * a daily maintenance job carries between ticks), and the batch
+    * tenth's edge frame (the input a real tick receives as its own
+    * arriving files — derived here from the %10 filter once, since
+    * the testdata has no separate batch table). */
+  private def sharedTriBaseStore(s: SparkSession, dir: String): (DataFrame, Long, DataFrame) =
+    SharedBuilds.of(s, dir, "copurchase-tri-base") {
+      val basePath = buildPath(dir, "copurchase-edges-tri-base")
+      edgesOf(lineitem(s, dir).filter(col("l_orderkey") % 10 =!= 0))
+        .write.mode("overwrite").parquet(basePath)
+      val base = s.read.parquet(basePath).select(col("src"), col("dst"))
+        .persist()
+      val nBase = graft.operators.Triangles.count(base)
+        .collect()(0).getLong(0) // 1-row head
+      val batchE = edgesOf(lineitem(s, dir).filter(col("l_orderkey") % 10 === 0))
+        .select(col("src"), col("dst")).persist()
+      batchE.count() // materialize
+      (base, nBase, batchE)
+    }
 
   private val edgesSql =
     """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -378,6 +442,33 @@ object GraphQueries extends QueryRegistry {
          |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
          |FROM l2 GROUP BY lbl
          |ORDER BY n_members DESC, community ASC LIMIT 20""".stripMargin,
+
+    // both counts recomputed FROM SCRATCH (base = the 90% corpus,
+    // total = all orders) with the naive src<dst wedge shape — fully
+    // independent of the incremental path AND of the degree-ordered
+    // algorithm it audits
+    "triangle_append_audit" ->
+      s"""WITH opf AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |ef AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |       FROM opf a JOIN opf b
+         |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |       GROUP BY 1, 2),
+         |opb AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |        WHERE l_orderkey % 10 <> 0),
+         |eb AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |       FROM opb a JOIN opb b
+         |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |       GROUP BY 1, 2),
+         |uf AS (SELECT src, dst FROM ef WHERE src < dst),
+         |ub AS (SELECT src, dst FROM eb WHERE src < dst),
+         |tf AS (SELECT CAST(count(*) AS BIGINT) AS n
+         |       FROM uf ab JOIN uf bc ON ab.dst = bc.src
+         |                  JOIN uf ac ON ac.src = ab.src AND ac.dst = bc.dst),
+         |tb AS (SELECT CAST(count(*) AS BIGINT) AS n
+         |       FROM ub ab JOIN ub bc ON ab.dst = bc.src
+         |                  JOIN ub ac ON ac.src = ab.src AND ac.dst = bc.dst)
+         |SELECT tb.n AS n_base, tf.n - tb.n AS n_delta, tf.n AS n_total
+         |FROM tb, tf""".stripMargin,
 
     "copurchase_triangles" ->
       s"""WITH $edgesSql,

@@ -77,6 +77,94 @@ class GraphMiningSpec extends SparkSpec {
     }
   }
 
+  test("LPA 20 deep iterations: lineage cuts bound the plan; stable-exit is result-identical") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 3L, 2L),
+      (4L, 5L, 1L), (5L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val g = graft.operators.PageRank.prepare(edges)
+    def planSize(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    // the LPA superstep references the label frame TWICE (vote join +
+    // isolated-node fallback join), so an UNCUT plan doubles per
+    // iteration — 2^20 nodes at depth 20; Catalyst grinds for minutes
+    // on what executes in seconds once cut. The bound check therefore
+    // compares a cut DEEP run against an uncut SHALLOW one: 20 cut
+    // supersteps must carry less plan than 7 uncut ones — the property
+    // that makes depth-20 runs feasible at all
+    val cut = GraphQueries.lpaIterate(g, 20, checkpointEvery = 5)
+    val uncut7 = GraphQueries.lpaIterate(g, 7, checkpointEvery = 1000)
+    assert(planSize(cut) < planSize(uncut7),
+      s"cuts must bound plan depth: ${planSize(cut)} vs ${planSize(uncut7)}")
+    // value invariance: two different cut cadences agree at depth 20
+    val cutRes = cut.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cut2Res = GraphQueries.lpaIterate(g, 20, checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cutRes == cut2Res, "cut cadence must not change labels")
+    // ...and shallow cut == shallow uncut pins cut-vs-uncut equality
+    val cut7Res = GraphQueries.lpaIterate(g, 7, checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uncut7Res = uncut7.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cut7Res == uncut7Res, "lineage cuts must not change labels")
+    // zero-label-change exit stops at a true fixed point — identical result
+    val eager = GraphQueries.lpaIterate(g, 20, earlyExitOnStable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eager == cutRes, "stable-exit must not change labels")
+  }
+
+  test("degree-ordered triangle count: invariant vs naive orientation and brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 6) {
+      val n = 5 + rnd.nextInt(10)
+      val und = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.45
+      } yield (a.toLong, b.toLong)).toVector
+      val undSet = und.toSet
+      val expect = (for {
+        a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n
+        if undSet((a.toLong, b.toLong)) && undSet((b.toLong, c.toLong)) &&
+          undSet((a.toLong, c.toLong))
+      } yield 1).size.toLong
+      val both = (und ++ und.map(_.swap)).toDF("src", "dst")
+      val ordered = graft.operators.Triangles.count(both)
+        .collect()(0).getLong(0)
+      val naive = graft.operators.Triangles.countNaive(both)
+        .collect()(0).getLong(0)
+      assert(ordered == expect, s"trial $trial ordered: $ordered vs $expect")
+      assert(naive == expect, s"trial $trial naive: $naive vs $expect")
+    }
+  }
+
+  test("triangle delta: old count + delta equals full recount on random splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 6) {
+      val n = 6 + rnd.nextInt(10)
+      val und = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.5
+      } yield (a.toLong, b.toLong)).toVector
+      if (und.nonEmpty) {
+        // random existence split — including trials where MOST edges
+        // are new, the inclusion–exclusion terms' worst case
+        val (newU, oldU) = und.partition(_ => rnd.nextDouble() < 0.4)
+        def both(v: Vector[(Long, Long)]) =
+          (v ++ v.map(_.swap)).toDF("src", "dst")
+        val full = graft.operators.Triangles.count(both(und))
+          .collect()(0).getLong(0)
+        val old = graft.operators.Triangles.count(both(oldU))
+          .collect()(0).getLong(0)
+        val d = graft.operators.Triangles.delta(both(oldU), both(newU))
+          .collect()(0).getLong(0)
+        assert(old + d == full,
+          s"trial $trial: old $old + delta $d != full $full " +
+            s"(m=${und.size}, new=${newU.size})")
+      }
+    }
+  }
+
   test("quantile sketch: estimates bound the exact quantiles within one bin width") {
     val rows = EventQueries.queries("events_quantile_sketch")(spark, sfDir)
       .collect()
