@@ -83,16 +83,22 @@ object Bench {
   }
   private val CalibIters = 400000000L // ~0.5 s/thread on an unloaded core
 
-  // Committed round-10 baseline pair (BENCH_r10.json): steady-median3
-  // total over its 184 queries, and the min single-thread calib reading
-  // bracketing that measurement. deflated_vs_prev divides BOTH rounds'
-  // totals by their own calib before comparing, turning shared-host
-  // tenancy out of the round-over-round ratio (the r10 verdict's
-  // "actually do the division" task). Consumers should still normalize
-  // by n_queries (also emitted) when the query surface grew.
-  private val PrevSteadyTotal = 91.402
-  private val PrevStCalib = 0.85
-  private val PrevNQueries = 184
+  // Committed round-11 baseline tuple (BENCH_r11.json): steady-median3
+  // total over its 200 queries, and the min single-thread AND
+  // min multi-thread calib readings bracketing that measurement.
+  // deflated_vs_prev divides BOTH rounds' totals by their own calib
+  // before comparing, turning shared-host tenancy out of the
+  // round-over-round ratio. BOTH deflations are emitted (the r11
+  // verdict's task: st-only deflation overstates regression when
+  // co-tenancy is multithreaded — r11 read st 0.86 but mt32 1.53 —
+  // and a steady local[32] pass tracks the mt number); the MIN of the
+  // two ratios is the honest regression bound (BASELINE.md).
+  // Consumers should still normalize by n_queries (also emitted) when
+  // the query surface grew.
+  private val PrevSteadyTotal = 120.932
+  private val PrevStCalib = 0.86
+  private val PrevMtCalib = 1.0
+  private val PrevNQueries = 200
   private def calib(threads: Int): Double = {
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
@@ -229,7 +235,23 @@ object Bench {
         // untimed warm-up run, so the ratio isolates the recurring
         // daily-tick cost, which is the number that must hold at 100 TB
         "incremental_funnel_phaseB" -> ((s, d) =>
-          graft.queries.TextQueries.incrementalFunnelProbe(s, d)))
+          graft.queries.TextQueries.incrementalFunnelProbe(s, d)),
+        // r12: the graph-mining tier — the round-11 board's heaviest
+        // additions were exactly the queries the 10× probe didn't
+        // measure (the r11 verdict's gap #4). The salted 10× lineitem
+        // makes 10 DISJOINT graph copies, so triangles/labels/ranks all
+        // scale linearly in data with identical per-copy structure:
+        //  - triangles: degree-ordered wedge volume is per-copy, so the
+        //    ratio should track edges (~10×), never the naive Σdeg²
+        //    blow-up;
+        //  - communities: 2 LPA supersteps over the shared prepared
+        //    graph — two keyed shuffles per superstep;
+        //  - pagerank_append_audit: build-once store + 3 supersteps —
+        //    the maintained-store read path (store builds land in the
+        //    untimed warm-up, like the funnel's phase A)
+        "copurchase_triangles" -> SparkEntry.queries("copurchase_triangles"),
+        "copurchase_communities" -> SparkEntry.queries("copurchase_communities"),
+        "pagerank_append_audit" -> SparkEntry.queries("pagerank_append_audit"))
       val scaledDir = s"target/bench-scale10/$sfTag"
       val reps = 10
       val buildSec = buildScaled(spark, sfDir, scaledDir, reps)
@@ -283,13 +305,17 @@ object Bench {
     // scale-probe blocks inside the driver's ~2000-char tail window
     val qsBudget = if (scaleJson.isEmpty) 1450 else 1000
     while (qs.length > qsBudget && keep > 1) { keep -= 8; qs = assemble(keep) }
-    // calib-deflated round-over-round ratio: (this total / this st
-    // calib) over the committed r10 pair — >1 means genuinely more
-    // work per calib-second (e.g. new queries), not a noisier host
+    // calib-deflated round-over-round ratios: (this total / this
+    // calib) over the committed r11 tuple, under BOTH the
+    // single-thread and the all-threads calib — >1 on the binding
+    // (min) ratio means genuinely more work per calib-second (e.g.
+    // new queries), not a noisier host
     val stCalib = math.min(calibPre._1, calibPost._1)
-    val deflated = (total / math.max(stCalib, 1e-9)) / (PrevSteadyTotal / PrevStCalib)
+    val mtCalib = math.min(calibPre._2, calibPost._2)
+    val deflatedSt = (total / math.max(stCalib, 1e-9)) / (PrevSteadyTotal / PrevStCalib)
+    val deflatedMt = (total / math.max(mtCalib, 1e-9)) / (PrevSteadyTotal / PrevMtCalib)
     val calibJson =
-      s""","host_calib":{"iters":"4e8","st":[${fmt(calibPre._1, "%.2f")},${fmt(calibPost._1, "%.2f")}],"mt$nThreads":[${fmt(calibPre._2, "%.2f")},${fmt(calibPost._2, "%.2f")}]},"n_queries":${results.size},"deflated_vs_prev":{"prev":[$PrevSteadyTotal,$PrevStCalib,$PrevNQueries],"ratio":${fmt(deflated, "%.2f")}}"""
+      s""","host_calib":{"iters":"4e8","st":[${fmt(calibPre._1, "%.2f")},${fmt(calibPost._1, "%.2f")}],"mt$nThreads":[${fmt(calibPre._2, "%.2f")},${fmt(calibPost._2, "%.2f")}]},"n_queries":${results.size},"deflated_vs_prev":{"prev":[$PrevSteadyTotal,$PrevStCalib,$PrevMtCalib,$PrevNQueries],"ratio_st":${fmt(deflatedSt, "%.2f")},"ratio_mt":${fmt(deflatedMt, "%.2f")}}"""
     val line =
       s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","mode":"steady-median3","spread":${fmt(spread, "%.2f")},"cold_total_sec":${fmt(coldTotal, "%.3f")},"queries":$qs,"sf":"$sfTag"$calibJson$scaleJson}"""
     // The metric line is emitted THREE ways, because the driver greps
@@ -306,6 +332,20 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench-metric.json"), line + "\n")
     catch { case _: Exception => () }
+    // The driver's tail window truncates the per-query map to the ~40
+    // slowest names + "other" (r11 left 160 queries unattributed) —
+    // write the COMPLETE steady-median3 and cold maps durably so
+    // round-over-round per-query regression diffs never depend on
+    // tail luck (the bench-metric.json precedent; cited in BASELINE.md)
+    try {
+      def fullMap(m: Map[String, Double]): String =
+        m.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"\"" + k + "\":" + fmt(v, "%.3f") }
+          .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench-per-query.json"),
+        s"""{"sf":"$sfTag","steady_median3":${fullMap(results)},"cold":${fullMap(cold.toMap)}}""" + "\n")
+    } catch { case _: Exception => () }
     spark.stop()
     println(line)
     System.out.flush()

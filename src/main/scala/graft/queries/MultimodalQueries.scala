@@ -320,6 +320,52 @@ object MultimodalQueries extends QueryRegistry {
         .orderBy(col("media_id"), col("frame_a"), col("frame_b"))
     }),
 
+    // REAL VIDEO decode end-to-end (r12 — the MJPEG-in-AVI close of
+    // the video gap): each doc muxes three sorted-ramp 8×8 baseline
+    // JPEGs plus an EXACT re-use of frame 0's JPEG stream (the
+    // duplicated-frame plant, at the container level — the shape a
+    // static-scene camera emits) into a genuine RIFF/AVI container
+    // (Avi.encodeMjpeg), and the pipeline demuxes the movi chunks
+    // back (Avi.decodeMjpegFrames), decodes each frame through the
+    // full Huffman/dequant/IDCT path (Jpeg.decode), aHashes the
+    // samples, and reports whether the planted duplicate surfaces as
+    // a Hamming-0 frame pair. JPEG is lossy, so the oracle replays
+    // the cohort exactly while the demux-exactness and dedup
+    // contracts ride as must-be-true booleans (the jpeg-audit
+    // convention); a wrong demux, a broken decode, or a broken hash
+    // all flip a boolean and hash-mismatch. Scale shape: one
+    // mapPartitions batch per doc cohort (binary codecs — the one
+    // justified mapPartitions tier), no shuffle at all
+    "media_video_frame_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+        .filter(col("doc_id") < 120 && length(col("text")) >= 192)
+        .select(col("doc_id"), substring(col("text"), 1, 192).as("head"))
+        .filter(octet_length(col("head")) === 192)
+        .as[(Long, String)]
+      docs.map { case (id, txt) =>
+        val b = txt.getBytes("UTF-8")
+        val jpgs = (0 until 3).map(f =>
+          graft.operators.Jpeg.encode(8, 8,
+            b.slice(64 * f, 64 * f + 64).sorted, gray = true))
+        val muxed = jpgs :+ jpgs(0)
+        val avi = graft.operators.Avi.encodeMjpeg(8, 8, muxed)
+        val demuxed = graft.operators.Avi.decodeMjpegFrames(avi)
+          .getOrElse(Seq.empty)
+        val demuxExact = demuxed.length == 4 &&
+          demuxed.zip(muxed).forall { case (a, e) => a.sameElements(e) }
+        val hashes = demuxed
+          .flatMap(fb => graft.operators.Jpeg.decode(fb))
+          .map(sm => Multimodal.aHashBits(sm, channels = 1))
+        val dupFound = hashes.length == 4 &&
+          hashes(0).zip(hashes(3))
+            .map { case (x, y) => java.lang.Integer.bitCount(x ^ y) }
+            .sum == 0
+        (id, demuxed.length.toLong, demuxExact, dupFound)
+      }.toDF("media_id", "n_frames", "demux_exact", "dup_pair_found")
+        .orderBy(col("media_id"))
+    }),
+
     // frame-sample pass ("video" decimation): keep every 2nd 8-byte
     // frame block; the byte_sum checksum verifies the KEPT bytes are
     // exactly the right ones, not just the right count
@@ -448,6 +494,17 @@ object MultimodalQueries extends QueryRegistry {
         |       CAST(fb AS BIGINT) AS frame_b, CAST(hamming AS BIGINT) AS hamming
         |FROM ham WHERE hamming <= 3
         |ORDER BY media_id, frame_a, frame_b""".stripMargin,
+
+    // cohort exactly replayed; demux-exactness and the planted
+    // duplicate-frame detection ride as must-be-true booleans (JPEG
+    // is lossy — the jpeg-audit convention)
+    "media_video_frame_dedup" ->
+      """SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS n_frames,
+        |       true AS demux_exact, true AS dup_pair_found
+        |FROM documents
+        |WHERE doc_id < 120 AND length(text) >= 192
+        |  AND strlen(substr(text, 1, 192)) = 192
+        |ORDER BY media_id""".stripMargin,
 
     // cohort exactly replayed; the lossy-reconstruction contract is
     // Spark-side-checked booleans (see the query comment)

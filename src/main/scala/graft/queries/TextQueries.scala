@@ -305,6 +305,31 @@ object TextQueries extends QueryRegistry {
       .join(funnelMetrics(docs), "doc_id")
   }
 
+  /** Durable training-set artifact, memoized per (session, dir): the
+    * funnel's final survivors written as split×source hive-partitioned
+    * parquet shards — doc_id, n_chars (the source doc's char count,
+    * the unit the census reports) and the REDACTED text (the funnel's
+    * PII scrub is a transform: the exported corpus is the scrubbed
+    * one) — then READ BACK from disk. The hive layout is what a
+    * trainer's loader consumes (split selection = partition pruning);
+    * the funnel's budgets (per-source cap, quality, diversity) arrive
+    * enforced through final_keep. Survivors are a cap-bounded set
+    * (≤ FunnelCapK per source), so the keep-list join broadcasts. */
+  private def sharedTrainingExport(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "training-export") {
+      val path = buildPath(dir, "training-export")
+      val kept = funnelFlags(fullCorpusThin(s, dir))
+        .filter(col("final_keep")).select(col("doc_id"))
+      documents(s, dir)
+        .join(broadcast(kept), "doc_id")
+        .withColumn("text", piiRedact(piiPlanted))
+        .withColumn("split", TextOps.splitLabel(col("doc_id")))
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          col("split"), col("source"))
+        .write.mode("overwrite").partitionBy("split", "source").parquet(path)
+      s.read.parquet(path)
+    }
+
   /** Contaminated ids among `corpus` (a shingle table slice with
     * doc_id >= 10): Bloom screen from the broadcast `bits` literal,
     * exact verify against the broadcast eval shingle-hash frame —
@@ -769,6 +794,24 @@ object TextQueries extends QueryRegistry {
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy(col("split"), col("source"))
     }),
+
+    // the export MATERIALIZED (r12 — the census counted the
+    // deliverable; this writes it): funnel survivors land as
+    // split×source hive-partitioned parquet shards carrying the
+    // REDACTED text (the funnel's budgets — per-source cap, quality,
+    // diversity — are enforced by final_keep upstream), and THIS query
+    // re-reads the written shards and re-derives the census from them.
+    // The oracle is the same from-scratch census SQL as
+    // training_export_census, so green means the artifact ON DISK
+    // reproduces the funnel's census — the read-back discipline of
+    // pagerank_append_audit applied to the pipeline's deliverable
+    // (lineage proves nothing about what was written; re-reading does)
+    "training_export_audit" -> ((s, dir) =>
+      sharedTrainingExport(s, dir)
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("split"), col("source"))),
 
     // the incremental twin: same six funnel counts, computed from the
     // two-commit snapshot store via commit-1 state + a snapshotDiff
@@ -1379,6 +1422,8 @@ object TextQueries extends QueryRegistry {
 
     "curation_funnel" -> funnelOracleSql,
     "training_export_census" -> exportCensusOracleSql,
+    // the written artifact must reproduce the same from-scratch census
+    "training_export_audit" -> exportCensusOracleSql,
 
     // the incremental path must land on the IDENTICAL six counts a
     // full-corpus rebuild produces — so its oracle IS the full-corpus

@@ -223,6 +223,48 @@ class MultimodalSpec extends SparkSpec {
     a.iterator.zip(b.iterator).map { case (x, y) => math.abs(x - y) }.sum.toDouble / a.length
   }
 
+  test("avi container: mux → demux returns the exact per-frame JPEG streams") {
+    val frames = Seq(
+      Array.tabulate(64)(i => (10 + 3 * i).toByte),
+      Array.tabulate(64)(i => (200 - 2 * i).toByte),
+      Array.tabulate(63)(i => (5 * i).toByte)) // ODD length: pad path
+      .map(g => graft.operators.Jpeg.encode(8, 8, g.padTo(64, 0.toByte), gray = true))
+    // force one odd-sized chunk through the even-padding path (a
+    // trailing byte after EOI — demux must return it verbatim)
+    val oddJpeg =
+      if (frames(2).length % 2 == 1) frames(2) else frames(2) :+ 0x3a.toByte
+    val muxed = frames.take(2) ++ Seq(oddJpeg) ++ Seq(frames(0))
+    val avi = graft.operators.Avi.encodeMjpeg(8, 8, muxed)
+    // container magic
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val got = graft.operators.Avi.decodeMjpegFrames(avi).get
+    assert(got.length == muxed.length)
+    got.zip(muxed).zipWithIndex.foreach { case ((a, e), i) =>
+      assert(a.sameElements(e), s"frame $i bytes differ after demux")
+    }
+    // demuxed streams decode identically to the originals
+    val d0 = graft.operators.Jpeg.decode(got.head).get
+    val e0 = graft.operators.Jpeg.decode(muxed.head).get
+    assert(d0.sameElements(e0))
+    // non-AVI and truncated inputs fail soft
+    assert(graft.operators.Avi.decodeMjpegFrames("not a riff".getBytes).isEmpty)
+    assert(graft.operators.Avi.decodeMjpegFrames(avi.take(11)).isEmpty)
+    val truncated = graft.operators.Avi.decodeMjpegFrames(avi.dropRight(40))
+    assert(truncated.isDefined, "mid-stream truncation must fail soft, not throw")
+  }
+
+  test("declared media_video_frame_dedup: every cohort doc demuxes and finds its plant") {
+    val rows = graft.queries.MultimodalQueries
+      .queries("media_video_frame_dedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 4L, s"media ${r.getLong(0)}: n_frames ${r.getLong(1)}")
+      assert(r.getBoolean(2), s"media ${r.getLong(0)}: demux not exact")
+      assert(r.getBoolean(3), s"media ${r.getLong(0)}: planted dup not found")
+    }
+  }
+
   test("jpeg codec: encode → decode round-trips a smooth gradient closely") {
     val (w, h) = (16, 12)
     val rgb = gradientRgb(w, h)
