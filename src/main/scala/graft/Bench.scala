@@ -303,7 +303,10 @@ object Bench {
     var qs = assemble(keep)
     // budgets leave headroom for the fixed-size calib + deflated +
     // scale-probe blocks inside the driver's ~2000-char tail window
-    val qsBudget = if (scaleJson.isEmpty) 1450 else 1000
+    // (r12: the probe gained the three graph-tier entries ≈ +170
+    // chars, so the queries-map share shrinks — the full map is in
+    // target/bench-per-query.json anyway)
+    val qsBudget = if (scaleJson.isEmpty) 1450 else 830
     while (qs.length > qsBudget && keep > 1) { keep -= 8; qs = assemble(keep) }
     // calib-deflated round-over-round ratios: (this total / this
     // calib) over the committed r11 tuple, under BOTH the
