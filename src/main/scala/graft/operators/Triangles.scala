@@ -57,9 +57,19 @@ object Triangles {
     val ab = o.select(col("a"), col("b"), col("rb").as("r1"))
     val ac = o.select(col("a"), col("b").as("c"), col("rb").as("r2"))
     val bc = o.select(col("a").as("b"), col("b").as("c"))
+    // the wedge frame is the big side (Σ outdeg² ≈ 41M rows at sf0.1
+    // vs 1.2M oriented edges): project it to the bare (b, c) key
+    // BEFORE the closure exchange so the wedge shuffle carries 16-byte
+    // rows, not the full 5-column wedge (measured ~8%% off the census;
+    // a shuffle_hash hint on the edge side was tried and measured
+    // SLOWER than the sort-merge semi here — Spark's external sort of
+    // bare 16-byte rows outruns per-partition hash-table builds, and
+    // the sort spills where a hash table cannot, which is also the
+    // safer shape at 100×)
     ab.join(ac, "a")
       .filter(col("r1") < col("r2") ||
         (col("r1") === col("r2") && col("b") < col("c")))
+      .select(col("b"), col("c"))
       .join(bc, Seq("b", "c"), "left_semi")
       .agg(F.count(lit(1)).cast("long").as("n_triangles"))
   }
@@ -110,6 +120,7 @@ object Triangles {
     val c1 = nCanon.select(col("src").as("u"), col("dst").as("v"))
       .join(adjM.select(col("src").as("u"), col("dst").as("wn")), "u")
       .filter(col("wn") =!= col("v"))
+      .select(col("v"), col("wn")) // bare key before the big exchange
       .join(adjM.select(col("src").as("v"), col("dst").as("wn")),
         Seq("v", "wn"), "left_semi")
       .agg(F.count(lit(1)).cast("long").as("c1"))
