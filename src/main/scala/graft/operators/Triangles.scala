@@ -53,7 +53,13 @@ object Triangles {
     * the closing edge {b, c} is oriented b → c because rank(b) <
     * rank(c). */
   def count(e: DataFrame): DataFrame = {
-    val o = orient(e)
+    // the oriented frame feeds THREE branches (both wedge sides + the
+    // closure edge set): materialize it once per call — edge-sized, so
+    // the cut is cheap — instead of re-running the orient joins per
+    // branch (under the full bench suite's cache pressure the
+    // un-materialized lineage re-derived the edge build three times:
+    // 8.7 s vs 5.0 s isolated, measured r12)
+    val o = orient(e).localCheckpoint()
     val ab = o.select(col("a"), col("b"), col("rb").as("r1"))
     val ac = o.select(col("a"), col("b").as("c"), col("rb").as("r2"))
     val bc = o.select(col("a").as("b"), col("b").as("c"))
