@@ -77,5 +77,12 @@ class GraphAppendSpec extends SparkSpec {
     val plain = PageRank.iterate(sym, 50).collect().map(_.getLong(1)).toSeq
     assert(eager == plain)
     assert(eager.forall(_ == 500000000000L))
+    // release the non-memoized test graphs (the r12 Graph.unpersist
+    // contract); re-running over the released graph must still work,
+    // recomputing from the (unchanged) source
+    g.unpersist()
+    sym.unpersist()
+    val again = PageRank.iterate(sym, 2).collect().map(_.getLong(1)).toSeq
+    assert(again.forall(_ == 500000000000L))
   }
 }

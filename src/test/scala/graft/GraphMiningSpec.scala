@@ -137,6 +137,23 @@ class GraphMiningSpec extends SparkSpec {
     }
   }
 
+  test("triangle closure exchange carries only the bare (b, c) key") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val both = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val plan = graft.operators.Triangles.count(both)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val semis = plan.collect { case j: LJoin if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, "the closure must be a semi-join")
+    semis.foreach { j =>
+      assert(j.left.output.length == 2,
+        s"wedge side must be projected to the bare key before the " +
+          s"closure exchange, got ${j.left.output.map(_.name)}")
+    }
+  }
+
   test("triangle delta: old count + delta equals full recount on random splits") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)

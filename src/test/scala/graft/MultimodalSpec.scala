@@ -254,6 +254,26 @@ class MultimodalSpec extends SparkSpec {
     assert(truncated.isDefined, "mid-stream truncation must fail soft, not throw")
   }
 
+  test("avi demux never throws on corrupted containers (seeded byte mutations)") {
+    // crawled-data honesty: a demuxer that throws on one flipped byte
+    // kills the whole mapPartitions batch; every corruption must fail
+    // soft (None or a partial frame list)
+    val frames = (0 until 3).map(i =>
+      graft.operators.Jpeg.encode(8, 8,
+        Array.tabulate(64)(j => (i * 40 + j * 2).toByte), gray = true))
+    val avi = graft.operators.Avi.encodeMjpeg(8, 8, frames)
+    val rnd = new scala.util.Random(73)
+    for (_ <- 1 to 200) {
+      val mutated = avi.clone()
+      val flips = 1 + rnd.nextInt(4)
+      for (_ <- 1 to flips)
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      graft.operators.Avi.decodeMjpegFrames(mutated) // must not throw
+      graft.operators.Avi.decodeMjpegFrames(
+        mutated.take(rnd.nextInt(mutated.length))) // nor on truncation
+    }
+  }
+
   test("declared media_video_frame_dedup: every cohort doc demuxes and finds its plant") {
     val rows = graft.queries.MultimodalQueries
       .queries("media_video_frame_dedup")(spark, sfDir).collect()
