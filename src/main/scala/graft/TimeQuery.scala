@@ -28,8 +28,17 @@ object TimeQuery {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // dev-only synthetic entries (not declared queries)
+    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "__tri_naive" -> ((s, d) => graft.operators.Triangles.countNaive(
+        graft.queries.Tables.lineitem(s, d)
+          .select(org.apache.spark.sql.functions.col("l_orderkey"),
+            org.apache.spark.sql.functions.col("l_partkey"))
+          .transform(li => graft.queries.GraphQueries.edgesOf(li))
+          .select(org.apache.spark.sql.functions.col("src"),
+            org.apache.spark.sql.functions.col("dst")))))
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = extra.getOrElse(name, SparkEntry.queries(name))
       val cold = once(fn)
       val warm = (1 to passes).map(_ => once(fn))
       println(f"TIMEQ $name cold=$cold%.2f warm=${warm.map(w => f"$w%.2f").mkString(",")}")

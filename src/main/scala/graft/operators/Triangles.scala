@@ -64,19 +64,26 @@ object Triangles {
     val ac = o.select(col("a"), col("b").as("c"), col("rb").as("r2"))
     val bc = o.select(col("a").as("b"), col("b").as("c"))
     // the wedge frame is the big side (Σ outdeg² ≈ 41M rows at sf0.1
-    // vs 1.2M oriented edges): project it to the bare (b, c) key
-    // BEFORE the closure exchange so the wedge shuffle carries 16-byte
-    // rows, not the full 5-column wedge (measured ~8%% off the census;
-    // a shuffle_hash hint on the edge side was tried and measured
-    // SLOWER than the sort-merge semi here — Spark's external sort of
-    // bare 16-byte rows outruns per-partition hash-table builds, and
-    // the sort spills where a hash table cannot, which is also the
-    // safer shape at 100×)
+    // vs 1.2M oriented edges), and exchanging it dominates the whole
+    // census — so close the wedges WITHOUT shuffling them when the
+    // edge set is broadcastable (1.2M × 16-byte rows ≈ 20 MB here):
+    // wedges then stream out of the a-keyed self-join straight into a
+    // map-side broadcast-hash semi + partial count, and the only
+    // exchanges in the plan are the two edge-sized self-join inputs.
+    // Past ~20M edges (where a 100× corpus lands) broadcast is
+    // infeasible and the shuffle semi over bare (b, c) keys is the
+    // scale path — the choice keys off the materialized oriented
+    // frame's exact count, a free 1-value read after the checkpoint.
+    // (A shuffle_hash hint was also tried: slower than the sort-merge
+    // semi — external sort of bare 16-byte rows beats per-partition
+    // hash builds, and sort spills where a hash table cannot.)
+    val closure =
+      if (o.count() <= 20000000L) broadcast(bc) else bc
     ab.join(ac, "a")
       .filter(col("r1") < col("r2") ||
         (col("r1") === col("r2") && col("b") < col("c")))
       .select(col("b"), col("c"))
-      .join(bc, Seq("b", "c"), "left_semi")
+      .join(closure, Seq("b", "c"), "left_semi")
       .agg(F.count(lit(1)).cast("long").as("n_triangles"))
   }
 
