@@ -51,6 +51,13 @@ import graft.streaming.{DedupStream, EventStreams}
   *     associative/commutative, so the merged store is batch-order
   *     independent; batchId-keyed overwrite makes a retried batch
   *     rewrite, not double-count.
+  *   - `stream_triangle_replay`: each tick's gained-triangle count is
+  *     a pure function of (its batch's edges, the id-bounded PREFIX
+  *     store), and with maxFilesPerTrigger=1 over mtime-ordered files
+  *     the batch→id assignment is fixed — so deltas are replay-stable
+  *     and a re-delivered tick recomputes the same count (the prefix
+  *     read filters by id, keeping later batches' on-disk partitions
+  *     out of view).
   *   - `stream_funnel_replay`: per-doc increments (bands, shingles,
   *     hashes, metrics, contam flags) are pure per-doc functions;
   *     the pair set is exactly "all qualifying pairs, generated once
@@ -522,6 +529,29 @@ object StreamQueries extends QueryRegistry {
         .limit(20)
     }),
 
+    // ELEVENTH replay: streaming TRIANGLE-CENSUS maintenance — the
+    // r12 O(batch) mining tier under at-least-once delivery. Each
+    // whole-order micro-batch tick anti-joins its edge increment
+    // against the PREFIX store (batches < id), counts the triangles
+    // it gains with Triangles.delta (batch-anchored inclusion–
+    // exclusion — the stored graph's wedges are never re-enumerated),
+    // and lands BOTH the edge partition and a (batch_id, n_delta)
+    // count row, each batchId-keyed overwrite. The prefix read is by
+    // id, so a re-delivered batch sees the SAME prefix and recomputes
+    // the SAME delta — idempotent like the graph replay. The oracle
+    // recounts every PREFIX graph from scratch with the naive wedge
+    // shape: each tick's delta AND each running total must equal a
+    // full recount — per-tick exactness, not just the final sum
+    "stream_triangle_replay" -> ((s, dir) => {
+      val counts = triangleStreamReplay(s, dir)
+      val w = Window.orderBy(col("batch_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts // 3 bounded rows — the single-partition window is fine
+        .select(col("batch_id"), col("n_delta"),
+          sum(col("n_delta")).over(w).as("n_cum"))
+        .orderBy(col("batch_id"))
+    }),
+
     // TENTH replay: the STREAMING curation-funnel tick — the
     // incremental funnel's phase B re-expressed as a live ingest loop.
     // The snapshot-diff docs arrive as three mtime-ordered
@@ -701,6 +731,69 @@ object StreamQueries extends QueryRegistry {
       .agg(sum(col("w")).as("w"))
   }
 
+  /** Three mtime-ordered whole-order lineitem batches through
+    * foreachBatch, each landing its edge increment AND its gained-
+    * triangle count (vs the prefix store) in batchId-keyed partitions;
+    * returns the (batch_id, n_delta) count frame (memoized). */
+  private def triangleStreamReplay(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "stream-tri") {
+      triangleStreamReplayCore(s, dir, reset = true).localCheckpoint()
+    }
+
+  /** One full streaming pass of the triangle-maintenance ticks.
+    * `reset = false` keeps store + inputs and clears only the
+    * checkpoint, forcing a full re-delivery: every batch re-reads the
+    * SAME id-bounded prefix, recomputes the SAME delta, and overwrites
+    * its own partitions — StreamReplaySpec pins count-store
+    * invariance across the two passes. */
+  private[graft] def triangleStreamReplayCore(s: SparkSession, dir: String,
+      reset: Boolean): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val store = buildPath(dir, "stream-tri-store")
+    val counts = buildPath(dir, "stream-tri-counts")
+    val in = buildPath(dir, "stream-tri-in")
+    val ckpt = buildPath(dir, "stream-tri-ckpt")
+    if (reset) {
+      rmrf(store, counts, in, ckpt)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      (0 until 3).foreach { i =>
+        writeMtimed(dir, in, f"$i%02d-lineitem",
+          li.filter(col("l_orderkey") % 3 === i),
+          1700000000000L + i * 100000L)
+      }
+    } else rmrf(ckpt)
+    val q = s.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val batchE = GraphQueries.edgesOf(batch)
+          .select(col("src"), col("dst"))
+        // prefix = batches strictly before this id (exists-filtered:
+        // on re-delivery, later batches' partitions are on disk and
+        // MUST stay out of this tick's view)
+        val prefixPaths = (0L until id).map(k => s"$store/batch=$k")
+          .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        val storedE =
+          if (prefixPaths.isEmpty) batchE.limit(0)
+          else ss.read.parquet(prefixPaths: _*)
+            .select(col("src"), col("dst")).distinct()
+        val newE = batchE.join(storedE, Seq("src", "dst"), "left_anti")
+        val nDelta = graft.operators.Triangles.delta(storedE, newE)
+          .collect()(0).getLong(0) // 1-row head
+        batchE.write.mode("overwrite").parquet(s"$store/batch=$id")
+        import ss.implicits._
+        Seq((id, nDelta)).toDF("batch_id", "n_delta")
+          .write.mode("overwrite").parquet(s"$counts/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(counts).select(col("batch_id"), col("n_delta"))
+  }
+
   /** Three mtime-ordered event batches through foreachBatch, each
     * appending its per-batch max registers to the store parquet. */
   private def hllStreamReplay(s: SparkSession, dir: String): DataFrame =
@@ -860,6 +953,34 @@ object StreamQueries extends QueryRegistry {
     // the streaming-maintained edge store ranks identically to a
     // batch rebuild (shared with pagerank_copurchase by design)
     "stream_graph_replay" -> GraphQueries.pagerankFullSql,
+
+    // every PREFIX graph recounted from scratch with the naive wedge
+    // shape — each streamed tick's delta and running total must match
+    // a full rebuild at that point in time, independent of both the
+    // incremental path and the degree-ordered algorithm it rides
+    "stream_triangle_replay" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |op0 AS (SELECT * FROM op WHERE l_orderkey % 3 = 0),
+        |op1 AS (SELECT * FROM op WHERE l_orderkey % 3 <= 1),
+        |e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst FROM op0 a JOIN op0 b
+        |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |e1 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst FROM op1 a JOIN op1 b
+        |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |e2 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst FROM op a JOIN op b
+        |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |t0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e0 ab
+        |       JOIN e0 bc ON ab.dst = bc.src
+        |       JOIN e0 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+        |t1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e1 ab
+        |       JOIN e1 bc ON ab.dst = bc.src
+        |       JOIN e1 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+        |t2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e2 ab
+        |       JOIN e2 bc ON ab.dst = bc.src
+        |       JOIN e2 ac ON ac.src = ab.src AND ac.dst = bc.dst)
+        |SELECT CAST(0 AS BIGINT) AS batch_id, t0.n AS n_delta, t0.n AS n_cum FROM t0
+        |UNION ALL SELECT 1, t1.n - t0.n, t1.n FROM t0, t1
+        |UNION ALL SELECT 2, t2.n - t1.n, t2.n FROM t1, t2
+        |ORDER BY batch_id""".stripMargin,
 
     // the FULL-corpus funnel replay (shared with curation_funnel and
     // incremental_funnel): green == streaming ticks ≡ batch rebuild

@@ -257,6 +257,21 @@ class StreamReplaySpec extends SparkSpec {
     assert(second == first, "re-delivered batches must rewrite, not re-append")
   }
 
+  test("stream_triangle_replay: a full re-delivery recomputes identical deltas") {
+    // each tick's delta is a pure function of (its batch, the
+    // id-bounded PREFIX store) — re-delivery sees later batches'
+    // partitions on disk, but the prefix read filters by id, so every
+    // tick recomputes the same count and overwrites in place
+    val first = graft.queries.StreamQueries
+      .triangleStreamReplayCore(spark, sfDir, reset = true)
+      .collect().map(_.toSeq).toSet
+    val second = graft.queries.StreamQueries
+      .triangleStreamReplayCore(spark, sfDir, reset = false)
+      .collect().map(_.toSeq).toSet
+    assert(first.size == 3)
+    assert(second == first, "re-delivered ticks must recompute the same deltas")
+  }
+
   test("stream_funnel_replay: a full re-delivery leaves the merged funnel invariant") {
     // subtler than the graph case: a re-delivered batch now sees LATER
     // batches' state, so its pairs partition gains extra pairs — but
