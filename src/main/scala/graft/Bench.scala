@@ -251,7 +251,13 @@ object Bench {
         //    untimed warm-up, like the funnel's phase A)
         "copurchase_triangles" -> SparkEntry.queries("copurchase_triangles"),
         "copurchase_communities" -> SparkEntry.queries("copurchase_communities"),
-        "pagerank_append_audit" -> SparkEntry.queries("pagerank_append_audit"))
+        "pagerank_append_audit" -> SparkEntry.queries("pagerank_append_audit"),
+        // r12 traversal tier: the frontier-BFS shape (per level one
+        // co-partitioned join + distinct + anti-join against the
+        // materialized levels) is the one traversal plan the probes
+        // above don't cover; sssp/k-core reuse the already-probed
+        // superstep shapes
+        "bfs_hop_census" -> SparkEntry.queries("bfs_hop_census"))
       val scaledDir = s"target/bench-scale10/$sfTag"
       val reps = 10
       val buildSec = buildScaled(spark, sfDir, scaledDir, reps)

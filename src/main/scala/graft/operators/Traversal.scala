@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph traversal kernels — frontier BFS, bounded-round Bellman–Ford
+  * (min-plus relaxation), and k-core peeling — the reachability /
+  * cheapest-path / dense-core complement to the spectral tier
+  * (PageRank/LPA/components/triangles already in `operators`).
+  *
+  * All three are exact integer algorithms: hop counts, fixed-point
+  * long path costs, and node/edge censuses, so a DuckDB oracle
+  * replays them bit-for-bit (recursive CTE for BFS, unrolled rounds
+  * for the other two — the PageRank convention).
+  *
+  * Scale shape: every round of every kernel is at most one
+  * src-keyed join plus one node-keyed aggregate — the two-shuffle
+  * Pregel superstep. Frontiers/levels are `localCheckpoint`ed per
+  * round (on a cluster: a persisted shuffle cut), so plan depth
+  * stays bounded and the per-round empty-frontier probe reads
+  * materialized partitions. Nothing is ever collected to the
+  * driver; frontier size is bounded by the reachable set and each
+  * BFS level materializes once (the visited set is a lazy union of
+  * already-materialized levels, not a recopied snowball).
+  */
+object Traversal {
+
+  /** Multi-source frontier BFS over a directed edge list
+    * (`src`, `dst`), seeds in `seeds("node")`, capped at `maxHops`.
+    * Returns (node, hop) for every node reached within the cap, hop =
+    * shortest hop distance (seeds at 0). Stops early on an empty
+    * frontier — a true fixed point, so the cap only ever truncates,
+    * never changes reached distances. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    levels += seeds.select(col("node"), lit(0L).as("hop")).localCheckpoint()
+    var frontier = levels.last.select(col("node"))
+    var d = 1
+    var done = false
+    while (d <= maxHops && !done) {
+      val visited = levels.map(_.select(col("node"))).reduce(_ unionByName _)
+      val nxt = edges.join(frontier, edges("src") === frontier("node"))
+        .select(edges("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("hop"))
+        .localCheckpoint()
+      if (nxt.isEmpty) done = true
+      else {
+        levels += nxt
+        frontier = nxt.select(col("node"))
+        d += 1
+      }
+    }
+    levels.reduce(_ unionByName _)
+  }
+
+  /** `rounds` synchronous min-plus relaxations over
+    * (`src`, `dst`, `cost`) from `seeds("node")` at cost 0 — exact
+    * min-cost over paths of ≤ `rounds` edges (Bellman–Ford's bounded
+    * prefix, the oracle-unrollable form). Absent node = not reachable
+    * within the round budget. Costs are longs; one superstep = one
+    * src-keyed join + one node-keyed min. */
+  def bellmanFord(edgesWithCost: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val d0 = seeds.select(col("node"), lit(0L).as("cost"))
+    Supersteps.loop(d0, rounds, checkpointEvery = 5, None) { dist =>
+      val relax = edgesWithCost
+        .join(dist, edgesWithCost("src") === dist("node"))
+        .select(edgesWithCost("dst").as("node"),
+          (dist("cost") + edgesWithCost("cost")).as("cost"))
+      dist.unionByName(relax)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+    }
+  }
+
+  /** `rounds` of k-core peeling over a directed edge list (symmetric
+    * input expected for undirected semantics): each round keeps nodes
+    * with out-degree ≥ k in the CURRENT subgraph, then restricts edges
+    * to kept endpoints — the cascading contraction toward the k-core.
+    * Returns the per-round census (round, n_nodes, n_edges): round 0
+    * is the input graph (nodes = distinct sources), round r ≥ 1 counts
+    * the kept-node set (which may exceed the next round's edge
+    * endpoints — a kept node can lose all its edges to the
+    * restriction; that cascade is the algorithm). Each round's edge
+    * frame materializes once, so the census plan reads checkpoints,
+    * not O(rounds²) re-derived lineage. */
+  def kCorePeelCensus(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var e = edges0.select(col("src"), col("dst")).localCheckpoint()
+    val rows = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    rows += e.agg(count_distinct(col("src")).as("n_nodes"),
+        count(lit(1)).as("n_edges"))
+      .select(lit(0L).as("round"), col("n_nodes"), col("n_edges"))
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+        .localCheckpoint()
+      e = e.join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst")).localCheckpoint()
+      rows += keep.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges"))) // 1-row × 1-row stapler
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+}

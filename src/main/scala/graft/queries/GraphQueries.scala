@@ -73,6 +73,23 @@ object GraphQueries extends QueryRegistry {
       (perPart, nOrders)
     }
 
+  /** Memoized BACKBONE next to the shared graph: the w ≥ 2 edge
+    * subgraph (pairs co-purchased in at least two distinct orders —
+    * the repeated-signal edges, the same floor basket_association_rules
+    * uses). The full co-purchase graph is diameter-2 dense (every part
+    * is ≤ 2 hops from every other), so traversal queries run on the
+    * backbone, where hop structure, path costs, and core cascades are
+    * non-degenerate. Persisted once per (session, dir) like the graph
+    * itself; filtering the prepared frame keeps its src-hash
+    * partitioning, so frontier joins stay co-partitioned. */
+  private def sharedBackbone(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "copurchase-backbone") {
+      val bb = sharedGraph(s, dir).ew.filter(col("w") >= 2)
+        .select(col("src"), col("dst")).persist()
+      bb.count() // materialize
+      bb
+    }
+
   /** O(batch) incremental edge append — the graph tier joins
     * LSH/IVF/PQ/HNSW in taking batch maintenance without a corpus
     * rebuild (the r10 verdict's missing piece). Pairs are order-local
@@ -295,6 +312,68 @@ object GraphQueries extends QueryRegistry {
     // both the base and the full merged graph from scratch with the
     // naive wedge shape: green means stored-count + delta ≡ full
     // recount, exact through the whole census
+    // multi-source BFS hop census from Brand#7's parts over the w≥2
+    // BACKBONE (the full graph is diameter-2 dense — every hop census
+    // there is the degenerate {0,1,2}): per-hop node count + id
+    // min/max/sum, hop −1 = unreachable within the 6-hop cap. The
+    // frontier loop is the Pregel shape — per level one co-partitioned
+    // src-keyed join + a distinct + an anti-join against the already-
+    // materialized levels; empty-frontier exit is a true fixed point.
+    // The oracle replays it as a DuckDB recursive CTE (UNION-dedup
+    // semantics bound the recursion), fully independent of the
+    // frontier algorithm
+    "bfs_hop_census" -> ((s, dir) => {
+      val g = sharedGraph(s, dir)
+      val seeds = g.nodes.join(
+        part(s, dir).filter(col("p_brand") === "Brand#7")
+          .select(col("p_partkey").as("node")), "node")
+      val dist = graft.operators.Traversal.bfsHops(
+        sharedBackbone(s, dir), seeds, maxHops = 6)
+      g.nodes.join(dist, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hop"), lit(-1L)).as("hop"))
+        .groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_parts"), min(col("node")).as("min_part"),
+          max(col("node")).as("max_part"), sum(col("node")).as("sum_parts"))
+        .orderBy(col("hop"))
+    }),
+
+    // cheapest co-purchase path costs from Brand#13's parts: edge cost
+    // = 1000000 div w (inverse co-order frequency, exact fixed-point —
+    // strong ties are cheap), 3 synchronous min-plus relaxations
+    // (Bellman–Ford's bounded prefix = exact min cost over ≤3-edge
+    // paths), top-20 non-seed parts by cost. A multi-hop chain of
+    // strong edges can beat a direct weak edge — the graph-distance
+    // "related products" signal PPR approximates by mass. Integer
+    // costs, so the oracle unrolls the same 3 rounds (the PageRank
+    // convention); one superstep = one src-keyed join + node-keyed min
+    "sssp_brand_cost" -> ((s, dir) => {
+      val g = sharedGraph(s, dir)
+      val costE = g.ew.select(col("src"), col("dst"),
+        expr("1000000L div w").as("cost"))
+      val seeds = g.nodes.join(
+        part(s, dir).filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey").as("node")), "node")
+      graft.operators.Traversal.bellmanFord(costE, seeds, rounds = 3)
+        .join(seeds.select(col("node").as("sn")),
+          col("node") === col("sn"), "left_anti")
+        .select(col("node").as("part_id"), col("cost").as("cost_fp"))
+        .orderBy(col("cost_fp").asc, col("part_id").asc)
+        .limit(20)
+    }),
+
+    // k-core peeling census over the backbone (k=3, 4 unrolled
+    // rounds): each round drops nodes with degree < 3 in the CURRENT
+    // subgraph and restricts edges to survivors — the cascading
+    // contraction toward the dense core a curation pipeline uses to
+    // separate organic co-purchase neighborhoods from incidental
+    // pairs. Census = (round, n_nodes, n_edges) with the cascade
+    // visible round over round; every count is a long, so the oracle
+    // unrolls the identical 4 rounds
+    "kcore_peel_census" -> ((s, dir) =>
+      graft.operators.Traversal.kCorePeelCensus(
+        sharedBackbone(s, dir), k = 3, rounds = 4)
+        .orderBy(col("round"))),
+
     "triangle_append_audit" -> ((s, dir) => {
       val (base, nBase, batchE) = sharedTriBaseStore(s, dir)
       // the RECURRING tick, timed on every invocation: diff the batch
@@ -470,6 +549,62 @@ object GraphQueries extends QueryRegistry {
          |SELECT tb.n AS n_base, tf.n - tb.n AS n_delta, tf.n AS n_total
          |FROM tb, tf""".stripMargin,
 
+    // recursive-CTE BFS replay — UNION (not ALL) dedupes (node, d)
+    // pairs across iterations, so the recursion is bounded by
+    // cap × |reachable|; min(d) outside the recursion is the hop.
+    // Fully independent of the Spark frontier/anti-join algorithm
+    // NOTE: under WITH RECURSIVE, DuckDB gives ANY two-branch UNION
+    // CTE the recursive append semantics (no dedupe), so `nodes` must
+    // be single-branch — equivalent here because e is symmetric
+    // (every dst also appears as src)
+    "bfs_hop_census" ->
+      s"""WITH RECURSIVE $edgesSql,
+         |bb AS (SELECT src, dst FROM e WHERE w >= 2),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |seeds AS (SELECT node FROM nodes
+         |          WHERE node IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#7')),
+         |r AS (SELECT node, 0 AS d FROM seeds
+         |      UNION
+         |      SELECT bb.dst, r.d + 1 FROM r JOIN bb ON bb.src = r.node WHERE r.d < 6),
+         |dist AS (SELECT node, CAST(min(d) AS BIGINT) AS hop FROM r GROUP BY node),
+         |alln AS (SELECT n.node, coalesce(d.hop, CAST(-1 AS BIGINT)) AS hop
+         |         FROM nodes n LEFT JOIN dist d ON n.node = d.node)
+         |SELECT hop, CAST(count(*) AS BIGINT) AS n_parts,
+         |       min(node) AS min_part, max(node) AS max_part,
+         |       CAST(sum(node) AS BIGINT) AS sum_parts
+         |FROM alln GROUP BY hop ORDER BY hop""".stripMargin,
+
+    "sssp_brand_cost" ->
+      s"""WITH $edgesSql,
+         |c AS (SELECT src, dst, CAST(1000000 // w AS BIGINT) AS cost FROM e),
+         |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e),
+         |seeds AS (SELECT node FROM nodes
+         |          WHERE node IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')),
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS cost FROM seeds),
+         |${bfIterSql("d1", "d0")},
+         |${bfIterSql("d2", "d1")},
+         |${bfIterSql("d3", "d2")}
+         |SELECT node AS part_id, cost AS cost_fp FROM d3
+         |WHERE node NOT IN (SELECT node FROM seeds)
+         |ORDER BY cost_fp ASC, part_id ASC LIMIT 20""".stripMargin,
+
+    "kcore_peel_census" ->
+      s"""WITH $edgesSql,
+         |k0 AS (SELECT src, dst FROM e WHERE w >= 2),
+         |${peelSql(1, "k0")},
+         |${peelSql(2, "k1")},
+         |${peelSql(3, "k2")},
+         |${peelSql(4, "k3")}
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS round,
+         |         (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM k0) AS n_nodes,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM k0) AS n_edges
+         |  UNION ALL SELECT 1, (SELECT count(*) FROM n1), (SELECT count(*) FROM k1)
+         |  UNION ALL SELECT 2, (SELECT count(*) FROM n2), (SELECT count(*) FROM k2)
+         |  UNION ALL SELECT 3, (SELECT count(*) FROM n3), (SELECT count(*) FROM k3)
+         |  UNION ALL SELECT 4, (SELECT count(*) FROM n4), (SELECT count(*) FROM k4))
+         |ORDER BY round""".stripMargin,
+
     "copurchase_triangles" ->
       s"""WITH $edgesSql,
          |u AS (SELECT src, dst FROM e WHERE src < dst),
@@ -484,6 +619,23 @@ object GraphQueries extends QueryRegistry {
          |       END AS global_clustering
          |FROM tri, wd""".stripMargin,
   )
+
+  /** One unrolled min-plus (Bellman–Ford) relaxation reading costs
+    * from `prev` over the cost edge list `c`. */
+  private def bfIterSql(name: String, prev: String): String =
+    s"""$name AS (SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM (
+       |  SELECT node, cost FROM $prev
+       |  UNION ALL
+       |  SELECT c.dst AS node, $prev.cost + c.cost AS cost
+       |  FROM $prev JOIN c ON c.src = $prev.node) GROUP BY node)""".stripMargin
+
+  /** One unrolled k-core peel round (k = 3) reading edges from `prev`:
+    * n$i = surviving nodes (degree ≥ 3 in the current subgraph),
+    * k$i = edges restricted to survivors on both endpoints. */
+  private def peelSql(i: Int, prev: String): String =
+    s"""n$i AS (SELECT src AS node FROM $prev GROUP BY src HAVING count(*) >= 3),
+       |k$i AS (SELECT p.src, p.dst FROM $prev p
+       |        JOIN n$i a ON p.src = a.node JOIN n$i b ON p.dst = b.node)""".stripMargin
 
   /** One unrolled synchronous label-propagation iteration reading
     * labels from `prev`: weighted neighbor vote, ties to the smallest

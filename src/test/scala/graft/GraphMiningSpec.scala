@@ -245,4 +245,91 @@ class GraphMiningSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 3L)))
     assert(s1.count() == 5L)
   }
+
+  test("frontier BFS equals an in-memory BFS replica on seeded sparse graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(10)
+      val und = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.18
+      } yield (a.toLong, b.toLong)).toVector
+      val both0 = und ++ und.map(_.swap)
+      val both = if (both0.nonEmpty) both0 else Vector((0L, 1L), (1L, 0L))
+      val adj = both.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      val seedIds = (0 until n).filter(_ % 4 == 0).map(_.toLong)
+      // in-memory BFS, capped at 5 hops
+      var dist = seedIds.map(_ -> 0L).toMap
+      var frontier = seedIds.toSet
+      for (d <- 1L to 5L if frontier.nonEmpty) {
+        val nxt = frontier.flatMap(v => adj.getOrElse(v, Vector.empty))
+          .filterNot(dist.contains)
+        dist ++= nxt.map(_ -> d)
+        frontier = nxt
+      }
+      val edges = both.toDF("src", "dst")
+      val seeds = seedIds.toDF("node")
+      val got = graft.operators.Traversal.bfsHops(edges, seeds, maxHops = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist, s"trial $trial: $got vs $dist (m=${und.size})")
+    }
+  }
+
+  test("bellmanFord equals exact min cost over <=rounds-edge paths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(6)
+      val es = (for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong, (1L + rnd.nextInt(9)) * 100L)).toVector
+      val edges = if (es.nonEmpty) es else Vector((0L, 1L, 100L))
+      val seedIds = Seq(0L)
+      // min-plus model: rounds synchronous relaxations from the seeds
+      var dist: Map[Long, Long] = seedIds.map(_ -> 0L).toMap
+      for (_ <- 1 to 3) {
+        val relax = edges.flatMap { case (s, d, c) =>
+          dist.get(s).map(cs => d -> (cs + c))
+        }
+        dist = (dist.toSeq ++ relax).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      val got = graft.operators.Traversal.bellmanFord(
+        edges.toDF("src", "dst", "cost"), seedIds.toDF("node"), rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist, s"trial $trial: $got vs $dist (m=${edges.size})")
+    }
+  }
+
+  test("k-core peel census equals an in-memory peel replica") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(8)
+      val und = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong)).toVector
+      val both0 = und ++ und.map(_.swap)
+      val both = if (both0.nonEmpty) both0 else Vector((0L, 1L), (1L, 0L))
+      val k = 3
+      // in-memory peel replica: census rows (round, n_nodes, n_edges)
+      var cur = both
+      val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      expect += ((0L, cur.map(_._1).distinct.size.toLong, cur.size.toLong))
+      for (r <- 1 to 4) {
+        val deg = cur.groupBy(_._1).map { case (s, es) => s -> es.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        cur = cur.filter { case (s, d) => keep(s) && keep(d) }
+        expect += ((r.toLong, keep.size.toLong, cur.size.toLong))
+      }
+      val got = graft.operators.Traversal.kCorePeelCensus(
+        both.toDF("src", "dst"), k = k, rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got == expect.toSeq, s"trial $trial: $got vs $expect (m=${und.size})")
+    }
+  }
 }
