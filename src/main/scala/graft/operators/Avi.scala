@@ -122,27 +122,41 @@ object Avi {
       return None
     val end = math.min(p.length.toLong, 8 + u32(p, 4))
     val frames = Seq.newBuilder[Array[Byte]]
-    // walk chunks at [o, lim); recurse into LISTs (movi or otherwise —
-    // rec lists nest in some muxers), collect video-data payloads
-    def walk(start: Long, lim: Long): Unit = {
-      var o = start
-      while (o + 8 <= lim) {
+    // walk chunks at [o, lim); descend into LISTs (movi or otherwise —
+    // rec lists nest in some muxers), collect video-data payloads.
+    // The descent uses an EXPLICIT work stack, not recursion: a LIST
+    // header is 12 bytes, so a crafted/corrupt container of a few
+    // hundred KB of nested LIST headers would drive call-stack depth
+    // past the JVM limit and throw StackOverflowError — breaking the
+    // never-throw fail-soft contract from inside the walker itself
+    // (r12 advisory). An ArrayDeque is depth-proof at any nesting.
+    val work = new java.util.ArrayDeque[(Long, Long)]()
+    work.push((12L, end))
+    while (!work.isEmpty) {
+      var (o, lim) = work.pop()
+      var descended = false
+      while (!descended && o + 8 <= lim) {
         val id = cc(p, o.toInt)
         val sz = u32(p, o.toInt + 4)
         val dataStart = o + 8
         val dataEnd = math.min(dataStart + sz, lim)
+        val next = dataStart + sz + (sz & 1) // even padding
         if (id == "LIST" && sz >= 4) {
-          walk(dataStart + 4, dataEnd)
-        } else if (id.length == 4 && dataEnd <= lim &&
-            (id.endsWith("dc") || id.endsWith("db")) &&
-            id.take(2).forall(_.isDigit)) {
-          frames += java.util.Arrays.copyOfRange(
-            p, dataStart.toInt, dataEnd.toInt)
+          // resume this level after the list, then walk the list body
+          work.push((next, lim))
+          work.push((dataStart + 4, dataEnd))
+          descended = true
+        } else {
+          if (id.length == 4 && dataEnd <= lim &&
+              (id.endsWith("dc") || id.endsWith("db")) &&
+              id.take(2).forall(_.isDigit)) {
+            frames += java.util.Arrays.copyOfRange(
+              p, dataStart.toInt, dataEnd.toInt)
+          }
+          o = next
         }
-        o = dataStart + sz + (sz & 1) // even padding
       }
     }
-    walk(12, end)
     Some(frames.result())
   }
 }

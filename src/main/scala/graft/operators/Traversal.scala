@@ -30,11 +30,15 @@ object Traversal {
     * Returns (node, hop) for every node reached within the cap, hop =
     * shortest hop distance (seeds at 0). Stops early on an empty
     * frontier — a true fixed point, so the cap only ever truncates,
-    * never changes reached distances. */
+    * never changes reached distances. The seed frame is deduplicated
+    * here (r12 advisory): duplicate seed rows would otherwise emit
+    * duplicate (node, 0) rows and redundant frontier work, silently
+    * inflating any downstream per-hop census. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    levels += seeds.select(col("node"), lit(0L).as("hop")).localCheckpoint()
+    levels += seeds.select(col("node"), lit(0L).as("hop"))
+      .distinct().localCheckpoint()
     var frontier = levels.last.select(col("node"))
     var d = 1
     var done = false

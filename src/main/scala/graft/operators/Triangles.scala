@@ -45,14 +45,34 @@ object Triangles {
       .select(col("src").as("a"), col("dst").as("b"), col("db").as("rb"))
   }
 
+  /** Serialized size cap for the broadcast closure: 2M oriented edges
+    * of two longs ≈ 32 MB on the wire (plus hash-relation overhead),
+    * comfortably inside executor memory and broadcast timeouts. The
+    * r12 cutoff of 20M rows (~320 MB) sat exactly where the forced
+    * broadcast() hint — which bypasses autoBroadcastJoinThreshold —
+    * risks driver OOM instead of falling back to the shuffle semi
+    * (r12 advisory); past this cap the sort-merge semi over bare
+    * (b, c) keys is the scale path. */
+  private[graft] val BroadcastMaxOrientedEdges = 2000000L
+
   /** Exact triangle count of the undirected graph `e` (both-direction
     * distinct edge list). Returns a 1-row (n_triangles: long) frame.
     * Wedges are generated at the lowest-rank vertex `a` over its
     * oriented out-edges (b, c ordered by rank so each wedge appears
     * once), then closed by a semi-join against the oriented edge set —
     * the closing edge {b, c} is oriented b → c because rank(b) <
-    * rank(c). */
-  def count(e: DataFrame): DataFrame = {
+    * rank(c).
+    *
+    * `edgeRowBound`: optional KNOWN upper bound on `e`'s row count
+    * (both directions — oriented edges are exactly half), used only to
+    * size the broadcast-vs-shuffle closure choice. Hot callers that
+    * already know their edge count (the streaming tick's observed
+    * batch size, the append audit's build-time census) pass it so the
+    * adaptive decision costs no extra job; cold callers omit it and
+    * the choice keys off the materialized oriented frame's exact
+    * count — a cheap 1-value read after the checkpoint (r12 verdict
+    * item #3). */
+  def count(e: DataFrame, edgeRowBound: Option[Long] = None): DataFrame = {
     // the oriented frame feeds THREE branches (both wedge sides + the
     // closure edge set): materialize it once per call — edge-sized, so
     // the cut is cheap — instead of re-running the orient joins per
@@ -70,15 +90,15 @@ object Triangles {
     // wedges then stream out of the a-keyed self-join straight into a
     // map-side broadcast-hash semi + partial count, and the only
     // exchanges in the plan are the two edge-sized self-join inputs.
-    // Past ~20M edges (where a 100× corpus lands) broadcast is
-    // infeasible and the shuffle semi over bare (b, c) keys is the
-    // scale path — the choice keys off the materialized oriented
-    // frame's exact count, a free 1-value read after the checkpoint.
-    // (A shuffle_hash hint was also tried: slower than the sort-merge
-    // semi — external sort of bare 16-byte rows beats per-partition
-    // hash builds, and sort spills where a hash table cannot.)
+    // Past BroadcastMaxOrientedEdges (where a 100× corpus lands)
+    // broadcast is infeasible and the shuffle semi over bare (b, c)
+    // keys is the scale path. (A shuffle_hash hint was also tried:
+    // slower than the sort-merge semi — external sort of bare 16-byte
+    // rows beats per-partition hash builds, and sort spills where a
+    // hash table cannot.)
+    val orientedBound = edgeRowBound.map(_ / 2).getOrElse(o.count())
     val closure =
-      if (o.count() <= 20000000L) broadcast(bc) else bc
+      if (orientedBound <= BroadcastMaxOrientedEdges) broadcast(bc) else bc
     ab.join(ac, "a")
       .filter(col("r1") < col("r2") ||
         (col("r1") === col("r2") && col("b") < col("c")))
@@ -120,8 +140,14 @@ object Triangles {
     *    degree-ordered [[count]] on the batch alone).
     * Every term is batch-anchored, so maintenance cost scales with the
     * batch, not the corpus — the same O(batch) discipline as the
-    * LSH/IVF/PQ/HNSW append tiers. */
-  def delta(oldBoth: DataFrame, newBoth0: DataFrame): DataFrame = {
+    * LSH/IVF/PQ/HNSW append tiers.
+    *
+    * `newEdgeRowBound`: optional known upper bound on `newBoth0`'s row
+    * count, forwarded to the c3 [[count]]'s closure-broadcast decision
+    * so hot maintenance paths (the streaming tick, the append audit)
+    * never pay a per-invocation sizing job — see [[count]]. */
+  def delta(oldBoth: DataFrame, newBoth0: DataFrame,
+      newEdgeRowBound: Option[Long] = None): DataFrame = {
     // the batch edge set feeds all three terms (adjacency union, the
     // c1 anchors, both c2 sides, c3) — materialize it once per call
     // (batch-sized, so the cut is cheap) instead of re-executing its
@@ -144,7 +170,7 @@ object Triangles {
         .select(col("src").as("x"), col("dst").as("y")),
         Seq("x", "y"), "left_semi")
       .agg(F.count(lit(1)).cast("long").as("c2"))
-    val c3 = count(newBoth)
+    val c3 = count(newBoth, newEdgeRowBound)
       .select(col("n_triangles").as("c3"))
     c1.crossJoin(c2).crossJoin(c3) // 1-row × 1-row × 1-row stapler
       .select((col("c1") - col("c2") + col("c3")).as("n_delta"))

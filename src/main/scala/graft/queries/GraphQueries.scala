@@ -299,19 +299,6 @@ object GraphQueries extends QueryRegistry {
             round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6) + 0.0))
     }),
 
-    // O(batch) incremental triangle maintenance (the pq_append_audit
-    // convention on the mining tier), on a realistic 90/10 split:
-    // orders with l_orderkey % 10 ≠ 0 are the stored corpus, the
-    // % 10 = 0 tenth is the batch. The base store is built ONCE
-    // (write → read-back, with its triangle count computed at build
-    // time — the durable "yesterday's count" artifact a daily job
-    // carries forward); the RECURRING cost is Triangles.delta — three
-    // batch-anchored terms (new-edge common neighbors, new-new
-    // wedges, batch-internal triangles via inclusion–exclusion),
-    // never a stored-graph wedge re-enumeration. The ORACLE recounts
-    // both the base and the full merged graph from scratch with the
-    // naive wedge shape: green means stored-count + delta ≡ full
-    // recount, exact through the whole census
     // multi-source BFS hop census from Brand#7's parts over the w≥2
     // BACKBONE (the full graph is diameter-2 dense — every hop census
     // there is the degenerate {0,1,2}): per-hop node count + id
@@ -374,14 +361,29 @@ object GraphQueries extends QueryRegistry {
         sharedBackbone(s, dir), k = 3, rounds = 4)
         .orderBy(col("round"))),
 
+    // O(batch) incremental triangle maintenance (the pq_append_audit
+    // convention on the mining tier), on a realistic 90/10 split:
+    // orders with l_orderkey % 10 ≠ 0 are the stored corpus, the
+    // % 10 = 0 tenth is the batch. The base store is built ONCE
+    // (write → read-back, with its triangle count computed at build
+    // time — the durable "yesterday's count" artifact a daily job
+    // carries forward); the RECURRING cost is Triangles.delta — three
+    // batch-anchored terms (new-edge common neighbors, new-new
+    // wedges, batch-internal triangles via inclusion–exclusion),
+    // never a stored-graph wedge re-enumeration. The ORACLE recounts
+    // both the base and the full merged graph from scratch with the
+    // naive wedge shape: green means stored-count + delta ≡ full
+    // recount, exact through the whole census
     "triangle_append_audit" -> ((s, dir) => {
-      val (base, nBase, batchE) = sharedTriBaseStore(s, dir)
+      val (base, nBase, batchE, nBatchE) = sharedTriBaseStore(s, dir)
       // the RECURRING tick, timed on every invocation: diff the batch
       // edges against the store (left_anti keyed on the edge — O(batch
       // ⋈ stored), the new-existence set; weight-only changes add no
-      // triangles) and count the gained triangles batch-anchored
+      // triangles) and count the gained triangles batch-anchored —
+      // the build-time batch census bounds newE, so the tick never
+      // pays a sizing job (r12 verdict item #3)
       val newE = batchE.join(base, Seq("src", "dst"), "left_anti")
-      graft.operators.Triangles.delta(base, newE)
+      graft.operators.Triangles.delta(base, newE, Some(nBatchE))
         .select(lit(nBase).as("n_base"), col("n_delta"),
           (lit(nBase) + col("n_delta")).as("n_total"))
     }),
@@ -395,7 +397,8 @@ object GraphQueries extends QueryRegistry {
     * tenth's edge frame (the input a real tick receives as its own
     * arriving files — derived here from the %10 filter once, since
     * the testdata has no separate batch table). */
-  private def sharedTriBaseStore(s: SparkSession, dir: String): (DataFrame, Long, DataFrame) =
+  private def sharedTriBaseStore(s: SparkSession, dir: String)
+      : (DataFrame, Long, DataFrame, Long) =
     SharedBuilds.of(s, dir, "copurchase-tri-base") {
       val basePath = buildPath(dir, "copurchase-edges-tri-base")
       edgesOf(lineitem(s, dir).filter(col("l_orderkey") % 10 =!= 0))
@@ -406,8 +409,10 @@ object GraphQueries extends QueryRegistry {
         .collect()(0).getLong(0) // 1-row head
       val batchE = edgesOf(lineitem(s, dir).filter(col("l_orderkey") % 10 === 0))
         .select(col("src"), col("dst")).persist()
-      batchE.count() // materialize
-      (base, nBase, batchE)
+      // materialize + the batch edge-row census the recurring tick
+      // uses to size Triangles.delta's closure without a count job
+      val nBatchE = batchE.count()
+      (base, nBase, batchE, nBatchE)
     }
 
   private val edgesSql =

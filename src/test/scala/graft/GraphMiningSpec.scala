@@ -154,6 +154,27 @@ class GraphMiningSpec extends SparkSpec {
     }
   }
 
+  test("triangle closure: edgeRowBound sizes broadcast vs shuffle, result invariant") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L))
+    val both = (und ++ und.map(_.swap)).toDF("src", "dst")
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hasBroadcastHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.isDefined => h
+      }.nonEmpty
+    // a known bound below the cutoff keeps the broadcast closure; a
+    // bound above it must take the shuffle-semi scale path — and the
+    // count is identical either way (2 triangles: 1-2-3 and 2-3-4)
+    val small = graft.operators.Triangles.count(both, Some(10L))
+    val big = graft.operators.Triangles.count(both,
+      Some(2L * graft.operators.Triangles.BroadcastMaxOrientedEdges + 2L))
+    assert(hasBroadcastHint(small), "in-bound hint must broadcast the closure")
+    assert(!hasBroadcastHint(big), "out-of-bound hint must take the shuffle semi")
+    assert(small.collect()(0).getLong(0) == 2L)
+    assert(big.collect()(0).getLong(0) == 2L)
+  }
+
   test("triangle delta: old count + delta equals full recount on random splits") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)

@@ -274,6 +274,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("avi demux survives pathologically deep LIST nesting (stack-proof walker)") {
+    // the shape the byte-flip fuzz cannot synthesize (r12 advisory): a
+    // crafted container that is nothing but nested 12-byte LIST
+    // headers would overflow a recursive walker's call stack long
+    // before the JVM runs out of heap; the explicit-work-stack walker
+    // must finish and still collect a frame planted at the bottom
+    val depth = 200000
+    val payload = Array[Byte](1, 2, 3, 4)
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    // innermost: one 00dc chunk
+    val inner = 8 + payload.length
+    cc("RIFF"); w32(4 + depth * 12 + inner); cc("AVI ")
+    (0 until depth).foreach { i =>
+      cc("LIST"); w32(4 + (depth - 1 - i) * 12 + inner); cc("movi")
+    }
+    cc("00dc"); w32(payload.length); out.write(payload, 0, payload.length)
+    val got = graft.operators.Avi.decodeMjpegFrames(out.toByteArray)
+    assert(got.isDefined && got.get.length == 1 &&
+      got.get.head.sameElements(payload),
+      "deep nesting must neither throw nor drop the planted frame")
+  }
+
   test("declared media_video_frame_dedup: every cohort doc demuxes and finds its plant") {
     val rows = graft.queries.MultimodalQueries
       .queries("media_video_frame_dedup")(spark, sfDir).collect()
