@@ -50,13 +50,18 @@ object Bench {
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    // lineitem (for the pagerank probe): salt order AND part keys, so
-    // the co-purchase graph becomes `reps` disjoint copies — nodes and
-    // edges both scale linearly, the honest 10× for an iterative-graph
-    // workload
+    // lineitem (for the graph/traversal probes): salt order AND part
+    // keys, so the co-purchase graph becomes `reps` disjoint copies —
+    // nodes and edges both scale linearly, the honest 10× for an
+    // iterative-graph workload. The part-key stride is shared with the
+    // part table below so each replica's lineitem joins its own part
+    // copy.
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val pt = spark.read.parquet(s"$sfDir/part.parquet")
     val lm = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).collect()(0)
-    val (nOrd, nPart) = (lm.getLong(0) + 1, lm.getLong(1) + 1)
+    val nOrd = lm.getLong(0) + 1
+    val nPart = math.max(lm.getLong(1),
+      pt.agg(max(col("p_partkey"))).collect()(0).getLong(0)) + 1
     li.select(col("*"), rep)
       .select(
         (col("l_orderkey") + col("rep") * nOrd).as("l_orderkey"),
@@ -65,7 +70,41 @@ object Bench {
         col("l_extendedprice"), col("l_discount"), col("l_tax"),
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // part (the dimension table the bfs/sssp probes derive their brand
+    // seed sets from — r12's scaled corpus omitted it, so those probes
+    // THREW at the ×10 leg and the swallowed failure recorded as a
+    // 0-second success): keys shift by the same nPart stride as
+    // lineitem's l_partkey; non-key attributes carry over verbatim, so
+    // every replica holds its own full Brand#N seed set and the seed
+    // population scales with the graph
+    pt.select(col("*"), rep)
+      .select((col("p_partkey") + col("rep") * nPart).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 2-decimal zero-stripped number formatting for the metric line
+    * (the driver's tail window is ~2000 chars — every character of the
+    * JSON is budgeted). */
+  private def fmt(v: Double, p: String): String = {
+    val s = p.formatLocal(java.util.Locale.ROOT, v)
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+  }
+
+  /** One scale-probe entry: `"name":[x1,x10,ratio]`, with any failed
+    * leg (NaN — the sentinel a thrown `once` returns) surfaced as the
+    * string "err" in that slot AND in the ratio. r12's probe wrote a
+    * thrown ×10 leg as a 0-second timing, which read as a sub-linear
+    * triumph and was excluded from max_ratio only by luck — an error
+    * must be unmistakably an error in the artifact. */
+  private[graft] def probeEntryJson(name: String, x1: Double, x10: Double): String = {
+    def cell(v: Double) = if (v.isNaN) "\"err\"" else fmt(v, "%.1f")
+    val ratio =
+      if (x1.isNaN || x10.isNaN) "\"err\""
+      else fmt(x10 / math.max(x1, 1e-9), "%.1f")
+    s""""$name":[${cell(x1)},${cell(x10)},$ratio]"""
   }
   // Host-speed calibration: a fixed, deterministic, memory-free ALU
   // workload (xorshift64 PRNG sum) timed single-threaded and at the
@@ -83,8 +122,8 @@ object Bench {
   }
   private val CalibIters = 400000000L // ~0.5 s/thread on an unloaded core
 
-  // Committed round-11 baseline tuple (BENCH_r11.json): steady-median3
-  // total over its 200 queries, and the min single-thread AND
+  // Committed round-12 baseline tuple (BENCH_r12.json): steady-median3
+  // total over its 207 queries, and the min single-thread AND
   // min multi-thread calib readings bracketing that measurement.
   // deflated_vs_prev divides BOTH rounds' totals by their own calib
   // before comparing, turning shared-host tenancy out of the
@@ -95,10 +134,10 @@ object Bench {
   // two ratios is the honest regression bound (BASELINE.md).
   // Consumers should still normalize by n_queries (also emitted) when
   // the query surface grew.
-  private val PrevSteadyTotal = 120.932
-  private val PrevStCalib = 0.86
-  private val PrevMtCalib = 1.0
-  private val PrevNQueries = 200
+  private val PrevSteadyTotal = 138.171
+  private val PrevStCalib = 0.85
+  private val PrevMtCalib = 0.95
+  private val PrevNQueries = 207
   private def calib(threads: Int): Double = {
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
@@ -127,10 +166,19 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: forces every projected expression to evaluate
       // (a bare count() would let Catalyst prune the computed columns
-      // out of map-only queries and under-measure them)
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      // out of map-only queries and under-measure them).
+      // A THROWN query returns NaN, never a wall time: r12's probe
+      // recorded a thrown ×10 leg as its elapsed-until-throw seconds,
+      // which the JSON presented as a sub-linear success (verdict #1) —
+      // NaN propagates to an explicit "err" marker in every consumer.
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name: $e")
+          Double.NaN
+      }
     }
     // One cold pass + THREE steady passes (round-6's single steady pass
     // let a shared-host tenancy burst read as a phantom 13x regression;
@@ -159,29 +207,35 @@ object Bench {
       SparkEntry.queries.map { case (name, fn) => name -> once(name, fn) }
     }
     val calibPost = calibPoint()
+    // a NaN pass (thrown query) makes the median NaN — the error must
+    // survive aggregation, not vanish into a numeric-looking median
     def median3(a: Double, b: Double, c: Double): Double =
-      Seq(a, b, c).sorted.apply(1)
+      if (a.isNaN || b.isNaN || c.isNaN) Double.NaN
+      else Seq(a, b, c).sorted.apply(1)
     val results: Map[String, Double] = SparkEntry.queries.keys.map { name =>
       name -> median3(steadyPasses(0)(name), steadyPasses(1)(name), steadyPasses(2)(name))
     }.toMap
-    val passTotals = steadyPasses.map(_.values.sum)
+    // queries that threw in ANY pass, surfaced as an explicit field
+    // (empty on a healthy run, omitted from the line entirely)
+    val errNames = SparkEntry.queries.keys.filter { name =>
+      cold(name).isNaN || steadyPasses.exists(_(name).isNaN)
+    }.toSeq.sorted
+    def sumOk(vs: Iterable[Double]): Double = vs.filter(!_.isNaN).sum
+    val passTotals = steadyPasses.map(p => sumOk(p.values))
     val spread =
       if (passTotals.exists(_ > 0)) passTotals.max / math.max(passTotals.min, 1e-9) else 1.0
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    val coldTotal = if (cold.nonEmpty) sumOk(cold.values) else 0.0
     // The driver captures only the last ~2000 chars of build output and the
     // sbt success line follows this one, so the whole JSON must fit in
-    // ~1900 chars for ~77 queries: 2-decimal zero-stripped per-query secs,
-    // 3-decimal total, basename-only sf tag.
-    def fmt(v: Double, p: String): String = {
-      val s = p.formatLocal(java.util.Locale.ROOT, v)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
-    }
+    // ~1900 chars for ~77 queries: 2-decimal zero-stripped per-query secs
+    // (see object-level fmt), 3-decimal total, basename-only sf tag.
     // If the full per-query map would overflow the window, fold the
     // fastest queries into one "other" bucket (slowest entries carry
     // the signal the perf grade needs).
     def mapJson(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v, "%.1f") }
-        .mkString("{", ",", "}")
+      entries.map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v.isNaN) "\"err\"" else fmt(v, "%.1f"))
+      }.mkString("{", ",", "}")
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
     var keep = bySlowest.length
     def assemble(n: Int): String = {
@@ -192,7 +246,7 @@ object Bench {
         else kept :+ ("other" -> rest.map(_._2).sum)
       mapJson(withOther.sortBy(_._1))
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) sumOk(results.values) else 0.0
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
 
     // ---- 10× scale probe (empirical scale evidence, not plan shapes):
@@ -255,9 +309,17 @@ object Bench {
         // r12 traversal tier: the frontier-BFS shape (per level one
         // co-partitioned join + distinct + anti-join against the
         // materialized levels) is the one traversal plan the probes
-        // above don't cover; sssp/k-core reuse the already-probed
-        // superstep shapes
-        "bfs_hop_census" -> SparkEntry.queries("bfs_hop_census"))
+        // above don't cover
+        "bfs_hop_census" -> SparkEntry.queries("bfs_hop_census"),
+        // r13 (verdict task #2): the two remaining unprobed heavies.
+        // sssp is 3 min-plus supersteps over the full graph (needs the
+        // replicated part table for its Brand#13 seeds); the triangle
+        // append audit is the O(batch) maintenance tick — its store
+        // build lands in the untimed warm-up run, so the timed number
+        // is the recurring delta, whose ratio should track the batch
+        // (~10×), never a stored-graph re-enumeration blow-up
+        "sssp_brand_cost" -> SparkEntry.queries("sssp_brand_cost"),
+        "triangle_append_audit" -> SparkEntry.queries("triangle_append_audit"))
       val scaledDir = s"target/bench-scale10/$sfTag"
       val reps = 10
       val buildSec = buildScaled(spark, sfDir, scaledDir, reps)
@@ -268,10 +330,15 @@ object Bench {
         }.toMap
       val x1 = steady(sfDir)
       val x10 = steady(scaledDir)
-      val ratios = probes.map { case (name, _) =>
-        name -> x10(name) / math.max(x1(name), 1e-9) }
+      // max_ratio covers only entries where BOTH legs succeeded; a
+      // failed leg shows as "err" in its entry (probeEntryJson) rather
+      // than silently skewing or escaping the gate
+      val ratios = probes.collect {
+        case (name, _) if !x1(name).isNaN && !x10(name).isNaN =>
+          name -> x10(name) / math.max(x1(name), 1e-9)
+      }
       val entries = probes.map { case (name, _) =>
-        s"\"$name\":[${fmt(x1(name), "%.1f")},${fmt(x10(name), "%.1f")},${fmt(x10(name) / math.max(x1(name), 1e-9), "%.1f")}]"
+        probeEntryJson(name, x1(name), x10(name))
       }.mkString(",")
       // z-order layout at 10×: file count scales WITH the data (8 → 80,
       // each file ≈ constant rows, the real OPTIMIZE sizing rule) and
@@ -303,16 +370,18 @@ object Bench {
       val (zs10, zt10, zn10) = zorderProbe(scaledDir, 80)
       val zorderJson =
         s""""zorder_rect":{"x1":[$zt1,$zn1],"x10":[$zt10,$zn10],"sec":[${fmt(zs1, "%.1f")},${fmt(zs10, "%.1f")}]}"""
-      s""","scale_probe":{"reps":$reps,"build_sec":${fmt(buildSec, "%.1f")},"q_x1_x10_ratio":{$entries},"max_ratio":${fmt(ratios.map(_._2).max, "%.1f")},$zorderJson}"""
+      val maxRatio =
+        if (ratios.isEmpty) "\"err\"" else fmt(ratios.map(_._2).max, "%.1f")
+      s""","scale_probe":{"reps":$reps,"build_sec":${fmt(buildSec, "%.1f")},"q_x1_x10_ratio":{$entries},"max_ratio":$maxRatio,$zorderJson}"""
     }
 
     var qs = assemble(keep)
     // budgets leave headroom for the fixed-size calib + deflated +
     // scale-probe blocks inside the driver's ~2000-char tail window
-    // (r12: the probe gained the three graph-tier entries ≈ +170
+    // (r13: the probe gained sssp + triangle-audit entries ≈ +110
     // chars, so the queries-map share shrinks — the full map is in
     // target/bench-per-query.json anyway)
-    val qsBudget = if (scaleJson.isEmpty) 1450 else 830
+    val qsBudget = if (scaleJson.isEmpty) 1450 else 720
     while (qs.length > qsBudget && keep > 1) { keep -= 8; qs = assemble(keep) }
     // calib-deflated round-over-round ratios: (this total / this
     // calib) over the committed r11 tuple, under BOTH the
@@ -325,8 +394,13 @@ object Bench {
     val deflatedMt = (total / math.max(mtCalib, 1e-9)) / (PrevSteadyTotal / PrevMtCalib)
     val calibJson =
       s""","host_calib":{"iters":"4e8","st":[${fmt(calibPre._1, "%.2f")},${fmt(calibPost._1, "%.2f")}],"mt$nThreads":[${fmt(calibPre._2, "%.2f")},${fmt(calibPost._2, "%.2f")}]},"n_queries":${results.size},"deflated_vs_prev":{"prev":[$PrevSteadyTotal,$PrevStCalib,$PrevMtCalib,$PrevNQueries],"ratio_st":${fmt(deflatedSt, "%.2f")},"ratio_mt":${fmt(deflatedMt, "%.2f")}}"""
+    // thrown queries surface by NAME at top level (omitted when clean);
+    // their NaN timings are already excluded from every total above
+    val errJson =
+      if (errNames.isEmpty) ""
+      else errNames.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","mode":"steady-median3","spread":${fmt(spread, "%.2f")},"cold_total_sec":${fmt(coldTotal, "%.3f")},"queries":$qs,"sf":"$sfTag"$calibJson$scaleJson}"""
+      s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","mode":"steady-median3","spread":${fmt(spread, "%.2f")},"cold_total_sec":${fmt(coldTotal, "%.3f")}$errJson,"queries":$qs,"sf":"$sfTag"$calibJson$scaleJson}"""
     // The metric line is emitted THREE ways, because the driver greps
     // only the LAST ~2000 chars of build output and sbt's own
     // "[success] Total time" line prints after this process exits:
@@ -349,7 +423,9 @@ object Bench {
     try {
       def fullMap(m: Map[String, Double]): String =
         m.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"\"" + k + "\":" + fmt(v, "%.3f") }
+          .map { case (k, v) =>
+            s"\"" + k + "\":" + (if (v.isNaN) "\"err\"" else fmt(v, "%.3f"))
+          }
           .mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench-per-query.json"),

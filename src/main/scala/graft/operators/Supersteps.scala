@@ -36,7 +36,21 @@ object Supersteps {
       val next0 = step(cur)
       val cut = converged.isDefined ||
         (it % checkpointEvery == 0 && it < iters)
-      val next = if (cut) next0.localCheckpoint() else next0
+      // A cut must restart SIZE STATS, not just lineage: localCheckpoint's
+      // LogicalRDD carries the child plan's BigInt size estimate forward,
+      // and every join in the next superstep MULTIPLIES its children's
+      // estimates — so a k-join step compounds the estimate's bit-length
+      // k-fold PER ROUND (double-exponential value growth), and by round
+      // ~15 Catalyst spends minutes inside BigInteger.multiply on
+      // megabyte-sized numbers (measured r13 on the k-core loop, whose
+      // two keep-joins triple the bits each round). Rebuilding the frame
+      // from the checkpointed RDD makes each cut a fresh stats leaf; the
+      // row conversion is one pass over an already-materialized
+      // checkpoint, only on cut rounds.
+      val next = if (cut) {
+        val cp = next0.localCheckpoint()
+        cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      } else next0
       converged.foreach { probe => if (probe(next, cur)) done = true }
       cur = next
     }

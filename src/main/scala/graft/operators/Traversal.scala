@@ -108,4 +108,49 @@ object Traversal {
     }
     rows.reduce(_ unionByName _)
   }
+
+  /** k-core peeling run TO ITS FIXED POINT (capped at `maxRounds`),
+    * returning the per-round census (round, n_nodes, n_edges) up to
+    * and INCLUDING the first stable round — the round whose census
+    * repeats the previous one. The peel only ever shrinks the edge
+    * set, so an equal (kept-node, edge) census means an equal SET and
+    * a true fixed point: the repeated row is the proof of convergence,
+    * and stopping there never changes any earlier row (the integer
+    * early-exit doctrine of LPA/PageRank). If the cascade outlives the
+    * cap, all maxRounds+1 rows are emitted — the oracle applies the
+    * identical trim rule over the identical unroll, so the two always
+    * agree.
+    *
+    * Driven by the shared [[Supersteps.loop]]: the edge frame is the
+    * superstep state, every round is lineage-cut (the convergence
+    * probe reads materialized partitions, and plan depth stays bounded
+    * on long cascades — the 20-round pin in GraphMiningSpec), and the
+    * census is a bounded driver-side accumulation of ≤ maxRounds+1
+    * integer triples (the bounded-collect discipline: the per-round
+    * counts are actions the probe needs anyway). */
+  def kCoreConvergedCensus(edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges0.sparkSession
+    val e0 = edges0.select(col("src"), col("dst")).localCheckpoint()
+    val census = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    census += ((0L, e0.select(col("src")).distinct().count(), e0.count()))
+    var keptNodes = 0L // stashed by the step, read by the probe
+    val probe = Some { (next: DataFrame, _: DataFrame) =>
+      census += ((census.size.toLong, keptNodes, next.count()))
+      val n = census.size
+      census(n - 1)._2 == census(n - 2)._2 &&
+        census(n - 1)._3 == census(n - 2)._3
+    }
+    Supersteps.loop(e0, maxRounds, checkpointEvery = 1, probe) { e =>
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+        .localCheckpoint()
+      keptNodes = keep.count()
+      e.join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+    }
+    import spark.implicits._
+    census.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
 }

@@ -361,6 +361,22 @@ object GraphQueries extends QueryRegistry {
         sharedBackbone(s, dir), k = 3, rounds = 4)
         .orderBy(col("round"))),
 
+    // the same peel run TO ITS FIXED POINT (r12 verdict task #6): the
+    // census stops at — and includes — the first round whose
+    // (n_nodes, n_edges) repeats the previous round's, the exact
+    // integer convergence probe the LPA/PageRank tier uses (the edge
+    // set only shrinks, so an equal census is an equal set). The
+    // 12-round cap is shared with the oracle, which unrolls the
+    // identical 12 rounds and applies the identical
+    // trim-after-first-repeat rule — so capped and converged runs both
+    // match bit-for-bit. Per round: one degree aggregation + two
+    // co-partitioned keep-joins, every round lineage-cut via the
+    // shared Supersteps driver
+    "kcore_converged_census" -> ((s, dir) =>
+      graft.operators.Traversal.kCoreConvergedCensus(
+        sharedBackbone(s, dir), k = 3, maxRounds = KCoreMaxRounds)
+        .orderBy(col("round"))),
+
     // O(batch) incremental triangle maintenance (the pq_append_audit
     // convention on the mining tier), on a realistic 90/10 split:
     // orders with l_orderkey % 10 ≠ 0 are the stored corpus, the
@@ -610,6 +626,43 @@ object GraphQueries extends QueryRegistry {
          |  UNION ALL SELECT 4, (SELECT count(*) FROM n4), (SELECT count(*) FROM k4))
          |ORDER BY round""".stripMargin,
 
+    // the identical 12-round unroll + the identical
+    // trim-after-first-repeat rule as the Spark fixed-point loop: emit
+    // rows up to and including the first round whose census equals the
+    // previous round's (lag window), or all rounds if the cascade
+    // outlives the cap — so converged and capped runs both match
+    // NOTE the MATERIALIZED rounds: DuckDB inlines plain CTEs, and each
+    // peel round references its predecessor THREE times (n_i once, k_i
+    // twice), so a 12-round unmaterialized chain explodes into
+    // thousands of inlined lineitem scans and dies on file handles —
+    // materializing each round keeps the replay linear, exactly like
+    // the Spark side's per-round checkpoint
+    "kcore_converged_census" -> {
+      val chain = (1 to KCoreMaxRounds)
+        .map(i => peelSql(i, s"k${i - 1}", materialized = true)).mkString(",\n")
+      val rows = (1 to KCoreMaxRounds)
+        .map(i => s"UNION ALL SELECT $i, (SELECT count(*) FROM n$i), (SELECT count(*) FROM k$i)")
+        .mkString("\n  ")
+      s"""WITH $edgesSql,
+         |k0 AS (SELECT src, dst FROM e WHERE w >= 2),
+         |$chain,
+         |c AS (
+         |  SELECT CAST(0 AS BIGINT) AS round,
+         |         (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM k0) AS n_nodes,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM k0) AS n_edges
+         |  $rows),
+         |d AS (SELECT round, n_nodes, n_edges,
+         |        lag(n_nodes) OVER (ORDER BY round) AS pn,
+         |        lag(n_edges) OVER (ORDER BY round) AS pe
+         |      FROM c),
+         |stable AS (SELECT min(round) AS r FROM d
+         |           WHERE n_nodes = pn AND n_edges = pe)
+         |SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(n_edges AS BIGINT) AS n_edges
+         |FROM c WHERE round <= coalesce((SELECT r FROM stable), $KCoreMaxRounds)
+         |ORDER BY round""".stripMargin
+    },
+
     "copurchase_triangles" ->
       s"""WITH $edgesSql,
          |u AS (SELECT src, dst FROM e WHERE src < dst),
@@ -634,13 +687,22 @@ object GraphQueries extends QueryRegistry {
        |  SELECT c.dst AS node, $prev.cost + c.cost AS cost
        |  FROM $prev JOIN c ON c.src = $prev.node) GROUP BY node)""".stripMargin
 
+  /** Shared round cap of the converged k-core query and its oracle —
+    * the two trim rules only agree because the unroll depth is the
+    * same constant on both sides. */
+  private val KCoreMaxRounds = 12
+
   /** One unrolled k-core peel round (k = 3) reading edges from `prev`:
     * n$i = surviving nodes (degree ≥ 3 in the current subgraph),
-    * k$i = edges restricted to survivors on both endpoints. */
-  private def peelSql(i: Int, prev: String): String =
-    s"""n$i AS (SELECT src AS node FROM $prev GROUP BY src HAVING count(*) >= 3),
-       |k$i AS (SELECT p.src, p.dst FROM $prev p
+    * k$i = edges restricted to survivors on both endpoints.
+    * `materialized` pins DuckDB materialization for deep chains (see
+    * kcore_converged_census). */
+  private def peelSql(i: Int, prev: String, materialized: Boolean = false): String = {
+    val m = if (materialized) "MATERIALIZED " else ""
+    s"""n$i AS $m(SELECT src AS node FROM $prev GROUP BY src HAVING count(*) >= 3),
+       |k$i AS $m(SELECT p.src, p.dst FROM $prev p
        |        JOIN n$i a ON p.src = a.node JOIN n$i b ON p.dst = b.node)""".stripMargin
+  }
 
   /** One unrolled synchronous label-propagation iteration reading
     * labels from `prev`: weighted neighbor vote, ties to the smallest

@@ -64,6 +64,11 @@ import graft.streaming.{DedupStream, EventStreams}
   *     by the later side's tick", so its union is batch-split
   *     independent, and the read-side component merge over star
   *     edges + pairs is order-free (min-id CC).
+  *   - `stream_export_replay`: each tick's export rows (redaction,
+  *     split label) are pure per-doc functions of its batch, landed
+  *     as batchId-keyed overwrites of split×source hive partitions —
+  *     so the merged store is batch-order independent and a
+  *     re-delivered tick rewrites identical bytes.
   */
 object StreamQueries extends QueryRegistry {
   import Tables._
@@ -571,7 +576,86 @@ object StreamQueries extends QueryRegistry {
     // board, closing the loop between the two r10 headline features
     "stream_funnel_replay" -> ((s, dir) =>
       TextQueries.funnelAgg(funnelStreamReplay(s, dir))),
+
+    // TWELFTH replay: streaming TRAINING-EXPORT maintenance — the
+    // pipeline's deliverable artifact (r12's batch-only
+    // training_export_audit) kept fresh by ingest ticks, closing the
+    // last pipeline stage without a streaming twin (r12 verdict task
+    // #8). The funnel's final survivors — read from the STREAMING-
+    // maintained funnel state, so two streaming stages chain — arrive
+    // as three mtime-ordered micro-batches; each foreachBatch tick
+    // applies the per-doc export transforms (PII redaction, the
+    // deterministic split label) and lands its rows as split×source
+    // hive partitions under its own batchId-keyed overwrite. The
+    // declared result re-reads the store from disk and re-derives the
+    // census; the oracle is the SAME from-scratch census SQL as
+    // training_export_census/audit, so green means a streaming-
+    // maintained artifact reproduces the batch rebuild's census —
+    // read-back discipline, not lineage
+    "stream_export_replay" -> ((s, dir) =>
+      exportStreamReplay(s, dir)
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("split"), col("source"))),
   )
+
+  /** Three mtime-ordered survivor micro-batches through foreachBatch
+    * into the split×source export store; returns the read-back store
+    * rows (memoized). */
+  private def exportStreamReplay(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "stream-export") {
+      exportStreamReplayCore(s, dir, reset = true).localCheckpoint()
+    }
+
+  /** One full streaming pass of the export-maintenance ticks.
+    * `reset = false` keeps store + inputs and clears only the
+    * checkpoint, forcing a full re-delivery: every tick's rows are a
+    * pure function of its batch, and each tick overwrites its own
+    * batchId-keyed partition tree — StreamReplaySpec pins census
+    * invariance across the two passes. */
+  private[graft] def exportStreamReplayCore(s: SparkSession, dir: String,
+      reset: Boolean): DataFrame = {
+    // survivors come from the streaming-maintained funnel thin frame
+    // (the tenth replay), with text + chars joined back for the
+    // export rows; the keep-list is cap-bounded, so it broadcasts
+    val kept = TextQueries.funnelFlags(funnelStreamReplay(s, dir))
+      .filter(col("final_keep")).select(col("doc_id"))
+    val survivors = documents(s, dir)
+      .join(broadcast(kept), "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("text"), col("source"))
+    val in = buildPath(dir, "stream-export-in")
+    val store = buildPath(dir, "stream-export-store")
+    val ckpt = buildPath(dir, "stream-export-ckpt")
+    if (reset) {
+      rmrf(in, store, ckpt)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      (0 until 3).foreach { i =>
+        writeMtimed(dir, in, f"$i%02d-docs",
+          survivors.filter(col("doc_id") % 3 === i),
+          1700000000000L + i * 100000L)
+      }
+    } else rmrf(ckpt)
+    val q = s.readStream.schema(survivors.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .withColumn("text",
+            TextQueries.piiRedact(TextQueries.piiPlanted))
+          .withColumn("split", TextOps.splitLabel(col("doc_id")))
+          .select(col("doc_id"), col("n_chars"), col("text"),
+            col("split"), col("source"))
+          .write.mode("overwrite")
+          .partitionBy("split", "source")
+          .parquet(s"$store/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(store)
+  }
 
   /** Three mtime-ordered micro-batches of the funnel store's
     * snapshot-diff docs through foreachBatch; returns the merged thin
@@ -965,6 +1049,11 @@ object StreamQueries extends QueryRegistry {
     // the streaming-maintained edge store ranks identically to a
     // batch rebuild (shared with pagerank_copurchase by design)
     "stream_graph_replay" -> GraphQueries.pagerankFullSql,
+
+    // the from-scratch export census IS the oracle for the streaming-
+    // maintained artifact (the training_export_audit convention):
+    // green == ticks ≡ rebuild through the deliverable on disk
+    "stream_export_replay" -> TextQueries.exportCensusOracleSql,
 
     // every PREFIX graph recounted from scratch with the naive wedge
     // shape — each streamed tick's delta and running total must match

@@ -185,7 +185,7 @@ object TextQueries extends QueryRegistry {
     * not a filter (real pipelines keep the scrubbed doc), so the
     * funnel reports how many survivors NEEDED redaction and computes
     * every downstream quality metric over the REDACTED text. */
-  private def piiPlanted: Column =
+  private[queries] def piiPlanted: Column =
     when(col("doc_id") % 7 === 0, concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"),
       lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com ip 10."),
@@ -194,7 +194,7 @@ object TextQueries extends QueryRegistry {
       lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
       .otherwise(col("text"))
 
-  private def piiRedact(c: Column): Column =
+  private[queries] def piiRedact(c: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(c,
       PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiPhone, "<PHONE>")
 
@@ -1529,7 +1529,7 @@ object TextQueries extends QueryRegistry {
          |          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.32)) AS final_keep
          |        FROM st3)""".stripMargin
 
-  private lazy val exportCensusOracleSql: String =
+  private[queries] lazy val exportCensusOracleSql: String =
     funnelOracleCtes + "\n" +
       s"""SELECT ${F.split("st4.doc_id")} AS split, st4.source,
          |       CAST(count(*) AS BIGINT) AS n_docs,

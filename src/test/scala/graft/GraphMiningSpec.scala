@@ -353,4 +353,65 @@ class GraphMiningSpec extends SparkSpec {
       assert(got == expect.toSeq, s"trial $trial: $got vs $expect (m=${und.size})")
     }
   }
+
+  test("converged k-core census equals an in-memory fixed-point replica") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    for (trial <- 1 to 4) {
+      val n = 8 + rnd.nextInt(8)
+      val und = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)).toVector
+      val both0 = und ++ und.map(_.swap)
+      val both = if (both0.nonEmpty) both0 else Vector((0L, 1L), (1L, 0L))
+      // fixed-point peel replica with the same trim-after-first-repeat
+      var cur = both
+      val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      expect += ((0L, cur.map(_._1).distinct.size.toLong, cur.size.toLong))
+      var done = false
+      var r = 1
+      while (!done && r <= 20) {
+        val deg = cur.groupBy(_._1).map { case (s, es) => s -> es.size }
+        val keep = deg.filter(_._2 >= 2).keySet
+        cur = cur.filter { case (s, d) => keep(s) && keep(d) }
+        expect += ((r.toLong, keep.size.toLong, cur.size.toLong))
+        val m = expect.size
+        done = expect(m - 1)._2 == expect(m - 2)._2 &&
+          expect(m - 1)._3 == expect(m - 2)._3
+        r += 1
+      }
+      val got = graft.operators.Traversal.kCoreConvergedCensus(
+        both.toDF("src", "dst"), k = 2, maxRounds = 20)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got == expect.toSeq, s"trial $trial: $got vs $expect (m=${und.size})")
+      // the emitted tail IS the convergence proof: last two rows repeat
+      val t = got.size
+      assert(t >= 2 && got(t - 1)._2 == got(t - 2)._2 &&
+        got(t - 1)._3 == got(t - 2)._3, s"trial $trial: no repeated tail")
+    }
+  }
+
+  test("converged k-core: a 20-round endpoint cascade stays bounded and hits the cap") {
+    import spark.implicits._
+    // a 41-node path under k=2 peels exactly its two current endpoints
+    // per round: round r has 41-2r kept nodes and 2*(40-2r)
+    // both-direction edges, so the cascade reaches round 20 (one node,
+    // zero edges) WITHOUT repeating — the deepest legal run under the
+    // cap, pinning both the per-round lineage cuts (the loop would
+    // otherwise stack 20 rounds of joins into one plan) and the
+    // cap-without-convergence output shape
+    val path = (0 until 40).map(i => (i.toLong, (i + 1).toLong))
+    val both = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val got = graft.operators.Traversal.kCoreConvergedCensus(
+      both, k = 2, maxRounds = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got.size == 21, s"cap must emit maxRounds+1 rows, got ${got.size}")
+    got.foreach { case (r, nn, ne) =>
+      assert(nn == 41 - 2 * r && ne == 2 * (40 - 2 * r),
+        s"round $r: ($nn, $ne) off the endpoint-cascade formula")
+    }
+  }
 }

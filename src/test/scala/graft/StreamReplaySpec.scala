@@ -287,6 +287,29 @@ class StreamReplaySpec extends SparkSpec {
     assert(second == first, "re-delivery must not change the funnel census")
   }
 
+  test("stream_export_replay: a full re-delivery leaves the export census invariant") {
+    // every tick's rows are a pure function of its batch and each tick
+    // overwrites its own batchId-keyed partition tree, so a second
+    // full delivery must rewrite identical content — the census over
+    // the re-read store cannot move, and it must match the batch
+    // export artifact's census (training_export_audit's shape)
+    def census(reset: Boolean) = graft.queries.StreamQueries
+      .exportStreamReplayCore(spark, sfDir, reset)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("split"), col("source"))
+      .collect().map(_.toSeq).toSeq
+    val first = census(reset = true)
+    val second = census(reset = false)
+    assert(first.nonEmpty, "the export store must hold survivors")
+    assert(second == first, "re-delivery must not change the export census")
+    val batchCensus = SparkEntry.queries("training_export_audit")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(first == batchCensus,
+      "streaming-maintained export must equal the batch artifact's census")
+  }
+
   test("stream_decontam_replay has no false negatives vs the exact overlap join") {
     val flags = SparkEntry.queries("stream_decontam_replay")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
