@@ -51,8 +51,9 @@ object Triangles {
     * r12 cutoff of 20M rows (~320 MB) sat exactly where the forced
     * broadcast() hint — which bypasses autoBroadcastJoinThreshold —
     * risks driver OOM instead of falling back to the shuffle semi
-    * (r12 advisory); past this cap the sort-merge semi over bare
-    * (b, c) keys is the scale path. */
+    * (r12 advisory); past this cap the SHUFFLED-HASH semi over bare
+    * (b, c) keys is the scale path (measured comparison at the
+    * closure choice below). */
   private[graft] val BroadcastMaxOrientedEdges = 2000000L
 
   /** Exact triangle count of the undirected graph `e` (both-direction
@@ -90,15 +91,22 @@ object Triangles {
     // wedges then stream out of the a-keyed self-join straight into a
     // map-side broadcast-hash semi + partial count, and the only
     // exchanges in the plan are the two edge-sized self-join inputs.
-    // Past BroadcastMaxOrientedEdges (where a 100× corpus lands)
-    // broadcast is infeasible and the shuffle semi over bare (b, c)
-    // keys is the scale path. (A shuffle_hash hint was also tried:
-    // slower than the sort-merge semi — external sort of bare 16-byte
-    // rows beats per-partition hash builds, and sort spills where a
-    // hash table cannot.)
+    // Past BroadcastMaxOrientedEdges (where a 100× corpus lands) the
+    // closure is a SHUFFLED-HASH semi on bare (b, c) keys: the hash
+    // table builds on the per-partition EDGE slice (edges/shuffle-
+    // partitions keys — bounded, executor-friendly at any corpus) and
+    // the wedge frame streams through UNSORTED. Measured on the 10×
+    // corpus (12M oriented edges, 410M wedges): sort-merge semi 172 s
+    // (the big side's external sort dominates), forced 192 MB
+    // broadcast 53 s (the r12 path — driver-OOM territory on real
+    // executors), shuffled-hash 16 s. The r12 comment claiming SMJ
+    // beat shuffle_hash was measured in the broadcast regime at sf0.1,
+    // where the closure never dominates; at scale the sort is the
+    // whole cost.
     val orientedBound = edgeRowBound.map(_ / 2).getOrElse(o.count())
     val closure =
-      if (orientedBound <= BroadcastMaxOrientedEdges) broadcast(bc) else bc
+      if (orientedBound <= BroadcastMaxOrientedEdges) broadcast(bc)
+      else bc.hint("shuffle_hash")
     ab.join(ac, "a")
       .filter(col("r1") < col("r2") ||
         (col("r1") === col("r2") && col("b") < col("c")))

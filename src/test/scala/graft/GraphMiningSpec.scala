@@ -154,23 +154,28 @@ class GraphMiningSpec extends SparkSpec {
     }
   }
 
-  test("triangle closure: edgeRowBound sizes broadcast vs shuffle, result invariant") {
+  test("triangle closure: edgeRowBound sizes broadcast vs shuffled-hash, result invariant") {
     import spark.implicits._
     val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L))
     val both = (und ++ und.map(_.swap)).toDF("src", "dst")
-    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    def hasBroadcastHint(df: org.apache.spark.sql.DataFrame): Boolean =
+    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, BROADCAST, SHUFFLE_HASH}
+    def strategies(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.analyzed.collect {
-        case h: ResolvedHint if h.hints.strategy.isDefined => h
-      }.nonEmpty
+        case h: ResolvedHint => h.hints.strategy
+      }.flatten
     // a known bound below the cutoff keeps the broadcast closure; a
-    // bound above it must take the shuffle-semi scale path — and the
-    // count is identical either way (2 triangles: 1-2-3 and 2-3-4)
+    // bound above it must take the SHUFFLED-HASH scale path (the big
+    // wedge side streams unsorted; the edge-side hash table is
+    // per-partition bounded) — and the count is identical either way
+    // (2 triangles: 1-2-3 and 2-3-4)
     val small = graft.operators.Triangles.count(both, Some(10L))
     val big = graft.operators.Triangles.count(both,
       Some(2L * graft.operators.Triangles.BroadcastMaxOrientedEdges + 2L))
-    assert(hasBroadcastHint(small), "in-bound hint must broadcast the closure")
-    assert(!hasBroadcastHint(big), "out-of-bound hint must take the shuffle semi")
+    assert(strategies(small).contains(BROADCAST),
+      "in-bound hint must broadcast the closure")
+    assert(strategies(big).contains(SHUFFLE_HASH),
+      "out-of-bound hint must take the shuffled-hash semi")
+    assert(!strategies(big).contains(BROADCAST))
     assert(small.collect()(0).getLong(0) == 2L)
     assert(big.collect()(0).getLong(0) == 2L)
   }

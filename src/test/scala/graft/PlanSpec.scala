@@ -289,6 +289,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("nb classifier: count table broadcasts, corpus never feature-shuffled") {
+    // same doctrine as dsir: the ≤4096-row trained count table (and
+    // the 1-row totals) must broadcast into the scoring pass — a
+    // SortMergeJoin would shuffle every feature occurrence on the
+    // bucket key, defeating the bounded hash space
+    val p = plan("nb_quality_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pq multi-query paths scan the codes parquet exactly once (no per-query union)") {
     // the round-5 formulation unioned one ADC shortlist plan per query
     // (q FileScans of the codes table); the batched adcTopKMulti path
