@@ -416,17 +416,28 @@ object GraphQueries extends QueryRegistry {
   private def sharedTriBaseStore(s: SparkSession, dir: String)
       : (DataFrame, Long, DataFrame, Long) =
     SharedBuilds.of(s, dir, "copurchase-tri-base") {
+      // BOTH sides are parquet artifacts read back from disk, not
+      // in-memory persists: under the full 210-query suite's cache
+      // pressure a persisted frame gets evicted and every steady tick
+      // silently re-runs the lineitem self-join it was supposed to
+      // amortize (measured r13: the audit's in-suite time was 11 s vs
+      // 3 s isolated until this change) — a columnar re-scan of the
+      // written store is cheap, deterministic, and is what a real
+      // daily tick reads anyway
       val basePath = buildPath(dir, "copurchase-edges-tri-base")
       edgesOf(lineitem(s, dir).filter(col("l_orderkey") % 10 =!= 0))
         .write.mode("overwrite").parquet(basePath)
       val base = s.read.parquet(basePath).select(col("src"), col("dst"))
-        .persist()
       val nBase = graft.operators.Triangles.count(base)
         .collect()(0).getLong(0) // 1-row head
-      val batchE = edgesOf(lineitem(s, dir).filter(col("l_orderkey") % 10 === 0))
-        .select(col("src"), col("dst")).persist()
-      // materialize + the batch edge-row census the recurring tick
-      // uses to size Triangles.delta's closure without a count job
+      val batchPath = buildPath(dir, "copurchase-edges-tri-batch")
+      edgesOf(lineitem(s, dir).filter(col("l_orderkey") % 10 === 0))
+        .select(col("src"), col("dst"))
+        .write.mode("overwrite").parquet(batchPath)
+      val batchE = s.read.parquet(batchPath).select(col("src"), col("dst"))
+      // the batch edge-row census the recurring tick uses to size
+      // Triangles.delta's closure without a count job (a parquet
+      // metadata count — row-group footers only)
       val nBatchE = batchE.count()
       (base, nBase, batchE, nBatchE)
     }
