@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default (was 8g through r12): the bench host has 128 GiB and a
+  // local[32] session IS the whole cluster — at 8g the suite logged
+  // GCLocker allocation retries during the 10× probe's 512 MB array
+  // allocations. Measured effect (r13): steady totals unchanged, cold
+  // −5%, spread 1.11 → 1.03. See BASELINE.md "Fork heap" for the
+  // in-suite-vs-isolated probe caveat; override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
