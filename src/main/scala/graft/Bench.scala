@@ -122,8 +122,8 @@ object Bench {
   }
   private val CalibIters = 400000000L // ~0.5 s/thread on an unloaded core
 
-  // Committed round-12 baseline tuple (BENCH_r12.json): steady-median3
-  // total over its 207 queries, and the min single-thread AND
+  // Committed round-13 baseline tuple (BENCH_r13.json): steady-median3
+  // total over its 210 queries, and the min single-thread AND
   // min multi-thread calib readings bracketing that measurement.
   // deflated_vs_prev divides BOTH rounds' totals by their own calib
   // before comparing, turning shared-host tenancy out of the
@@ -134,10 +134,10 @@ object Bench {
   // two ratios is the honest regression bound (BASELINE.md).
   // Consumers should still normalize by n_queries (also emitted) when
   // the query surface grew.
-  private val PrevSteadyTotal = 138.171
+  private val PrevSteadyTotal = 124.543
   private val PrevStCalib = 0.85
-  private val PrevMtCalib = 0.95
-  private val PrevNQueries = 207
+  private val PrevMtCalib = 0.96
+  private val PrevNQueries = 210
   private def calib(threads: Int): Double = {
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
@@ -323,13 +323,25 @@ object Bench {
       val scaledDir = s"target/bench-scale10/$sfTag"
       val reps = 10
       val buildSec = buildScaled(spark, sfDir, scaledDir, reps)
-      def steady(dir: String): Map[String, Double] =
-        probes.map { case (name, fn) =>
-          once(s"probe-$name", fn, dir) // warm-up: builds + JIT
-          name -> once(s"probe-$name", fn, dir)
-        }.toMap
-      val x1 = steady(sfDir)
-      val x10 = steady(scaledDir)
+      // The ×1 and ×10 legs of EACH probe run back-to-back (warm-up,
+      // then timed, at both scales before moving to the next probe).
+      // r13 timed all ×1 legs as one phase and all ×10 legs as a
+      // second phase ~25 min later, so the two legs saw different JVM
+      // states (block cache, GC pressure, code-cache churn) and the
+      // same-code ratio swung 1.0–14.3 run-to-run (bfs) — the probe
+      // measured the JVM, not the plan. Adjacent legs share one JVM
+      // state, so the ratio isolates data volume (r13 verdict #2).
+      def probeBoth(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+        once(s"probe-$name", fn, sfDir) // warm-up: builds + JIT
+        val x1 = once(s"probe-$name", fn, sfDir)
+        once(s"probe-$name", fn, scaledDir) // warm-up: ×10 builds
+        val x10 = once(s"probe-$name", fn, scaledDir)
+        (x1, x10)
+      }
+      val legs = probes.map { case (name, fn) => name -> probeBoth(name, fn) }.toMap
+      val x1 = legs.map { case (n, v) => n -> v._1 }
+      val x10 = legs.map { case (n, v) => n -> v._2 }
       // max_ratio covers only entries where BOTH legs succeeded; a
       // failed leg shows as "err" in its entry (probeEntryJson) rather
       // than silently skewing or escaping the gate
@@ -392,15 +404,26 @@ object Bench {
     val mtCalib = math.min(calibPre._2, calibPost._2)
     val deflatedSt = (total / math.max(stCalib, 1e-9)) / (PrevSteadyTotal / PrevStCalib)
     val deflatedMt = (total / math.max(mtCalib, 1e-9)) / (PrevSteadyTotal / PrevMtCalib)
+    // If ANY query threw, the totals aggregate FEWER queries than the
+    // baseline did, so numeric-looking ratios would read optimistically
+    // while silently comparing partial sums — emit them as "err"
+    // (the errors field names the culprits; a partial total is still
+    // printed for the human, unmistakably marked) (r13 advisory).
+    def ratioCell(v: Double): String =
+      if (errNames.nonEmpty) "\"err\"" else fmt(v, "%.2f")
     val calibJson =
-      s""","host_calib":{"iters":"4e8","st":[${fmt(calibPre._1, "%.2f")},${fmt(calibPost._1, "%.2f")}],"mt$nThreads":[${fmt(calibPre._2, "%.2f")},${fmt(calibPost._2, "%.2f")}]},"n_queries":${results.size},"deflated_vs_prev":{"prev":[$PrevSteadyTotal,$PrevStCalib,$PrevMtCalib,$PrevNQueries],"ratio_st":${fmt(deflatedSt, "%.2f")},"ratio_mt":${fmt(deflatedMt, "%.2f")}}"""
+      s""","host_calib":{"iters":"4e8","st":[${fmt(calibPre._1, "%.2f")},${fmt(calibPost._1, "%.2f")}],"mt$nThreads":[${fmt(calibPre._2, "%.2f")},${fmt(calibPost._2, "%.2f")}]},"n_queries":${results.size},"deflated_vs_prev":{"prev":[$PrevSteadyTotal,$PrevStCalib,$PrevMtCalib,$PrevNQueries],"ratio_st":${ratioCell(deflatedSt)},"ratio_mt":${ratioCell(deflatedMt)}}"""
     // thrown queries surface by NAME at top level (omitted when clean);
     // their NaN timings are already excluded from every total above
     val errJson =
       if (errNames.isEmpty) ""
       else errNames.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    // a run with errors also marks its MODE partial, so the headline
+    // value can never be read as a full-suite total by a consumer that
+    // missed the errors array
+    val mode = if (errNames.isEmpty) "steady-median3" else "steady-median3-PARTIAL"
     val line =
-      s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","mode":"steady-median3","spread":${fmt(spread, "%.2f")},"cold_total_sec":${fmt(coldTotal, "%.3f")}$errJson,"queries":$qs,"sf":"$sfTag"$calibJson$scaleJson}"""
+      s"""{"metric":"total","value":${fmt(total, "%.3f")},"unit":"sec","mode":"$mode","spread":${fmt(spread, "%.2f")},"cold_total_sec":${fmt(coldTotal, "%.3f")}$errJson,"queries":$qs,"sf":"$sfTag"$calibJson$scaleJson}"""
     // The metric line is emitted THREE ways, because the driver greps
     // only the LAST ~2000 chars of build output and sbt's own
     // "[success] Total time" line prints after this process exits:

@@ -51,7 +51,18 @@ object NaiveBayes {
     * per document: groupCols..., n_feats, nb_ppm (the mean posterior
     * vote). Buckets unseen in training fall back to the pure-smoothing
     * vote via the left join's coalesce — the +1 prior, not a dropped
-    * occurrence. */
+    * occurrence.
+    *
+    * The cross-multiplied terms are computed in decimal(38,0), not
+    * Long: (n_p+1)·(tn+B)·1e6 exceeds Long.MaxValue once training
+    * occurrence totals reach ~1e10 with per-bucket counts in the low
+    * thousands — realistic at corpus scale — and the DuckDB oracle
+    * computes the identical expression in HUGEINT (int128). decimal
+    * keeps the Spark side integer-exact to 1e38 (a corpus would need
+    * n_p·tn > 1e32 to overflow that), so the cross-engine bit-for-bit
+    * contract holds AT scale, not just at test scale. The per-vote
+    * quotient is ≤ 1e6, so `div` lands back in Long and the output
+    * schema is unchanged. */
   def score(feats: DataFrame, counts: DataFrame, buckets: Int,
       groupCols: Seq[String]): DataFrame = {
     val totals = counts.agg(
@@ -60,9 +71,9 @@ object NaiveBayes {
       .join(broadcast(counts), Seq("f"), "left")
       .crossJoin(broadcast(totals)) // 1-row stapler
       .select(groupCols.map(col) :+
-        expr(s"""((coalesce(n_p, 0L) + 1L) * (tn + $buckets) * 1000000L) div
-                |((coalesce(n_p, 0L) + 1L) * (tn + $buckets) +
-                | (coalesce(n_n, 0L) + 1L) * (tp + $buckets))""".stripMargin)
+        expr(s"""(cast(coalesce(n_p, 0L) + 1L as decimal(38,0)) * (tn + $buckets) * 1000000L) div
+                |(cast(coalesce(n_p, 0L) + 1L as decimal(38,0)) * (tn + $buckets) +
+                | cast(coalesce(n_n, 0L) + 1L as decimal(38,0)) * (tp + $buckets))""".stripMargin)
           .as("q_ppm"): _*)
     vote.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("n_feats"),

@@ -77,8 +77,10 @@ object Traversal {
     }
   }
 
-  /** `rounds` of k-core peeling over a directed edge list (symmetric
-    * input expected for undirected semantics): each round keeps nodes
+  /** `rounds` of k-core peeling over a directed edge list
+    * (both-direction DISTINCT input expected for undirected semantics —
+    * degree is the per-src row count, so duplicates inflate it): each
+    * round keeps nodes
     * with out-degree ≥ k in the CURRENT subgraph, then restricts edges
     * to kept endpoints — the cascading contraction toward the k-core.
     * Returns the per-round census (round, n_nodes, n_edges): round 0
@@ -110,7 +112,13 @@ object Traversal {
   }
 
   /** k-core peeling run TO ITS FIXED POINT (capped at `maxRounds`),
-    * returning the per-round census (round, n_nodes, n_edges) up to
+    * over a BOTH-DIRECTION DISTINCT edge list — each undirected edge
+    * present exactly once per direction, no duplicates (the Triangles
+    * input contract): round 0's node census is distinct `src` (which
+    * only covers every node when each edge also appears reversed) and
+    * degree is the per-`src` row count (which is only the undirected
+    * degree when rows are distinct). Returns the census
+    * (round, n_nodes, n_edges) up to
     * and INCLUDING the first stable round — the round whose census
     * repeats the previous one. The peel only ever shrinks the edge
     * set, so an equal (kept-node, edge) census means an equal SET and
