@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Cuts.CutOps
 
 /** Connected components over a pair list — the clustering step that
   * turns near-duplicate PAIRS (MinHash/SimHash/embedding-LSH output)
@@ -80,7 +81,7 @@ object Components {
     * appears in `pairs` (columns `a`, `b`). Output: (node, component),
     * component roots map to themselves.
     *
-    * Each round localCheckpoints the shrunken edge set — without the
+    * Each round Cuts-cuts the shrunken edge set — without the
     * lineage cut, round k would replay rounds 1..k-1 and the plan
     * would grow exponentially. maxIter is a safety bound only; the
     * alternation provably converges in O(log² n) rounds worst case
@@ -94,12 +95,12 @@ object Components {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .cut()
     var fp = fingerprint(edges)
     var converged = fp._1 == 0L // no edges -> already at the fixed point
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).cut()
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp

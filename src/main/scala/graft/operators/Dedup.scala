@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
+import graft.operators.Cuts.CutOps
 
 /** Deduplication operators for a training-data pipeline, built to the
   * shapes that survive 100 TB:
@@ -72,10 +73,10 @@ object Dedup {
     // materialize BEFORE the signature fold: minhashSignature embeds the
     // shingle-hash array once per hash function, so without a
     // materialization boundary projection collapse re-runs md5 over
-    // every shingle MinhashH times. localCheckpoint (not cache) so the
+    // every shingle MinhashH times. A Cuts cut (not cache) so the
     // blocks are reclaimed by the ContextCleaner once this pipeline's
     // result is consumed — repeated invocations don't pin storage memory
-    val hashed = shingled(docs).localCheckpoint()
+    val hashed = shingled(docs).cut()
     minhashNearDupsFrom(hashed, candidatesFrom(hashed), threshold)
   }
 
@@ -131,8 +132,8 @@ object Dedup {
     * signal costs two broadcast-joinable lookups, not a second n² pass. */
   def semanticNearDups(docs: DataFrame, emb: DataFrame,
       threshold: Double): DataFrame = {
-    // localCheckpoint, not cache: see minhashNearDups
-    val hashed = shingled(docs).localCheckpoint()
+    // a Cuts cut, not cache: see minhashNearDups
+    val hashed = shingled(docs).cut()
     semanticNearDupsFrom(hashed, candidatesFrom(hashed), emb, threshold)
   }
 
@@ -313,7 +314,7 @@ object Dedup {
   }
 
   /** Per-doc token-hash table (doc_id, th ARRAY&lt;BIGINT&gt;) — the shared
-    * prefix of every simhash sketch width. Materialize it (localCheckpoint
+    * prefix of every simhash sketch width. Materialize it (a Cuts cut
     * or parquet) before feeding the per-bit folds: simhashFromHashes
     * embeds its input once per bit, so an un-materialized md5 would run
     * `bits` times per token. */
@@ -323,7 +324,7 @@ object Dedup {
 
   def simhashPairsBanded(docs: DataFrame, maxDist: Int,
       bits: Int = 16): DataFrame =
-    simhashPairsBandedFrom(tokenHashes(docs).localCheckpoint(), maxDist, bits)
+    simhashPairsBandedFrom(tokenHashes(docs).cut(), maxDist, bits)
 
   /** Banded simhash pairs from a pre-materialized token-hash table —
     * the build/probe split: callers answering several sketch widths
@@ -332,7 +333,7 @@ object Dedup {
   /** (doc_id, simhash) sketch table at the given width from a
     * token-hash table. The `bits`-wide fold is the expensive map of
     * the whole pipeline — callers should materialize the result
-    * (localCheckpoint / parquet) before joining on it; at scale this
+    * / parquet) before joining on it; at scale this
     * is the sketch table a dedup pipeline persists between its
     * signature and candidate stages. */
   def simhashSketch(hashed: DataFrame, bits: Int): DataFrame =
@@ -342,7 +343,7 @@ object Dedup {
   def simhashPairsBandedFrom(hashed: DataFrame, maxDist: Int,
       bits: Int = 16): DataFrame =
     simhashPairsFromSketch(
-      simhashSketch(hashed, bits).localCheckpoint(), maxDist, bits)
+      simhashSketch(hashed, bits).cut(), maxDist, bits)
 
   /** Probe phase: pigeonhole-banded pair generation + exact Hamming
     * rerank over a pre-built sketch table (both self-join sides read
@@ -387,11 +388,11 @@ object Dedup {
     // materialize token hashes BEFORE the per-bit fold: simhash embeds
     // the hash array once per bit, so an inlined md5 would run `bits`
     // times per token; the boundary blocks projection collapse.
-    // localCheckpoint, not cache, so blocks free up after the result is
+    // a Cuts cut, not cache, so blocks free up after the result is
     // consumed
     val hashed = docs.select(col("doc_id"),
       transform(TextOps.tokens(col("text")), t => TextOps.md5Long(t)).as("th"))
-      .localCheckpoint()
+      .cut()
     val sh = hashed.select(col("doc_id"),
       TextOps.simhashFromHashes(col("th"), bits).as("simhash"))
     val a = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
 import scala.collection.mutable
+import graft.operators.Cuts.CutOps
 
 /** HNSW — batch graph construction on Spark + a serve-time walk, per the
   * project north star ("Spark for batch index build; online ANN serving
@@ -205,10 +206,10 @@ class Hnsw(val m: Int = 16, val ef: Int = 32, val seed: Long = 42L,
     val oldNewPairs = lb(exOld).join(rb(exNew), Seq("level", "bucket"))
       .filter(col("src") =!= col("dst")).drop("bucket")
     // (level, src) keys with >= 1 gained candidate. Materialized
-    // (localCheckpoint) because it keys BOTH branches — without the cut
+    // (a Cuts cut) because it keys BOTH branches — without the cut
     // each branch would recompute the old×new bucket join.
     val touched = oldNewPairs.select(col("level"), col("src")).distinct()
-      .localCheckpoint()
+      .cut()
     // stored edges of TOUCHED keys only, vectors rehydrated (dst of a
     // stored edge is old) — O(touched·M) rows, not O(|edges|)
     val sv = oldVectors.select(col(idCol).as("src"), col(vecCol).as("src_vec"))

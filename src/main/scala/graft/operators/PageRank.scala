@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (the part that must survive 100 TB):
   *  - the edge table is the big, immutable input; it is joined with
-  *    its out-weight table ONCE and materialized (`localCheckpoint`,
+  *    its out-weight table ONCE and materialized (a [[Cuts]] cut,
   *    the single-JVM stand-in for a persisted shuffle stage), so each
   *    iteration re-reads a ready (src, dst, w, ow) frame instead of
   *    re-deriving it — on a cluster this is the parquet-persisted
@@ -72,7 +72,7 @@ object PageRank {
     * (src: long, dst: long, w: long).
     *
     * The static frames are src-hash-partitioned, sorted within
-    * partitions, and PERSISTED (not localCheckpoint'd): persist keeps
+    * partitions, and PERSISTED (not lineage-cut): persist keeps
     * the frame's outputPartitioning/ordering visible to Catalyst, so
     * every superstep's ranks⋈edges sort-merge join exchanges and sorts
     * ONLY the 16-byte-row rank frame — the big edge frame is shuffled
@@ -152,7 +152,7 @@ object PageRank {
   /** The iteration loop over a prepared graph, with the two depth
     * controls a to-convergence run (20–50 supersteps on a real corpus)
     * needs:
-    *  - `checkpointEvery`: a `localCheckpoint` lineage cut every k
+    *  - `checkpointEvery`: a [[Cuts]] lineage cut every k
     *    supersteps (on a cluster: a persisted shuffle/parquet cut), so
     *    plan depth stays bounded instead of growing two joins per
     *    iteration — past ~10 uncut supersteps Catalyst re-analysis and

@@ -6,8 +6,9 @@ import org.apache.spark.sql.DataFrame
   * (PageRank, label propagation — anything Pregel-shaped), carrying
   * the two depth controls a to-convergence run needs:
   *
-  *  - `checkpointEvery`: a `localCheckpoint` lineage cut every k
-  *    supersteps (on a cluster: a persisted shuffle/parquet cut), so
+  *  - `checkpointEvery`: a [[Cuts]] lineage cut every k supersteps
+  *    (localCheckpoint locally; a durable parquet cut when
+  *    `spark.graft.checkpoint.dir` is set — the cluster posture), so
   *    plan depth stays bounded instead of growing per iteration —
   *    past ~10 uncut supersteps Catalyst re-analysis and task
   *    serialization dominate (GraphAppendSpec and GraphMiningSpec pin
@@ -36,21 +37,13 @@ object Supersteps {
       val next0 = step(cur)
       val cut = converged.isDefined ||
         (it % checkpointEvery == 0 && it < iters)
-      // A cut must restart SIZE STATS, not just lineage: localCheckpoint's
-      // LogicalRDD carries the child plan's BigInt size estimate forward,
-      // and every join in the next superstep MULTIPLIES its children's
-      // estimates — so a k-join step compounds the estimate's bit-length
-      // k-fold PER ROUND (double-exponential value growth), and by round
-      // ~15 Catalyst spends minutes inside BigInteger.multiply on
-      // megabyte-sized numbers (measured r13 on the k-core loop, whose
-      // two keep-joins triple the bits each round). Rebuilding the frame
-      // from the checkpointed RDD makes each cut a fresh stats leaf; the
-      // row conversion is one pass over an already-materialized
-      // checkpoint, only on cut rounds.
-      val next = if (cut) {
-        val cp = next0.localCheckpoint()
-        cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-      } else next0
+      // A cut must restart SIZE STATS, not just lineage — joins
+      // MULTIPLY their children's BigInt size estimates, so a k-join
+      // step compounds the estimate's bit-length k-fold PER ROUND
+      // (double-exponential; by round ~15 Catalyst spends minutes in
+      // BigInteger.multiply — measured r13 on the k-core loop). Hence
+      // statsLeaf, not plain cut: see Cuts for both backends' leaves.
+      val next = if (cut) Cuts.statsLeaf(next0) else next0
       converged.foreach { probe => if (probe(next, cur)) done = true }
       cur = next
     }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Cuts.CutOps
 
 /** Graph traversal kernels — frontier BFS, bounded-round Bellman–Ford
   * (min-plus relaxation), and k-core peeling — the reachability /
@@ -15,13 +16,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: every round of every kernel is at most one
   * src-keyed join plus one node-keyed aggregate — the two-shuffle
-  * Pregel superstep. Frontiers/levels are `localCheckpoint`ed per
-  * round (on a cluster: a persisted shuffle cut), so plan depth
-  * stays bounded and the per-round empty-frontier probe reads
-  * materialized partitions. Nothing is ever collected to the
-  * driver; frontier size is bounded by the reachable set and each
-  * BFS level materializes once (the visited set is a lazy union of
-  * already-materialized levels, not a recopied snowball).
+  * Pregel superstep. Frontiers/levels are [[Cuts]]-cut per round
+  * (localCheckpoint locally; a durable parquet cut when
+  * `spark.graft.checkpoint.dir` is set), so plan depth stays bounded,
+  * the per-round empty-frontier probe reads materialized partitions,
+  * and on a cluster a lost executor cannot kill a deep traversal.
+  * Nothing is ever collected to the driver; frontier size is bounded
+  * by the reachable set and each BFS level materializes once.
   */
 object Traversal {
 
@@ -38,7 +39,7 @@ object Traversal {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
     levels += seeds.select(col("node"), lit(0L).as("hop"))
-      .distinct().localCheckpoint()
+      .distinct().cut()
     var frontier = levels.last.select(col("node"))
     var d = 1
     var done = false
@@ -48,7 +49,7 @@ object Traversal {
         .select(edges("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(d.toLong).as("hop"))
-        .localCheckpoint()
+        .cut()
       if (nxt.isEmpty) done = true
       else {
         levels += nxt
@@ -92,7 +93,7 @@ object Traversal {
     * not O(rounds²) re-derived lineage. */
   def kCorePeelCensus(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    var e = edges0.select(col("src"), col("dst")).localCheckpoint()
+    var e = edges0.select(col("src"), col("dst")).cut()
     val rows = scala.collection.mutable.ArrayBuffer[DataFrame]()
     rows += e.agg(count_distinct(col("src")).as("n_nodes"),
         count(lit(1)).as("n_edges"))
@@ -100,10 +101,10 @@ object Traversal {
     for (r <- 1 to rounds) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
-        .localCheckpoint()
+        .cut()
       e = e.join(keep.select(col("node").as("src")), "src")
         .join(keep.select(col("node").as("dst")), "dst")
-        .select(col("src"), col("dst")).localCheckpoint()
+        .select(col("src"), col("dst")).cut()
       rows += keep.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(e.agg(count(lit(1)).as("n_edges"))) // 1-row × 1-row stapler
         .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
@@ -139,7 +140,7 @@ object Traversal {
   def kCoreConvergedCensus(edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = edges0.sparkSession
-    val e0 = edges0.select(col("src"), col("dst")).localCheckpoint()
+    val e0 = edges0.select(col("src"), col("dst")).cut()
     val census = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     census += ((0L, e0.select(col("src")).distinct().count(), e0.count()))
     var keptNodes = 0L // stashed by the step, read by the probe
@@ -152,7 +153,7 @@ object Traversal {
     Supersteps.loop(e0, maxRounds, checkpointEvery = 1, probe) { e =>
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
-        .localCheckpoint()
+        .cut()
       keptNodes = keep.count()
       e.join(keep.select(col("node").as("src")), "src")
         .join(keep.select(col("node").as("dst")), "dst")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
+import graft.operators.Cuts.CutOps
 
 /** Exact triangle counting, degree-ordered (the "compact-forward" /
   * arboricity-bounded algorithm: Latapy 2008, Chiba–Nishizeki 1985) —
@@ -80,7 +81,7 @@ object Triangles {
     // branch (under the full bench suite's cache pressure the
     // un-materialized lineage re-derived the edge build three times:
     // 8.7 s vs 5.0 s isolated, measured r12)
-    val o = orient(e).localCheckpoint()
+    val o = orient(e).cut()
     val ab = o.select(col("a"), col("b"), col("rb").as("r1"))
     val ac = o.select(col("a"), col("b").as("c"), col("rb").as("r2"))
     val bc = o.select(col("a").as("b"), col("b").as("c"))
@@ -160,7 +161,7 @@ object Triangles {
     // c1 anchors, both c2 sides, c3) — materialize it once per call
     // (batch-sized, so the cut is cheap) instead of re-executing its
     // lineage (typically an anti-join against the store) per term
-    val newBoth = newBoth0.select(col("src"), col("dst")).localCheckpoint()
+    val newBoth = newBoth0.select(col("src"), col("dst")).cut()
     val adjM = oldBoth.select(col("src"), col("dst"))
       .unionByName(newBoth.select(col("src"), col("dst")))
     val nCanon = newBoth.filter(col("src") < col("dst"))
