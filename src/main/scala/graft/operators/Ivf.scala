@@ -79,6 +79,15 @@ class Ivf(nlist: Int, iters: Int) {
       .getField("c")
   }
 
+  /** Squared distance from a vector to its ASSIGNED centroid — the
+    * within-cell "centrality" the SemDeDup purge rule keys its
+    * keep-the-medoid-side tiebreak on. Pure expression against the
+    * broadcast centroid literal (map-only), left-to-right double fold
+    * so the DuckDB oracle replays it bit-for-bit. */
+  def centroidDistExpr(emb: Column, cents: Array[(Int, Array[Double])],
+      cluster: Column): Column =
+    sqDist(VectorOps.toDouble(emb), element_at(centroidLit(cents), cluster + 1))
+
   /** Residual `embedding − centroid[cluster]` as an ARRAY&lt;DOUBLE&gt;
     * column — the IVF-PQ composition input (encode the residual, not
     * the raw vector: inside a tight cell the residual's spread is much

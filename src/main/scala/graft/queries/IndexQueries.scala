@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Metrics, VectorOps}
 import graft.operators.{Hnsw, Ivf, Knn, Lsh, Pq}
+import graft.operators.Cuts.CutOps
 
 /** Declared queries for the approximate indexes (LSH / HNSW) and the
   * evaluation metrics (kowari §2.2, §2.7).
@@ -165,9 +166,9 @@ object IndexQueries extends QueryRegistry {
       val batch = emb.filter(col("vec_id") >= n / 2)
       val blocker = new Lsh(numPlanes = 3, seed = 42L)
       val built = declaredHnsw.buildAdjacency(base, blocker = blocker)
-        .localCheckpoint()
+        .cut()
       declaredHnsw.appendAdjacency(built, base, batch, blocker = blocker)
-        .localCheckpoint()
+        .cut()
     }
 
   private def hnswAdjacency(s: SparkSession, dir: String): DataFrame =
@@ -378,12 +379,12 @@ object IndexQueries extends QueryRegistry {
     * lsh_similarity_join (full listing) and embedding_near_dup
     * (top-20) — the same build-once/probe-many contract as the index
     * stores: one banded candidate join feeds both declared consumers
-    * (localCheckpoint-backed, reclaimed with the session). */
+    * (Cuts-cut-backed, reclaimed with the session). */
   private def bandedPairs(s: SparkSession, dir: String): DataFrame =
     SharedBuilds.of(s, dir, "banded-pairs-16x4") {
       graft.operators.Dedup.lshEmbeddingPairs(
         embeddings(s, dir), nPlanes = 16, bandBits = 4, threshold = 0.3)
-        .localCheckpoint()
+        .cut()
     }
 
   private def ivfStore(s: SparkSession, dir: String): (Array[(Int, Array[Double])], DataFrame) =
@@ -1015,6 +1016,54 @@ object IndexQueries extends QueryRegistry {
           (round(graft.functions.VectorOps.fastCosine(col("ea"), col("eb")), 6) + lit(0.0)).as("cos"))
         .filter(col("cos") >= 0.3)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // SemDeDup-style centroid-cell semantic PURGE (Abbas et al. 2023,
+    // r13 verdict task #4): cluster embeddings into centroid cells,
+    // pair ONLY within a cell, and purge every vector that has an
+    // above-threshold cosine twin CLOSER to the cell centroid (ties
+    // to the lower id) — keep-the-medoid-side dedup. This is the
+    // cluster-then-dedup shape that holds where even banded-LSH pair
+    // lists go dense: candidate volume is Σ|cell|², never n², and
+    // with the assignment parquet partitioned by cell the pair join
+    // is partition-local at 100 TB. Distinct from semantic_dedup
+    // (minhash-candidate cosine rerank — text-keyed candidates) and
+    // embedding_near_dup (sign-LSH bands): here the candidate
+    // structure IS the quantizer the ANN tier already trains, so one
+    // clustering pays for both serving and curation. Cells from
+    // data-dependent first-8 centroids (the ivf_cell_join precedent),
+    // so assignment, centrality, and the purge verdicts all replay in
+    // SQL. Output: one row per purged vector with its cell, how many
+    // kept-side twins dominated it, and the strongest of those
+    // cosines. IvfSpec pins the rule against an in-memory replica;
+    // the PlanSpec sweep pins no-cartesian over the declared frame.
+    "semdedup_cell_purge" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val ivf = new Ivf(nlist = 8, iters = 0)
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+      val assigned = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"),
+          ivf.assignExpr(col("embedding"), cents).as("cell"))
+        .withColumn("dc",
+          round(ivf.centroidDistExpr(col("embedding"), cents, col("cell")), 6) + lit(0.0))
+      val x = assigned.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("cell"), col("dc").as("da"))
+      val y = assigned.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("cell"), col("dc").as("db"))
+      x.join(y, "cell").filter(col("a") =!= col("b"))
+        .withColumn("cos",
+          round(graft.functions.VectorOps.fastCosine(col("ea"), col("eb")), 6) + lit(0.0))
+        .filter(col("cos") >= 0.4)
+        .filter(col("db") < col("da") ||
+          (col("db") === col("da") && col("b") < col("a")))
+        .groupBy(col("a"), col("cell"))
+        .agg(count(lit(1)).cast("long").as("n_dominators"),
+          max(col("cos")).as("max_cos"))
+        .select(col("a").as("vec_id"), col("cell").cast("long").as("cell"),
+          col("n_dominators"), col("max_cos"))
+        .orderBy(col("vec_id"))
     }),
 
     // embedding-cosine near-dup: top-20 most-similar pairs among the
@@ -1656,6 +1705,30 @@ object IndexQueries extends QueryRegistry {
          |FROM cand cn JOIN embeddings ex ON cn.a = ex.vec_id JOIN embeddings ey ON cn.b = ey.vec_id
          |WHERE round(${cosine("ex.embedding", "ey.embedding")}, 6) + 0.0 >= 0.3
          |ORDER BY a, b""".stripMargin,
+
+    // the full SemDeDup replay: cells + rounded centroid distances,
+    // directed within-cell dominance pairs (closer-to-centroid wins,
+    // ties to the lower id), per-purged-vector rollup
+    "semdedup_cell_purge" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        list_sum(list_transform(list_zip(e.embedding, c.ce),
+         |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+         |      FROM embeddings e CROSS JOIN c),
+         |m AS (SELECT vec_id, cid AS cell, round(d, 6) + 0.0 AS dc FROM (
+         |    SELECT vec_id, cid, d,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM d) WHERE rn = 1),
+         |pr AS (SELECT x.vec_id AS a, x.cell,
+         |         round(${cosine("ex.embedding", "ey.embedding")}, 6) + 0.0 AS cos
+         |       FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |         JOIN embeddings ex ON x.vec_id = ex.vec_id
+         |         JOIN embeddings ey ON y.vec_id = ey.vec_id
+         |       WHERE round(${cosine("ex.embedding", "ey.embedding")}, 6) + 0.0 >= 0.4
+         |         AND (y.dc < x.dc OR (y.dc = x.dc AND y.vec_id < x.vec_id)))
+         |SELECT a AS vec_id, CAST(cell AS BIGINT) AS cell,
+         |       CAST(count(*) AS BIGINT) AS n_dominators, max(cos) AS max_cos
+         |FROM pr GROUP BY a, cell ORDER BY vec_id""".stripMargin,
 
     // identical banded-candidate pipeline as lsh_similarity_join's
     // oracle, topped with the cos DESC LIMIT 20 the declared query takes

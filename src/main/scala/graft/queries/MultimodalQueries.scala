@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 import graft.functions.TextOps
+import graft.operators.Cuts.CutOps
 
 /** Declared queries for the multimodal binary-column pipeline. The
   * payloads are utf-8 text bytes (ascii corpus), so the DuckDB oracle
@@ -103,7 +104,7 @@ object MultimodalQueries extends QueryRegistry {
       // materialized: the band explode and both rerank joins read this
       // hash table — without the boundary the BMP encode/decode map
       // runs three times (the minhash-signature-table discipline)
-      val ah = Multimodal.aHash(media).toDF().localCheckpoint()
+      val ah = Multimodal.aHash(media).toDF().cut()
       val br = ah.select(col("media_id"), posexplode(col("bands")).as(Seq("bi", "bv")))
       val cand = br.as("x").join(br.as("y"),
           col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
@@ -295,7 +296,7 @@ object MultimodalQueries extends QueryRegistry {
         // materialized: three consumers (band explode + both rerank
         // sides) must not re-run the GIF encode/decode map — the same
         // build/probe split as the minhash signature table
-      }.toDF("media_id", "frame", "bands").localCheckpoint()
+      }.toDF("media_id", "frame", "bands").cut()
       val br = fr.select(col("media_id"), col("frame"),
         posexplode(col("bands")).as(Seq("bi", "bv")))
       val cand = br.as("x").join(br.as("y"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
+import graft.operators.Cuts.CutOps
 
 /** Corpus-level training-data pipeline operators: TF-IDF term scoring,
   * deterministic stratified sampling, and per-label embedding centroid
@@ -27,6 +28,23 @@ object PipelineQueries extends QueryRegistry {
   private def orderedSum(sortKey: org.apache.spark.sql.Column,
       value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     Folds.orderedSum(sortKey, value)
+
+  /** NB feature hash-space size (the bounded count-table row cap). */
+  private[graft] val NbBuckets = 4096
+
+  /** The shared NB/DSIR feature derivation — one row per hashed
+    * unigram+bigram OCCURRENCE: (doc_id, source, f). Shared between
+    * the batch nb_quality_score and the streaming classifier
+    * maintenance replay (stream_nb_replay), so the maintained count
+    * table and the from-scratch oracle train on literally the same
+    * features. */
+  private[graft] def nbFeats(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+    toks.select(col("doc_id"), col("source"),
+      explode(concat(col("toks"), TextOps.shingles(col("toks"), 2))).as("feat"))
+      .withColumn("f", TextOps.md5Long(col("feat")) % NbBuckets)
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TF-IDF-style term scoring: corpus df + per-doc tf, top-3 terms
@@ -212,19 +230,43 @@ object PipelineQueries extends QueryRegistry {
     // integer ratios (no logs — the DSIR determinism doctrine), so the
     // oracle replays training AND scoring from raw text.
     "nb_quality_score" -> ((s, dir) => {
-      val B = 4096
-      val toks = documents(s, dir)
-        .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
-      val feats = toks.select(col("doc_id"), col("source"),
-        explode(concat(col("toks"), TextOps.shingles(col("toks"), 2))).as("feat"))
-        .withColumn("f", TextOps.md5Long(col("feat")) % B)
+      val feats = nbFeats(documents(s, dir))
       val counts = graft.operators.NaiveBayes.train(
         feats.filter(col("doc_id") % 2 === 0), col("doc_id") < 10)
       graft.operators.NaiveBayes.score(
-        feats.filter(col("doc_id") % 2 === 1), counts, B,
+        feats.filter(col("doc_id") % 2 === 1), counts, NbBuckets,
         Seq("doc_id", "source"))
         .select(col("doc_id"), col("source"), col("n_feats"), col("nb_ppm"))
         .orderBy(col("nb_ppm").desc, col("doc_id"))
+        .limit(30)
+    }),
+
+    // CCNet-style n-gram LM FLUENCY filter (r13 verdict task #3 — the
+    // one published quality stage the pipeline still lacked): a
+    // Laplace-smoothed token-3-gram LM trained on the curated
+    // reference docs (doc_id < 10, the decontamination/NB reference
+    // split), scoring every crawl doc by its integer mean per-position
+    // posterior vote — the no-logs surrogate for perplexity (CCNet
+    // filters the crawl by reference-LM perplexity; low mean vote =
+    // high perplexity = boilerplate/gibberish/shuffle). Unlike the
+    // Gopher ratios and NB's unigram bag mass — both functions of the
+    // token MULTISET, hence constant under any token permutation —
+    // the LM measures token ORDER and needs no labels. TextSpec pins
+    // all three claims on a reversed-token fixture: surface stats
+    // pairwise equal, bag-NB twin scores identical, LM separation
+    // total.
+    // Scale shape: both count tables bounded (8192/4096 rows) →
+    // broadcast; scoring is two map-side joins + one doc-keyed
+    // aggregation; the corpus is never shuffled on a feature key.
+    // All arithmetic integer (decimal(38,0) numerators — the NB
+    // overflow discipline), so the oracle replays train AND score.
+    "lm_fluency_score" -> ((s, dir) => {
+      import graft.operators.NgramLm
+      val fe = NgramLm.feats(documents(s, dir), Seq("doc_id"))
+      val (c3, c2) = NgramLm.train(fe.filter(col("doc_id") < 10))
+      NgramLm.score(fe.filter(col("doc_id") >= 10), c3, c2, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tris"), col("lm_ppm"))
+        .orderBy(col("lm_ppm").desc, col("doc_id"))
         .limit(30)
     }),
 
@@ -409,7 +451,7 @@ object PipelineQueries extends QueryRegistry {
         .select(explode(TextOps.tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
         .select(chars(col("word")).as("sym"), col("freq"))
-        .localCheckpoint()
+        .cut()
       var vocab = w0
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
       for (step <- 1 to 5) {
@@ -427,7 +469,7 @@ object PipelineQueries extends QueryRegistry {
           val padded = concat(lit(" "), col("sym"), lit(" "))
           val r1 = replace(padded, lit(s" $pair "), lit(s" $merged "))
           val r2 = replace(r1, lit(s" $pair "), lit(s" $merged "))
-          vocab = vocab.select(trim(r2).as("sym"), col("freq")).localCheckpoint()
+          vocab = vocab.select(trim(r2).as("sym"), col("freq")).cut()
         }
       }
       (w0, vocab, merges.toSeq)
@@ -612,6 +654,34 @@ object PipelineQueries extends QueryRegistry {
         |SELECT doc_id, source, CAST(n_feats AS BIGINT) AS n_feats,
         |       CAST(sq // n_feats AS BIGINT) AS nb_ppm
         |FROM sc ORDER BY nb_ppm DESC, doc_id LIMIT 30""".stripMargin,
+
+    // LM train + score replayed from raw text: trigram/context hash
+    // buckets over the reference docs, Laplace votes in ppm (integer
+    // // — DuckDB sums are HUGEINT, matching the decimal(38,0) Spark
+    // side), mean vote per crawl doc
+    "lm_fluency_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |fe AS (
+        |  SELECT doc_id,
+        |         CAST(('0x'||substr(md5(array_to_string(toks[i:i+2], ' ')),1,15)) AS BIGINT) % 8192 AS f3,
+        |         CAST(('0x'||substr(md5(array_to_string(toks[i:i+1], ' ')),1,15)) AS BIGINT) % 4096 AS f2
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i
+        |        FROM t WHERE len(toks) >= 3)),
+        |c3 AS (SELECT f3, count(*) AS n3 FROM fe WHERE doc_id < 10 GROUP BY f3),
+        |c2 AS (SELECT f2, count(*) AS n2 FROM fe WHERE doc_id < 10 GROUP BY f2),
+        |sc AS (
+        |  SELECT fe.doc_id, count(*) AS n_tris,
+        |         sum(((coalesce(c3.n3, 0) + 1) * 1000000)
+        |             // (coalesce(c2.n2, 0) + 4096)) AS sq
+        |  FROM fe LEFT JOIN c3 USING (f3) LEFT JOIN c2 USING (f2)
+        |  WHERE fe.doc_id >= 10
+        |  GROUP BY fe.doc_id)
+        |SELECT doc_id, CAST(n_tris AS BIGINT) AS n_tris,
+        |       CAST(sq // n_tris AS BIGINT) AS lm_ppm
+        |FROM sc ORDER BY lm_ppm DESC, doc_id LIMIT 30""".stripMargin,
 
     "dsir_importance_top" ->
       """WITH t AS (

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextOps, VectorOps}
+import graft.operators.Cuts.CutOps
 
 /** Text retrieval over the documents corpus — the query-side operators
   * a RAG / training-data pipeline runs next to its dedup and ANN
@@ -149,7 +150,7 @@ object RetrievalQueries extends QueryRegistry {
           (round(VectorOps.cosine(col("embedding"), col("qe")), 6) + 0.0).as("rel"))
         .orderBy(col("rel").desc, col("doc_id").asc)
         .limit(20)
-        .localCheckpoint()
+        .cut()
       var picked = Vector.empty[(Long, Double, Double, Seq[Float])]
       // `picked.size == step - 1` stops the walk once the shortlist is
       // exhausted (< 8 candidates) — the oracle's s_i CTEs go empty at

@@ -106,7 +106,7 @@ object Tables {
   * across the declared queries that probe them — the reference's
   * build-once/query-many Index contract (kowari src/index.rs:8-12)
   * materialized. Keyed by (session identity, data dir, artifact name);
-  * entries are localCheckpoint-backed DataFrames (or small driver-side
+  * entries are Cuts-cut-backed DataFrames (or small driver-side
   * structures), so a session's artifacts are reclaimed with the session.
   * At 100 TB the same role is played by index parquet written once and
   * scanned by every probe job. */

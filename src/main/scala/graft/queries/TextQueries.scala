@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.operators.{Components, Dedup}
+import graft.operators.Cuts.CutOps
 
 /** Declared queries for the text-analysis / deduplication surface over
   * the `documents` table: tokenization stats, language-ID heuristic,
@@ -80,14 +81,14 @@ object TextQueries extends QueryRegistry {
   /** Shared dedup-index build: the three minhash-family queries
     * (minhash_near_dups, semantic_dedup, near_dup_purge) probe the SAME
     * shingle + candidate tables, so the build runs once per
-    * (session, data dir) and is materialized via localCheckpoint — the
+    * (session, data dir) and is materialized via a Cuts cut — the
     * batch analogue of the reference's build-once/query-many Index
     * contract (kowari src/index.rs:8-12). At 100 TB this is a signature
     * table persisted to parquet between pipeline stages. */
   private def sharedDedupIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     SharedBuilds.of(s, dir, "minhash-dedup") {
-      val hashed = Dedup.shingled(documents(s, dir)).localCheckpoint()
-      (hashed, Dedup.candidatesFrom(hashed).localCheckpoint())
+      val hashed = Dedup.shingled(documents(s, dir)).cut()
+      (hashed, Dedup.candidatesFrom(hashed).cut())
     }
 
   /** Maximal cross-doc duplicate spans (a < b, ≥ 2 consecutive shingle
@@ -100,7 +101,7 @@ object TextQueries extends QueryRegistry {
     * trim queries (the SharedBuilds discipline every other expensive
     * shared artifact follows). */
   private def dupSpans(s: SparkSession, dir: String): DataFrame =
-    SharedBuilds.of(s, dir, "dup-spans")(dupSpansUncached(s, dir).localCheckpoint())
+    SharedBuilds.of(s, dir, "dup-spans")(dupSpansUncached(s, dir).cut())
 
   private def dupSpansUncached(s: SparkSession, dir: String): DataFrame = {
     val (hashed, _) = sharedDedupIndex(s, dir)
@@ -130,9 +131,9 @@ object TextQueries extends QueryRegistry {
     * declared queries are the banded PROBES over them. */
   private def sharedSimhashSketches(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     SharedBuilds.of(s, dir, "simhash-sketches") {
-      val th = Dedup.tokenHashes(documents(s, dir)).localCheckpoint()
-      (Dedup.simhashSketch(th, 16).localCheckpoint(),
-        Dedup.simhashSketch(th, 60).localCheckpoint())
+      val th = Dedup.tokenHashes(documents(s, dir)).cut()
+      (Dedup.simhashSketch(th, 16).cut(),
+        Dedup.simhashSketch(th, 60).cut())
     }
 
   /** Connected components over the minhash near-dup pair graph, built
@@ -144,7 +145,7 @@ object TextQueries extends QueryRegistry {
       val (hashed, cand) = sharedDedupIndex(s, dir)
       Components.connectedComponents(
         Dedup.minhashNearDupsFrom(hashed, cand, 0.3).select(col("a"), col("b")))
-        .localCheckpoint()
+        .cut()
     }
 
   /** Contaminated corpus doc ids (share a 5-gram shingle with the eval
@@ -169,7 +170,7 @@ object TextQueries extends QueryRegistry {
         .join(broadcast(hashed.filter(col("doc_id") < 10)
           .select(explode(array_distinct(col("shh"))).as("h")).distinct()), "h")
         .select(col("doc_id")).distinct()
-        .localCheckpoint()
+        .cut()
     }
 
   /** Per-source cap applied inside the funnel (r11): keep the top
@@ -376,7 +377,7 @@ object TextQueries extends QueryRegistry {
     * pq_append_audit applied to the whole curation pipeline). */
   private def incrFunnelFlags(s: SparkSession, dir: String): DataFrame =
     SharedBuilds.of(s, dir, "incr-funnel-flags") {
-      incrFunnelPhaseB(s, dir).localCheckpoint()
+      incrFunnelPhaseB(s, dir).cut()
     }
 
   /** Bench scale-probe entry: one full phase-B execution (diff-read +
@@ -450,8 +451,8 @@ object TextQueries extends QueryRegistry {
         df.write.mode("overwrite").parquet(p)
         s.read.parquet(p)
       }
-      val docs1 = readSnap(s, path, "1").localCheckpoint()
-      val hashed1 = Dedup.shingled(docs1).localCheckpoint()
+      val docs1 = readSnap(s, path, "1").cut()
+      val hashed1 = Dedup.shingled(docs1).cut()
       val pairs1 = Dedup.minhashNearDupsFrom(
         hashed1, Dedup.candidatesFrom(hashed1), 0.3).select(col("a"), col("b"))
       // the persisted state: band table, shingle sets, component map,
@@ -488,9 +489,9 @@ object TextQueries extends QueryRegistry {
     val chState = state("ch")
     val metricsState = state("metrics")
     val bits = typedLit(Dedup.bloomBitsOf(evalSh))
-    val newDocs = readSnap(s, path, "1..2").localCheckpoint()
-    val hashedN = Dedup.shingled(newDocs).localCheckpoint()
-    val bandsN = Dedup.candidateBands(hashedN).localCheckpoint()
+    val newDocs = readSnap(s, path, "1..2").cut()
+    val hashedN = Dedup.shingled(newDocs).cut()
+    val bandsN = Dedup.candidateBands(hashedN).cut()
     val newNew = Dedup.candidatePairs(bandsN)
     val newOld = bandsState.select(col("doc_id").as("a"), col("band"), col("band_hash"))
       .join(bandsN.select(col("doc_id").as("b"), col("band"), col("band_hash")),
@@ -593,7 +594,7 @@ object TextQueries extends QueryRegistry {
       // tree grows to ~8 copies of the tokenize→shingle→md5 pipeline —
       // the optimizer alone then costs seconds per planning pass
       val hashed = documents(s, dir).filter(col("doc_id") < 50)
-        .select(col("doc_id"), shh.as("shh")).localCheckpoint()
+        .select(col("doc_id"), shh.as("shh")).cut()
       hashed
         .select(col("doc_id"), TextOps.winnow(col("shh"), 4).as("fps"))
         .select(col("doc_id"),
@@ -617,7 +618,7 @@ object TextQueries extends QueryRegistry {
       // it must fold over the checkpointed shingle table
       val fps = hashed
         .select(col("doc_id"), explode(TextOps.winnow(col("shh"), 4)).as("fp"))
-        .localCheckpoint()
+        .cut()
       val common = fps.groupBy(col("fp"))
         .agg(count(lit(1)).as("df")).filter(col("df") > 20).select(col("fp"))
       val pruned = fps.join(broadcast(common), Seq("fp"), "left_anti")
@@ -726,7 +727,7 @@ object TextQueries extends QueryRegistry {
       // anti-join, survivor count) would otherwise re-run the whole
       // MinHash pipeline per consumer
       val drops = Dedup.minhashNearDupsFrom(hashed, cand, 0.3)
-        .select(col("b").as("doc_id")).distinct().localCheckpoint()
+        .select(col("b").as("doc_id")).distinct().cut()
       val kept = docs.join(drops, Seq("doc_id"), "left_anti")
       val total = docs.agg(count(lit(1)).as("n_total"))
       val dropped = drops.agg(count(lit(1)).as("n_dropped"))

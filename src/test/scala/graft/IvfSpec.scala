@@ -95,4 +95,48 @@ class IvfSpec extends SparkSpec {
     assert(contents() === before)
     assert(maxFiles() === 1)
   }
+
+  test("semdedup purge equals an in-memory replica; pairing is cell-local") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = vecs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val cents = rows.filter(_._1 < 8).map(_._2)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // assign by (sqDist, cid) argmin; dominance on ROUNDED distances
+    // (the declared query's cross-engine comparison contract)
+    val assigned = rows.map { case (id, v) =>
+      val (_, cell) = cents.zipWithIndex.map { case (c, i) => (d2(v, c), i) }.min
+      (id, v, cell, r6(d2(v, cents(cell))))
+    }
+    val byCell = assigned.groupBy(_._3)
+    val expect = (for {
+      (_, members) <- byCell.toSeq
+      (a, va, cellA, da) <- members
+      dominators = members.filter { case (b, vb, _, db) =>
+        b != a && r6(cos(va, vb)) >= 0.4 &&
+          (db < da || (db == da && b < a))
+      } if dominators.nonEmpty
+    } yield (a, cellA.toLong, dominators.length.toLong,
+        dominators.map { case (_, vb, _, _) => r6(cos(va, vb)) }.max))
+      .sortBy(_._1)
+    val got = graft.queries.IndexQueries.queries("semdedup_cell_purge")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty, "threshold must purge something at this scale")
+    assert(got == expect, s"got ${got.take(5)}... vs ${expect.take(5)}...")
+    // cell-locality: every purged vector's dominators were same-cell by
+    // construction of the replica; the declared frame must agree on
+    // cell ids for every purged vector
+    val cellOf = assigned.map(t => t._1 -> t._3.toLong).toMap
+    got.foreach { case (id, cell, _, _) => assert(cellOf(id) == cell) }
+  }
 }

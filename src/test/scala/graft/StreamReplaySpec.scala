@@ -257,6 +257,35 @@ class StreamReplaySpec extends SparkSpec {
     assert(second == first, "re-delivered batches must rewrite, not re-append")
   }
 
+  test("stream_nb_replay: a full re-delivery leaves the merged count table invariant") {
+    // NB counts are ADDITIVE (unlike HLL's idempotent max), so
+    // at-least-once delivery would double-count under a naive append
+    // store; each tick must OVERWRITE its own batchId partition. Two
+    // full passes (second with checkpoint cleared, store kept) must
+    // merge to identical counts — and those counts must equal a
+    // from-scratch train over the whole corpus (the sum-merge ≡
+    // rebuild claim the oracle also checks end-to-end).
+    def merged(reset: Boolean): Map[Long, (Long, Long)] = {
+      val store = graft.queries.StreamQueries
+        .nbStreamReplayCore(spark, sfDir, reset)
+      spark.read.parquet(store)
+        .groupBy(col("f"))
+        .agg(sum(col("n_p")).as("n_p"), sum(col("n_n")).as("n_n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val first = merged(reset = true)
+    val second = merged(reset = false)
+    assert(first.nonEmpty)
+    assert(second == first, "re-delivered ticks must rewrite, not re-add")
+    val scratch = graft.operators.NaiveBayes.train(
+        graft.queries.PipelineQueries
+          .nbFeats(Tables.documents(spark, sfDir))
+          .filter(col("doc_id") % 2 === 0),
+        col("doc_id") < 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(first == scratch, "sum-merged partials must equal a from-scratch train")
+  }
+
   test("stream_triangle_replay: a full re-delivery recomputes identical deltas") {
     // each tick's delta is a pure function of (its batch, the
     // id-bounded PREFIX store) — re-delivery sees later batches'

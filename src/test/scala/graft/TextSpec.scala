@@ -219,4 +219,73 @@ class TextSpec extends SparkSpec {
     // exactly 500000 — the equal-priors coin flip
     assert(got(0).getLong(2) == 500000L, s"got ${got(0).getLong(2)}")
   }
+
+  test("ngram LM separates fluent from reversed-token docs; gopher constant, bag-NB twin-blind") {
+    import graft.operators.{NaiveBayes, NgramLm}
+    // fixture: every doc walks the SAME deterministic 2-successor
+    // Markov chain over ONE shared vocabulary — no class-conditional
+    // vocabulary anywhere, so a supervised bag fit has nothing real to
+    // learn, and every "disfluent" doc is an exact TOKEN PERMUTATION
+    // (reversal) of a fluent one, so every order-blind surface
+    // statistic (the Gopher family) is equal PAIRWISE by construction.
+    // Only a model of token ORDER can tell the classes apart.
+    val vocab = Vector("granite", "river", "bends", "north", "past",
+      "cedar", "ridge", "where", "miners", "carved", "narrow", "steps",
+      "toward", "summit", "camps", "before", "winter", "storms", "close",
+      "passes")
+    val succ: Map[String, Vector[String]] = vocab.zipWithIndex.map {
+      case (w, i) => w -> Vector(vocab((i + 3) % vocab.size), vocab((i + 7) % vocab.size))
+    }.toMap
+    val rnd = new scala.util.Random(19)
+    def walk(len: Int): Seq[String] = {
+      var w = vocab(rnd.nextInt(vocab.size))
+      (0 until len).map { _ => val cur = w; w = succ(cur)(rnd.nextInt(2)); cur }
+    }
+    val trainDocs = (0L until 20L).map(id => (id, walk(40).mkString(" ")))
+    val fluent = (100L until 120L).map(id => (id, walk(40).mkString(" ")))
+    val reversed = fluent.map { case (id, t) =>
+      (id + 100L, t.split(" ").reverse.mkString(" ")) }
+    val docs = (trainDocs ++ fluent ++ reversed).toDF("doc_id", "text")
+
+    // gopher blindness: reversal preserves the token multiset, so any
+    // length/ratio/frequency rule is EQUAL pairwise — pinned exactly
+    fluent.zip(reversed).foreach { case ((_, f), (_, r)) =>
+      assert(f.split(" ").sorted.sameElements(r.split(" ").sorted))
+      assert(f.length == r.length)
+    }
+
+    // the LM, trained ONLY on the fluent reference walks (no labels)
+    val fe = NgramLm.feats(docs, Seq("doc_id"))
+    val (c3, c2) = NgramLm.train(fe.filter(col("doc_id") < 100))
+    val lm = NgramLm.score(fe.filter(col("doc_id") >= 100), c3, c2, Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lmFluent = lm.filter(_._1 < 200).values.toSeq
+    val lmRev = lm.filter(_._1 >= 200).values.toSeq
+    assert(lmFluent.size == 20 && lmRev.size == 20)
+    assert(lmFluent.min > lmRev.max,
+      s"LM must totally separate: fluent min ${lmFluent.min} vs reversed max ${lmRev.max}")
+
+    // NB-blindness, pinned as the exact invariance it is: a BAG model
+    // (NB's unigram mass, DSIR's weighting) is a function of the token
+    // MULTISET, so a permuted twin gets the IDENTICAL score — not
+    // "near chance" empirically but equal by construction, AUC 0.5
+    // exactly. Train NB with the declared reference-vs-crawl labels
+    // (reference walks positive, held-out corpus negative — NO
+    // fluency label exists, as in the real pipeline) over unigram
+    // features and pin twin-score equality.
+    val uni = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("feat"))
+      .withColumn("f", TextOps.md5Long(col("feat")) % NgramLm.CtxBuckets)
+    val counts = NaiveBayes.train(
+      uni.filter(col("doc_id") < 100 || col("doc_id") % 2 === 0),
+      col("doc_id") < 100)
+    val nb = NaiveBayes.score(
+        uni.filter(col("doc_id") >= 100), counts,
+        NgramLm.CtxBuckets, Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    fluent.foreach { case (id, _) =>
+      assert(nb(id) == nb(id + 100L),
+        s"bag-NB must score permuted twins identically: doc $id")
+    }
+  }
 }
