@@ -22,7 +22,10 @@ import graft.operators.Cuts.CutOps
   * the per-round empty-frontier probe reads materialized partitions,
   * and on a cluster a lost executor cannot kill a deep traversal.
   * Nothing is ever collected to the driver; frontier size is bounded
-  * by the reachable set and each BFS level materializes once.
+  * by the reachable set, each BFS level materializes once, and the
+  * BFS visited set is ONE consolidated frame maintained per round —
+  * the anti-join reads a single leaf at any depth, not a
+  * depth-wide union.
   */
 object Traversal {
 
@@ -40,25 +43,41 @@ object Traversal {
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
     levels += seeds.select(col("node"), lit(0L).as("hop"))
       .distinct().cut()
-    var frontier = levels.last.select(col("node"))
+    // ONE cumulative visited frame, re-cut per round (r13 advisory):
+    // the lazy union-of-all-levels the loop previously anti-joined
+    // against re-scanned O(depth) materialized frames per round —
+    // O(depth²) scans total and a per-round plan that grew with depth.
+    // Maintaining the consolidated frame costs one extra
+    // materialization per round (bounded by the reached set, which the
+    // anti-join had to read anyway) and keeps the anti-join's build
+    // side a single constant-shape leaf at any depth.
+    var visited = levels.last.select(col("node"))
+    var frontier = visited
     var d = 1
     var done = false
     while (d <= maxHops && !done) {
-      val visited = levels.map(_.select(col("node"))).reduce(_ unionByName _)
-      val nxt = edges.join(frontier, edges("src") === frontier("node"))
-        .select(edges("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .select(col("node"), lit(d.toLong).as("hop"))
-        .cut()
+      val nxt = bfsRound(edges, frontier, visited, d).cut()
       if (nxt.isEmpty) done = true
       else {
         levels += nxt
+        visited = visited.unionByName(nxt.select(col("node"))).cut()
         frontier = nxt.select(col("node"))
         d += 1
       }
     }
     levels.reduce(_ unionByName _)
   }
+
+  /** One BFS expansion: frontier-successors not yet in `visited`,
+    * stamped with hop `d`. Package-visible so the spec can pin the
+    * plan shape — one anti-join whose build side is the consolidated
+    * visited leaf, never a depth-wide union. */
+  private[graft] def bfsRound(edges: DataFrame, frontier: DataFrame,
+      visited: DataFrame, d: Int): DataFrame =
+    edges.join(frontier, edges("src") === frontier("node"))
+      .select(edges("dst").as("node")).distinct()
+      .join(visited, Seq("node"), "left_anti")
+      .select(col("node"), lit(d.toLong).as("hop"))
 
   /** `rounds` synchronous min-plus relaxations over
     * (`src`, `dst`, `cost`) from `seeds("node")` at cost 0 — exact

@@ -302,6 +302,31 @@ class GraphMiningSpec extends SparkSpec {
     }
   }
 
+  test("BFS round anti-joins ONE consolidated visited leaf, not a depth-wide union") {
+    import spark.implicits._
+    // the r13 advisory's shape pin: whatever the depth, the round
+    // plan's anti-join build side is the single maintained visited
+    // frame — a leaf, with no Union anywhere in the round plan
+    val edges = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val deepVisited = (0L until 15L).map(Tuple1(_)).toDF("node")
+      .localCheckpoint() // stands in for a depth-15 consolidated cut
+    val frontier = Seq(Tuple1(14L)).toDF("node")
+    val round = graft.operators.Traversal
+      .bfsRound(edges, frontier, deepVisited, 15)
+    val plan = round.queryExecution.optimizedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("Union"),
+      s"round plan must not union level frames:\n$planStr")
+    val antiBuilds = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.toString.toLowerCase.contains("anti") => j.right
+    }
+    assert(antiBuilds.size == 1, s"exactly one anti-join expected:\n$planStr")
+    assert(antiBuilds.head.collectLeaves().size == 1 &&
+      antiBuilds.head.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode],
+      s"anti-join build side must be the consolidated visited leaf:\n$planStr")
+  }
+
   test("bellmanFord equals exact min cost over <=rounds-edge paths") {
     import spark.implicits._
     val rnd = new scala.util.Random(83)
