@@ -122,6 +122,36 @@ object Bench {
   }
   private val CalibIters = 400000000L // ~0.5 s/thread on an unloaded core
 
+  // Memory-BANDWIDTH calibration (r14): the ALU calib is blind to the
+  // contention mode that actually hits Spark — r14 measured two runs
+  // where every query inflated uniformly ~1.3× and within-run spread
+  // hit 1.43 while the ALU calib read FASTER than the baseline round
+  // (0.76 s vs 0.85 s): the co-tenant was saturating memory bandwidth
+  // and IO, which a register-resident xorshift loop never touches. One
+  // sequential sum over a 1 GiB long array is bandwidth-bound and sees
+  // exactly that mode. Emitted as host_calib.mbw_st (min-of-two, like
+  // the ALU points); not yet part of deflated_vs_prev (the committed
+  // baseline tuple has no mbw reading) — next round's protocol can
+  // bind on min-of-three once a baseline mbw exists.
+  private lazy val mbwArray: Array[Long] = {
+    val a = new Array[Long](134217728) // 1 GiB
+    var i = 0
+    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+  private def mbwCalib(): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0L; var i = 0
+      val a = mbwArray
+      while (i < a.length) { s += a(i); i += 1 }
+      calibSink += s
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm (faults pages on first touch)
+    math.min(pass(), pass())
+  }
+
   // Committed round-13 baseline tuple (BENCH_r13.json): steady-median3
   // total over its 210 queries, and the min single-thread AND
   // min multi-thread calib readings bracketing that measurement.
@@ -199,8 +229,9 @@ object Bench {
     // masquerade as a slow host
     val nThreads = cpus.toInt
     xorshiftSum(CalibIters / 8, 1L) // JIT warm-up, untimed
-    def calibPoint(): (Double, Double) =
-      (math.min(calib(1), calib(1)), math.min(calib(nThreads), calib(nThreads)))
+    def calibPoint(): (Double, Double, Double) =
+      (math.min(calib(1), calib(1)), math.min(calib(nThreads), calib(nThreads)),
+        mbwCalib())
     val calibPre = calibPoint()
     val cold = SparkEntry.queries.map { case (name, fn) => name -> once(name, fn) }
     val steadyPasses = (1 to 3).map { _ =>
@@ -331,12 +362,24 @@ object Bench {
       // same-code ratio swung 1.0–14.3 run-to-run (bfs) — the probe
       // measured the JVM, not the plan. Adjacent legs share one JVM
       // state, so the ratio isolates data volume (r13 verdict #2).
+      // each leg: one untimed warm-up, then the MIN of two timed runs —
+      // one scheduler hiccup cannot write a 3× outlier into a leg (the
+      // calibPoint min-of-two discipline; r14 run-2 measured a 52 s
+      // ×10 outlier against 16 s for the same leg in run 1 on a
+      // spread-1.43 host). NaN (a thrown run) poisons the min, so an
+      // error still surfaces as "err", never as the other run's time.
+      def minTimed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+          dir: String): Double = {
+        val a = once(name, fn, dir)
+        val b = once(name, fn, dir)
+        if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b)
+      }
       def probeBoth(name: String,
           fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
         once(s"probe-$name", fn, sfDir) // warm-up: builds + JIT
-        val x1 = once(s"probe-$name", fn, sfDir)
+        val x1 = minTimed(s"probe-$name", fn, sfDir)
         once(s"probe-$name", fn, scaledDir) // warm-up: ×10 builds
-        val x10 = once(s"probe-$name", fn, scaledDir)
+        val x10 = minTimed(s"probe-$name", fn, scaledDir)
         (x1, x10)
       }
       val legs = probes.map { case (name, fn) => name -> probeBoth(name, fn) }.toMap
@@ -412,7 +455,7 @@ object Bench {
     def ratioCell(v: Double): String =
       if (errNames.nonEmpty) "\"err\"" else fmt(v, "%.2f")
     val calibJson =
-      s""","host_calib":{"iters":"4e8","st":[${fmt(calibPre._1, "%.2f")},${fmt(calibPost._1, "%.2f")}],"mt$nThreads":[${fmt(calibPre._2, "%.2f")},${fmt(calibPost._2, "%.2f")}]},"n_queries":${results.size},"deflated_vs_prev":{"prev":[$PrevSteadyTotal,$PrevStCalib,$PrevMtCalib,$PrevNQueries],"ratio_st":${ratioCell(deflatedSt)},"ratio_mt":${ratioCell(deflatedMt)}}"""
+      s""","host_calib":{"iters":"4e8","st":[${fmt(calibPre._1, "%.2f")},${fmt(calibPost._1, "%.2f")}],"mt$nThreads":[${fmt(calibPre._2, "%.2f")},${fmt(calibPost._2, "%.2f")}],"mbw_st":[${fmt(calibPre._3, "%.2f")},${fmt(calibPost._3, "%.2f")}]},"n_queries":${results.size},"deflated_vs_prev":{"prev":[$PrevSteadyTotal,$PrevStCalib,$PrevMtCalib,$PrevNQueries],"ratio_st":${ratioCell(deflatedSt)},"ratio_mt":${ratioCell(deflatedMt)}}"""
     // thrown queries surface by NAME at top level (omitted when clean);
     // their NaN timings are already excluded from every total above
     val errJson =

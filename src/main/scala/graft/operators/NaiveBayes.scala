@@ -67,14 +67,28 @@ object NaiveBayes {
       groupCols: Seq[String]): DataFrame = {
     val totals = counts.agg(
       sum(col("n_p")).as("tp"), sum(col("n_n")).as("tn"))
+    // the vote is a function of the BUCKET alone, so it is computed
+    // once per count-table row (≤ B rows) and broadcast — the corpus
+    // pass pays one long coalesce per occurrence, not two decimal
+    // multiplies (measured: per-occurrence decimal arithmetic cost
+    // ~0.7 s on the declared query at sf0.1)
+    val voteExpr =
+      expr(s"""(cast(n_p + 1L as decimal(38,0)) * (tn + $buckets) * 1000000L) div
+              |(cast(n_p + 1L as decimal(38,0)) * (tn + $buckets) +
+              | cast(n_n + 1L as decimal(38,0)) * (tp + $buckets))""".stripMargin)
+    val voteTable = counts.crossJoin(broadcast(totals)) // 1-row stapler
+      .select(col("f"), voteExpr.as("q_ppm"))
+    // the unseen-bucket fallback (n_p = n_n = 0) is one constant —
+    // the pure +1/+B smoothing prior vote
+    val q0 = totals.select(
+      expr(s"""(cast(1L as decimal(38,0)) * (tn + $buckets) * 1000000L) div
+              |(cast(1L as decimal(38,0)) * (tn + $buckets) +
+              | cast(1L as decimal(38,0)) * (tp + $buckets))""".stripMargin).as("q0"))
     val vote = feats
-      .join(broadcast(counts), Seq("f"), "left")
-      .crossJoin(broadcast(totals)) // 1-row stapler
+      .join(broadcast(voteTable), Seq("f"), "left")
+      .crossJoin(broadcast(q0)) // 1-row stapler
       .select(groupCols.map(col) :+
-        expr(s"""(cast(coalesce(n_p, 0L) + 1L as decimal(38,0)) * (tn + $buckets) * 1000000L) div
-                |(cast(coalesce(n_p, 0L) + 1L as decimal(38,0)) * (tn + $buckets) +
-                | cast(coalesce(n_n, 0L) + 1L as decimal(38,0)) * (tp + $buckets))""".stripMargin)
-          .as("q_ppm"): _*)
+        coalesce(col("q_ppm"), col("q0")).as("q_ppm"): _*)
     vote.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("n_feats"),
         sum(col("q_ppm")).as("sq"))

@@ -78,11 +78,17 @@ object NgramLm {
     * joins' coalesce — the +1/+V prior, not a dropped position. */
   def score(feats: DataFrame, counts3: DataFrame, counts2: DataFrame,
       groupCols: Seq[String]): DataFrame = {
+    // the decimal numerator is a function of the trigram bucket alone:
+    // computed once per bounded count-table row and broadcast, so the
+    // corpus pass pays one decimal-by-long div per occurrence, never a
+    // per-occurrence decimal multiply (the NaiveBayes.score discipline)
+    val numTable = counts3.select(col("f3"),
+      expr("cast(n3 + 1L as decimal(38,0)) * 1000000L").as("num"))
     val vote = feats
-      .join(broadcast(counts3), Seq("f3"), "left")
+      .join(broadcast(numTable), Seq("f3"), "left")
       .join(broadcast(counts2), Seq("f2"), "left")
       .select(groupCols.map(col) :+
-        expr(s"""(cast(coalesce(n3, 0L) + 1L as decimal(38,0)) * 1000000L) div
+        expr(s"""coalesce(num, cast(1000000L as decimal(38,0))) div
                 |(coalesce(n2, 0L) + $SmoothV)""".stripMargin).as("q_ppm"): _*)
     vote.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("n_tris"),

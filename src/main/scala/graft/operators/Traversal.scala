@@ -121,9 +121,13 @@ object Traversal {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
         .cut()
-      e = e.join(keep.select(col("node").as("src")), "src")
+      // statsLeaf, not plain cut: the two keep-joins multiply size
+      // estimates, so a carried-stats cut compounds bit-length per
+      // round (the Supersteps pathology; this loop doesn't ride
+      // Supersteps because it accumulates a census frame per round)
+      e = Cuts.statsLeaf(e.join(keep.select(col("node").as("src")), "src")
         .join(keep.select(col("node").as("dst")), "dst")
-        .select(col("src"), col("dst")).cut()
+        .select(col("src"), col("dst")))
       rows += keep.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(e.agg(count(lit(1)).as("n_edges"))) // 1-row × 1-row stapler
         .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))

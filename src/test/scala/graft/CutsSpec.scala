@@ -121,6 +121,23 @@ class CutsSpec extends SparkSpec {
       s"reliable statsLeaf bits should be flat, got $durable")
   }
 
+  test("declared queries run unchanged under the reliable backend (end-to-end)") {
+    // the zero-behavior-change contract at QUERY level, not just
+    // operator level: a cut-heavy declared query (communities: LPA
+    // supersteps over the prepared graph) and the BFS census (per-round
+    // cuts of frontier + consolidated visited) produce value-identical
+    // results with every cut routed through the durable parquet backend
+    for (name <- Seq("copurchase_communities", "bfs_hop_census")) {
+      val default = graft.queries.GraphQueries.queries(name)(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      val durable = withReliable { _ =>
+        graft.queries.GraphQueries.queries(name)(spark, sfDir)
+          .collect().map(_.toSeq).toSeq
+      }
+      assert(default.nonEmpty && durable == default, s"$name diverged")
+    }
+  }
+
   test("declared k-core census is identical under the reliable backend") {
     // the deepest declared superstep consumer (checkpointEvery = 1 with
     // a convergence probe): zero behavior change across backends
