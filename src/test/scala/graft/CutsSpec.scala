@@ -84,6 +84,22 @@ class CutsSpec extends SparkSpec {
     }
   }
 
+  test("a reliable cut is self-contained: computable after its source is gone") {
+    // the durability semantics in one pin: after the cut, the frame
+    // depends ONLY on the cut artifact — delete the original input and
+    // the cut frame still computes (on a cluster this is what survives
+    // executor loss; lineage back to the source is genuinely severed,
+    // not merely cached)
+    val src = java.nio.file.Files.createTempDirectory("cuts-src").toString
+    Seq((1L, 7L), (2L, 9L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(src)
+    withReliable { _ =>
+      val cutDf = Cuts.cut(spark.read.parquet(src).filter(col("k") > 0))
+      scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+      assert(cutDf.agg(sum(col("v"))).collect()(0).getLong(0) == 16L)
+    }
+  }
+
   test("empty frames cut and read back with schema intact (reliable backend)") {
     withReliable { _ =>
       val empty = Seq((1L, "x")).toDF("k", "v").filter(col("k") < 0)
