@@ -377,6 +377,29 @@ object GraphQueries extends QueryRegistry {
         sharedBackbone(s, dir), k = 3, maxRounds = KCoreMaxRounds)
         .orderBy(col("round"))),
 
+    // the CLUSTER-DURABLE cut backend gated by the driver's oracle,
+    // not just specs (the stream_nb_replay shared-oracle precedent:
+    // different execution path, same result contract): the deepest
+    // declared superstep consumer — the converged k-core peel,
+    // checkpointEvery = 1 with a convergence probe reading every
+    // cut — re-run with EVERY lineage cut routed through the durable
+    // parquet backend (`spark.graft.checkpoint.dir`). The oracle is
+    // kcore_converged_census's SQL verbatim, so a backend that loses
+    // rows, reorders reads, or drifts schema hash-fails per round in
+    // the driver gate. The peel is eager (per-round census actions),
+    // so the conf set/restore brackets all cut traffic; the scratch
+    // store is recreated per invocation.
+    "durable_kcore_census" -> ((s, dir) => {
+      val scratch = buildPath(dir, "durable-cuts")
+      graft.sources.CollectionManager.deleteRecursively(
+        java.nio.file.Paths.get(scratch))
+      s.conf.set(graft.operators.Cuts.DirKey, scratch)
+      try graft.operators.Traversal.kCoreConvergedCensus(
+          sharedBackbone(s, dir), k = 3, maxRounds = KCoreMaxRounds)
+          .orderBy(col("round"))
+      finally s.conf.unset(graft.operators.Cuts.DirKey)
+    }),
+
     // O(batch) incremental triangle maintenance (the pq_append_audit
     // convention on the mining tier), on a realistic 90/10 split:
     // orders with l_orderkey % 10 ≠ 0 are the stored corpus, the
@@ -490,6 +513,41 @@ object GraphQueries extends QueryRegistry {
        |${iterSql("it3", "it2")}
        |SELECT node AS part_id, rank AS rank_fp FROM it3
        |ORDER BY rank_fp DESC, part_id LIMIT 20""".stripMargin
+
+  /** The converged k-core census replay — the identical 12-round
+    * unroll + trim-after-first-repeat rule as the Spark fixed-point
+    * loop; shared verbatim by kcore_converged_census and its
+    * durable-backend re-run durable_kcore_census. MATERIALIZED
+    * rounds: DuckDB inlines plain CTEs, and each peel round
+    * references its predecessor THREE times, so a 12-round
+    * unmaterialized chain explodes exponentially — materializing
+    * keeps the replay linear, exactly like the Spark side's
+    * per-round checkpoint. */
+  private lazy val kcoreConvergedSql: String = {
+    val chain = (1 to KCoreMaxRounds)
+      .map(i => peelSql(i, s"k${i - 1}", materialized = true)).mkString(",\n")
+    val rows = (1 to KCoreMaxRounds)
+      .map(i => s"UNION ALL SELECT $i, (SELECT count(*) FROM n$i), (SELECT count(*) FROM k$i)")
+      .mkString("\n  ")
+    s"""WITH $edgesSql,
+       |k0 AS (SELECT src, dst FROM e WHERE w >= 2),
+       |$chain,
+       |c AS (
+       |  SELECT CAST(0 AS BIGINT) AS round,
+       |         (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM k0) AS n_nodes,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM k0) AS n_edges
+       |  $rows),
+       |d AS (SELECT round, n_nodes, n_edges,
+       |        lag(n_nodes) OVER (ORDER BY round) AS pn,
+       |        lag(n_edges) OVER (ORDER BY round) AS pe
+       |      FROM c),
+       |stable AS (SELECT min(round) AS r FROM d
+       |           WHERE n_nodes = pn AND n_edges = pe)
+       |SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |       CAST(n_edges AS BIGINT) AS n_edges
+       |FROM c WHERE round <= coalesce((SELECT r FROM stable), $KCoreMaxRounds)
+       |ORDER BY round""".stripMargin
+  }
 
   override def oracle: Map[String, String] = Map(
     "ppr_brand_affinity" ->
@@ -637,42 +695,15 @@ object GraphQueries extends QueryRegistry {
          |  UNION ALL SELECT 4, (SELECT count(*) FROM n4), (SELECT count(*) FROM k4))
          |ORDER BY round""".stripMargin,
 
-    // the identical 12-round unroll + the identical
-    // trim-after-first-repeat rule as the Spark fixed-point loop: emit
-    // rows up to and including the first round whose census equals the
-    // previous round's (lag window), or all rounds if the cascade
-    // outlives the cap — so converged and capped runs both match
-    // NOTE the MATERIALIZED rounds: DuckDB inlines plain CTEs, and each
-    // peel round references its predecessor THREE times (n_i once, k_i
-    // twice), so a 12-round unmaterialized chain explodes into
-    // thousands of inlined lineitem scans and dies on file handles —
-    // materializing each round keeps the replay linear, exactly like
-    // the Spark side's per-round checkpoint
-    "kcore_converged_census" -> {
-      val chain = (1 to KCoreMaxRounds)
-        .map(i => peelSql(i, s"k${i - 1}", materialized = true)).mkString(",\n")
-      val rows = (1 to KCoreMaxRounds)
-        .map(i => s"UNION ALL SELECT $i, (SELECT count(*) FROM n$i), (SELECT count(*) FROM k$i)")
-        .mkString("\n  ")
-      s"""WITH $edgesSql,
-         |k0 AS (SELECT src, dst FROM e WHERE w >= 2),
-         |$chain,
-         |c AS (
-         |  SELECT CAST(0 AS BIGINT) AS round,
-         |         (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM k0) AS n_nodes,
-         |         (SELECT CAST(count(*) AS BIGINT) FROM k0) AS n_edges
-         |  $rows),
-         |d AS (SELECT round, n_nodes, n_edges,
-         |        lag(n_nodes) OVER (ORDER BY round) AS pn,
-         |        lag(n_edges) OVER (ORDER BY round) AS pe
-         |      FROM c),
-         |stable AS (SELECT min(round) AS r FROM d
-         |           WHERE n_nodes = pn AND n_edges = pe)
-         |SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes,
-         |       CAST(n_edges AS BIGINT) AS n_edges
-         |FROM c WHERE round <= coalesce((SELECT r FROM stable), $KCoreMaxRounds)
-         |ORDER BY round""".stripMargin
-    },
+    // emit rows up to and including the first round whose census
+    // equals the previous round's, or all rounds if the cascade
+    // outlives the cap — so converged and capped runs both match;
+    // see kcoreConvergedSql for the materialized-round rationale
+    "kcore_converged_census" -> kcoreConvergedSql,
+
+    // the durable-backend re-run must land the IDENTICAL census: one
+    // formula, two execution paths (the stream_nb_replay precedent)
+    "durable_kcore_census" -> kcoreConvergedSql,
 
     "copurchase_triangles" ->
       s"""WITH $edgesSql,
