@@ -22,6 +22,16 @@ import graft.operators.PageRank
 object GraphQueries extends QueryRegistry {
   import Tables._
 
+  /** HyperBall hop cap for hyperball_nf_census — one constant feeding
+    * both the Spark superstep count and the oracle's recursive-CTE
+    * depth/unnest range. */
+  private val HbHops = 4
+
+  /** Walk length / skip-gram window for randwalk_skipgram_pairs —
+    * shared by the Spark loop and the oracle's step-CTE unroll. */
+  private val RwSteps = 4
+  private val RwWindow = 2
+
   /** Co-purchase edge list (src, dst, w), both directions; w = the
     * number of ORDERS where the two parts appear together (per-order
     * (orderkey, partkey) pairs are distinct'd BEFORE the self-join, so
@@ -324,6 +334,82 @@ object GraphQueries extends QueryRegistry {
         .orderBy(col("hop"))
     }),
 
+    // HyperBall neighborhood-function census over the w≥2 backbone:
+    // per hop 0..4, every node's ball size is ESTIMATED from one
+    // 64-register HLL per node (register rows max-merged one hop per
+    // superstep — operators.HyperBall), never from materialized ball
+    // sets (Σ|ball| is quadratic on small-world graphs; register
+    // state is a hard 64-rows-per-node bound at any scale). Output
+    // per hop: exact integer register census (rows, rank sum — the
+    // bit-exact audit channel), the summed corrected-HLL estimate of
+    // Σ|ball(v,h)| (nf_est), and the effective-diameter flag
+    // (nf ≥ 90% of the hop-4 plateau). Float discipline: the per-root
+    // harmonic denominator is an EXACT integer (Σ 2^(55−r) fits a
+    // long — commutative codegen'd sum, no ordered fold needed),
+    // per-root estimates are one double division plus shared-literal
+    // lookups, and only the cross-root nf sum folds ordered —
+    // two-level over 1024 root buckets (no single collect_list ever
+    // holds n elements, the shape that survives a 100M-node graph);
+    // linear-counting ln values come from ONE Scala-computed literal
+    // table shared with the oracle so libm never runs inside either
+    // engine. The oracle
+    // materializes the exact ≤h balls (recursive CTE — affordable at
+    // oracle scale, the very thing HyperBall avoids at 100 TB) and
+    // replays registers + estimator bit-for-bit.
+    "hyperball_nf_census" -> ((s, dir) => {
+      import graft.operators.HyperBall
+      val bb = sharedBackbone(s, dir)
+      val nodes = bb.select(col("src").as("node")).distinct()
+      val perHop = HyperBall.registerHops(bb, nodes, HbHops).zipWithIndex
+        .map { case (regs, h) =>
+          val es = HyperBall.perRootDenom(regs)
+            .select(col("root"), col("nregs"), col("sumr"),
+              HyperBall.estimate(col("nregs"), col("hnum")).as("est"))
+          es.groupBy(pmod(col("root"), lit(1024L)).as("bkt"))
+            .agg(count(lit(1)).as("nr"), sum(col("nregs")).as("nn"),
+              sum(col("sumr")).as("sr"),
+              Folds.orderedSum(col("root"), col("est")).as("p"))
+            .groupBy()
+            .agg(sum(col("nr")).as("n_roots"), sum(col("nn")).as("n_reg_rows"),
+              sum(col("sr")).as("sum_rank"),
+              (round(Folds.orderedSum(col("bkt"), col("p")), 6) + 0.0)
+                .as("nf_est"))
+            .select(lit(h.toLong).as("hop"), col("n_roots").cast("long"),
+              col("n_reg_rows").cast("long"), col("sum_rank").cast("long"),
+              col("nf_est"))
+        }
+      val census = perHop.reduce(_ unionByName _)
+      val plateau = census.filter(col("hop") === HbHops.toLong)
+        .select(col("nf_est").as("nf_max"))
+      census.crossJoin(plateau) // 5-row × 1-row stapler
+        .select(col("hop"), col("n_roots"), col("n_reg_rows"),
+          col("sum_rank"), col("nf_est"),
+          (col("nf_est") >= col("nf_max") * 0.9).as("reaches_p90"))
+        .orderBy(col("hop"))
+    }),
+
+    // DeepWalk-style walk corpus → skip-gram training pairs: one
+    // deterministic hash-random walk of 4 hops from every backbone
+    // node (successor at step t = the out-neighbor minimizing the
+    // shared md5 of "rw:t:src:dst" — reproducible across engines,
+    // partitionings, and retries, so a 100-TB walk corpus needs no
+    // persisted walk table), then window-±2 (center, context) pair
+    // counts — the rows a node-embedding trainer consumes. Top-20
+    // pairs under a total order. Per step: one keyed argmin over the
+    // edge list + one src-keyed join; walk state is one row per root.
+    // The oracle unrolls the 4 steps as QUALIFY-argmin CTEs and
+    // replays the pair census bit for bit.
+    "randwalk_skipgram_pairs" -> ((s, dir) => {
+      import graft.operators.Walks
+      val bb = sharedBackbone(s, dir)
+      val nodes = bb.select(col("src").as("node")).distinct()
+      val pos = Walks.walkPositions(bb, nodes, RwSteps)
+      Walks.skipGramPairs(pos, RwWindow)
+        .orderBy(col("cnt").desc, col("ctr"), col("ctx"))
+        .limit(20)
+        .select(col("ctr"), col("ctx"), col("cnt").cast("long"))
+    }),
+
     // cheapest co-purchase path costs from Brand#13's parts: edge cost
     // = 1000000 div w (inverse co-order frequency, exact fixed-point —
     // strong ties are cheap), 3 synchronous min-plus relaxations
@@ -472,6 +558,14 @@ object GraphQueries extends QueryRegistry {
       |  FROM op a JOIN op b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** One walk-successor CTE: step t's hash-minimal out-neighbor per
+    * src (the QUALIFY mirror of Walks.successors' min_by). */
+  private def rwStepSql(t: Int): String =
+    s"""s$t AS (SELECT src, dst AS nxt FROM bb
+       |        QUALIFY row_number() OVER (PARTITION BY src ORDER BY
+       |          CAST(('0x'||substr(md5('rw:$t:'||CAST(src AS VARCHAR)||':'||CAST(dst AS VARCHAR)),1,15)) AS BIGINT),
+       |          dst) = 1)""".stripMargin
 
   /** One unrolled integer-PageRank iteration reading ranks from `prev`. */
   private def iterSql(name: String, prev: String): String =
@@ -663,6 +757,84 @@ object GraphQueries extends QueryRegistry {
          |       min(node) AS min_part, max(node) AS max_part,
          |       CAST(sum(node) AS BIGINT) AS sum_parts
          |FROM alln GROUP BY hop ORDER BY hop""".stripMargin,
+
+    // exact replay of the HyperBall registers: materialize the true
+    // ≤h balls (recursive CTE — the quadratic thing the Spark side
+    // never builds), take per-(root, bucket) max rank over members,
+    // then the identical two-level ordered estimator fold with the
+    // SAME Scala-rendered linear-count literals
+    "hyperball_nf_census" ->
+      s"""WITH RECURSIVE $edgesSql,
+         |bb AS (SELECT src, dst FROM e WHERE w >= 2),
+         |nodes AS (SELECT DISTINCT src AS node FROM bb),
+         |hx AS (SELECT node,
+         |         CAST(('0x'||substr(md5('hb:'||CAST(node AS VARCHAR)),1,15)) AS BIGINT) AS h
+         |       FROM nodes),
+         |reg0 AS (SELECT node, h % 64 AS b,
+         |           CASE WHEN (h >> 6) = 0 THEN 55
+         |                ELSE 55 - length(bin(h >> 6)) END AS r
+         |         FROM hx),
+         |reach AS (SELECT node AS root, node AS member, 0 AS d FROM nodes
+         |          UNION
+         |          SELECT reach.root, bb.dst, reach.d + 1
+         |          FROM reach JOIN bb ON bb.src = reach.member
+         |          WHERE reach.d < $HbHops),
+         |md AS (SELECT root, member, min(d) AS md FROM reach GROUP BY 1, 2),
+         |hops AS (SELECT unnest(range(${HbHops + 1})) AS hop),
+         |regs AS (SELECT hops.hop, md.root, reg0.b, max(reg0.r) AS r
+         |         FROM hops JOIN md ON md.md <= hops.hop
+         |         JOIN reg0 ON reg0.node = md.member
+         |         GROUP BY 1, 2, 3),
+         |pr AS (SELECT hop, root, count(*) AS nregs, sum(r) AS sumr,
+         |         sum(CAST(1 AS BIGINT) << CAST(55 - r AS INT)) AS hnum
+         |       FROM regs GROUP BY 1, 2),
+         |es AS (SELECT hop, root, nregs, sumr,
+         |         CASE WHEN ${graft.operators.HyperBall.rawNumSql}
+         |                     / CAST(hnum + (64 - nregs) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) <= 160.0
+         |                   AND nregs < 64
+         |              THEN ${graft.operators.HyperBall.linearTableSql}[CAST(64 - nregs AS INT)]
+         |              ELSE ${graft.operators.HyperBall.rawNumSql}
+         |                     / CAST(hnum + (64 - nregs) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) END AS est
+         |       FROM pr),
+         |eb AS (SELECT hop, root % 1024 AS bkt, count(*) AS nr,
+         |         sum(nregs) AS nn, sum(sumr) AS sr,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list(est ORDER BY root)), (a, x) -> a + x) AS p
+         |       FROM es GROUP BY 1, 2),
+         |ch AS (SELECT hop, CAST(sum(nr) AS BIGINT) AS n_roots,
+         |         CAST(sum(nn) AS BIGINT) AS n_reg_rows,
+         |         CAST(sum(sr) AS BIGINT) AS sum_rank,
+         |         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list(p ORDER BY bkt)), (a, x) -> a + x), 6) + 0.0 AS nf_est
+         |       FROM eb GROUP BY hop),
+         |mx AS (SELECT nf_est AS nf_max FROM ch WHERE hop = $HbHops)
+         |SELECT CAST(hop AS BIGINT) AS hop, n_roots, n_reg_rows, sum_rank,
+         |       nf_est, nf_est >= nf_max * 0.9 AS reaches_p90
+         |FROM ch, mx ORDER BY hop""".stripMargin,
+
+    // the walk unrolled step by step: per-step QUALIFY argmin mirrors
+    // Spark's min_by(dst, (h, dst)); the pair census is the same
+    // root-keyed window self-join
+    "randwalk_skipgram_pairs" -> {
+      val stepCtes = (1 to RwSteps).map(rwStepSql).mkString(",\n")
+      val walkCtes = (1 to RwSteps).map { t =>
+        s"""w$t AS (SELECT w${t - 1}.root, CAST($t AS BIGINT) AS step, s$t.nxt AS cur
+           |        FROM w${t - 1} JOIN s$t ON s$t.src = w${t - 1}.cur)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (0 to RwSteps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
+      s"""WITH $edgesSql,
+         |bb AS (SELECT src, dst FROM e WHERE w >= 2),
+         |nodes AS (SELECT DISTINCT src AS node FROM bb),
+         |$stepCtes,
+         |w0 AS (SELECT node AS root, CAST(0 AS BIGINT) AS step, node AS cur FROM nodes),
+         |$walkCtes,
+         |p AS ($unionAll)
+         |SELECT a.cur AS ctr, b.cur AS ctx, CAST(count(*) AS BIGINT) AS cnt
+         |FROM p a JOIN p b
+         |  ON a.root = b.root AND a.step <> b.step
+         |  AND abs(a.step - b.step) <= $RwWindow
+         |GROUP BY 1, 2 ORDER BY cnt DESC, ctr, ctx LIMIT 20""".stripMargin
+    },
 
     "sssp_brand_cost" ->
       s"""WITH $edgesSql,
