@@ -113,15 +113,54 @@ object HyperBall {
     var regs = Cuts.cut(registers0(nodes))
     val out = scala.collection.mutable.ArrayBuffer(regs)
     for (_ <- 1 to maxHops) {
-      // B(src, h) = B(src, h−1) ∪ ⋃_{src→dst} B(dst, h−1)
-      val absorbed = edges.join(regs, edges("dst") === regs("root"))
-        .select(edges("src").as("root"), col("b"), col("r"))
-      regs = Cuts.cut(
-        absorbed.unionByName(regs.select(col("root"), col("b"), col("r")))
-          .groupBy(col("root"), col("b")).agg(max(col("r")).as("r")))
+      regs = Cuts.cut(step(edges, regs))
       out += regs
     }
     out.toSeq
+  }
+
+  /** One absorption superstep:
+    * B(src, h) = B(src, h−1) ∪ ⋃_{src→dst} B(dst, h−1). */
+  private def step(edges: DataFrame, regs: DataFrame): DataFrame = {
+    val absorbed = edges.join(regs, edges("dst") === regs("root"))
+      .select(edges("src").as("root"), col("b"), col("r"))
+    absorbed.unionByName(regs.select(col("root"), col("b"), col("r")))
+      .groupBy(col("root"), col("b")).agg(max(col("r")).as("r"))
+  }
+
+  /** Absorption supersteps run TO THE FIXED POINT (capped at
+    * `maxRounds`) — converged registers summarize each root's full
+    * REACHABLE set (= its connected component on a both-direction
+    * edge list). The convergence probe is an exact integer
+    * certificate: registers only appear or grow under max-merge, so
+    * the (row count, Σr) pair strictly increases unless the state is
+    * identical — a repeat certifies the true fixed point, and because
+    * the state is a monotone lattice, convergence from ANY
+    * intermediate state (e.g. registers maintained across streaming
+    * ticks as edges arrive) lands on the SAME fixed point — the
+    * semi-naive incremental evaluation that makes streaming reach
+    * maintenance exact AND re-delivery-idempotent even after the
+    * state was already applied. */
+  def converge(edges: DataFrame, regs0: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var regs = Cuts.cut(regs0)
+    var cert = certOf(regs)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val nxt = Cuts.cut(step(edges, regs))
+      val c2 = certOf(nxt)
+      if (c2 == cert) done = true // equal state — keep regs
+      else { regs = nxt; cert = c2 }
+      round += 1
+    }
+    regs
+  }
+
+  /** The integer fixed-point certificate: (register rows, Σ rank). */
+  private def certOf(regs: DataFrame): (Long, Long) = {
+    val row = regs.agg(count(lit(1)), sum(col("r"))).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
   /** Per-root estimator inputs from one hop's merged registers:

@@ -100,6 +100,41 @@ object GraphQueries extends QueryRegistry {
       bb
     }
 
+  /** Converged reach registers over the backbone, memoized per
+    * (session, dir) — the fixed point is a build-once artifact like
+    * the prepared graph itself (the cut frames [[graft.operators.Cuts]]
+    * produces are already materialized, so the memo hands every
+    * consumer the same converged state). */
+  private[queries] def convergedReachRegs(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "reach-converged") {
+      val bb = sharedBackbone(s, dir)
+      val nodes = bb.select(col("src").as("node")).distinct()
+      graft.operators.HyperBall.converge(
+        bb, graft.operators.HyperBall.registers0(nodes), maxRounds = 64)
+    }
+
+  /** Register-count histogram census over a register frame — shared
+    * by reach_converged_census and the streaming replay's serve side
+    * (one formula, two replays). Integer channels are commutative
+    * sums; the per-group nf estimate folds ordered two-level (1024
+    * root buckets → bucket order). */
+  private[queries] def reachCensus(regs: DataFrame): DataFrame = {
+    import graft.operators.HyperBall
+    val es = HyperBall.perRootDenom(regs)
+      .select(col("root"), col("nregs"), col("sumr"),
+        HyperBall.estimate(col("nregs"), col("hnum")).as("est"))
+    es.groupBy(col("nregs"), pmod(col("root"), lit(1024L)).as("bkt"))
+      .agg(count(lit(1)).as("nr"), sum(col("sumr")).as("sr"),
+        Folds.orderedSum(col("root"), col("est")).as("p"))
+      .groupBy(col("nregs"))
+      .agg(sum(col("nr")).as("n_roots"), sum(col("sr")).as("sum_rank"),
+        (round(Folds.orderedSum(col("bkt"), col("p")), 6) + 0.0).as("nf_est"))
+      .select(col("nregs").cast("long").as("n_regs"),
+        col("n_roots").cast("long"), col("sum_rank").cast("long"),
+        col("nf_est"))
+      .orderBy(col("n_regs"))
+  }
+
   /** O(batch) incremental edge append — the graph tier joins
     * LSH/IVF/PQ/HNSW in taking batch maintenance without a corpus
     * rebuild (the r10 verdict's missing piece). Pairs are order-local
@@ -388,6 +423,21 @@ object GraphQueries extends QueryRegistry {
         .orderBy(col("hop"))
     }),
 
+    // converged-reach register census: HyperBall's absorption
+    // supersteps run TO THEIR FIXED POINT (exact integer certificate —
+    // registers only appear or grow, so a repeated (rows, Σr) pair IS
+    // the fixed point), where each root's registers summarize its
+    // whole connected component. Output = the register-count
+    // histogram over roots (n_regs, n_roots, sum_rank, nf_est) —
+    // component-size structure read off bounded sketch state, never
+    // off materialized component sets. The same lattice monotonicity
+    // makes the streaming twin (stream_reach_replay) exact and
+    // re-delivery-idempotent from maintained state. Oracle: connected
+    // reach via unbounded recursive CTE + per-(root, bucket) max —
+    // converged registers ARE the per-component register merge.
+    "reach_converged_census" -> ((s, dir) =>
+      reachCensus(convergedReachRegs(s, dir))),
+
     // DeepWalk-style walk corpus → skip-gram training pairs: one
     // deterministic hash-random walk of 4 hops from every backbone
     // node (successor at step t = the out-neighbor minimizing the
@@ -558,6 +608,61 @@ object GraphQueries extends QueryRegistry {
       |  FROM op a JOIN op b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared register-derivation CTEs (nodes → hx → reg0): the DuckDB
+    * mirror of HyperBall.registers0's md5/rank chain, used by both
+    * register oracles. */
+  private val hbRegSql =
+    """hx AS (SELECT node,
+      |         CAST(('0x'||substr(md5('hb:'||CAST(node AS VARCHAR)),1,15)) AS BIGINT) AS h
+      |       FROM nodes),
+      |reg0 AS (SELECT node, h % 64 AS b,
+      |           CASE WHEN (h >> 6) = 0 THEN 55
+      |                ELSE 55 - length(bin(h >> 6)) END AS r
+      |         FROM hx)""".stripMargin
+
+  /** The corrected-estimate CASE over (nregs, hnum) — the DuckDB
+    * mirror of HyperBall.estimate, Scala-rendered literals included. */
+  private def hbEstSql: String =
+    s"""CASE WHEN ${graft.operators.HyperBall.rawNumSql}
+       |            / CAST(hnum + (64 - nregs) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) <= 160.0
+       |          AND nregs < 64
+       |     THEN ${graft.operators.HyperBall.linearTableSql}[CAST(64 - nregs AS INT)]
+       |     ELSE ${graft.operators.HyperBall.rawNumSql}
+       |            / CAST(hnum + (64 - nregs) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) END""".stripMargin
+
+  /** Converged-reach census replay: connected reach (unbounded
+    * recursive CTE) + per-(root, bucket) max — per-component register
+    * merge — then the identical histogram + estimator fold. Shared by
+    * reach_converged_census and stream_reach_replay (one formula, two
+    * replays — the stream_hll precedent). */
+  private[queries] lazy val reachConvergedSql: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |bb AS (SELECT src, dst FROM e WHERE w >= 2),
+       |nodes AS (SELECT DISTINCT src AS node FROM bb),
+       |$hbRegSql,
+       |reach AS (SELECT node AS root, node AS member FROM nodes
+       |          UNION
+       |          SELECT reach.root, bb.dst
+       |          FROM reach JOIN bb ON bb.src = reach.member),
+       |regs AS (SELECT reach.root, reg0.b, max(reg0.r) AS r
+       |         FROM reach JOIN reg0 ON reg0.node = reach.member
+       |         GROUP BY 1, 2),
+       |pr AS (SELECT root, count(*) AS nregs, sum(r) AS sumr,
+       |         sum(CAST(1 AS BIGINT) << CAST(55 - r AS INT)) AS hnum
+       |       FROM regs GROUP BY 1),
+       |es AS (SELECT root, nregs, sumr, $hbEstSql AS est FROM pr),
+       |eb AS (SELECT nregs, root % 1024 AS bkt, count(*) AS nr,
+       |         sum(sumr) AS sr,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list(est ORDER BY root)), (a, x) -> a + x) AS p
+       |       FROM es GROUP BY 1, 2)
+       |SELECT CAST(nregs AS BIGINT) AS n_regs,
+       |       CAST(sum(nr) AS BIGINT) AS n_roots,
+       |       CAST(sum(sr) AS BIGINT) AS sum_rank,
+       |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list(p ORDER BY bkt)), (a, x) -> a + x), 6) + 0.0 AS nf_est
+       |FROM eb GROUP BY nregs ORDER BY n_regs""".stripMargin
 
   /** One walk-successor CTE: step t's hash-minimal out-neighbor per
     * src (the QUALIFY mirror of Walks.successors' min_by). */
@@ -767,13 +872,7 @@ object GraphQueries extends QueryRegistry {
       s"""WITH RECURSIVE $edgesSql,
          |bb AS (SELECT src, dst FROM e WHERE w >= 2),
          |nodes AS (SELECT DISTINCT src AS node FROM bb),
-         |hx AS (SELECT node,
-         |         CAST(('0x'||substr(md5('hb:'||CAST(node AS VARCHAR)),1,15)) AS BIGINT) AS h
-         |       FROM nodes),
-         |reg0 AS (SELECT node, h % 64 AS b,
-         |           CASE WHEN (h >> 6) = 0 THEN 55
-         |                ELSE 55 - length(bin(h >> 6)) END AS r
-         |         FROM hx),
+         |$hbRegSql,
          |reach AS (SELECT node AS root, node AS member, 0 AS d FROM nodes
          |          UNION
          |          SELECT reach.root, bb.dst, reach.d + 1
@@ -788,14 +887,7 @@ object GraphQueries extends QueryRegistry {
          |pr AS (SELECT hop, root, count(*) AS nregs, sum(r) AS sumr,
          |         sum(CAST(1 AS BIGINT) << CAST(55 - r AS INT)) AS hnum
          |       FROM regs GROUP BY 1, 2),
-         |es AS (SELECT hop, root, nregs, sumr,
-         |         CASE WHEN ${graft.operators.HyperBall.rawNumSql}
-         |                     / CAST(hnum + (64 - nregs) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) <= 160.0
-         |                   AND nregs < 64
-         |              THEN ${graft.operators.HyperBall.linearTableSql}[CAST(64 - nregs AS INT)]
-         |              ELSE ${graft.operators.HyperBall.rawNumSql}
-         |                     / CAST(hnum + (64 - nregs) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) END AS est
-         |       FROM pr),
+         |es AS (SELECT hop, root, nregs, sumr, $hbEstSql AS est FROM pr),
          |eb AS (SELECT hop, root % 1024 AS bkt, count(*) AS nr,
          |         sum(nregs) AS nn, sum(sumr) AS sr,
          |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -811,6 +903,8 @@ object GraphQueries extends QueryRegistry {
          |SELECT CAST(hop AS BIGINT) AS hop, n_roots, n_reg_rows, sum_rank,
          |       nf_est, nf_est >= nf_max * 0.9 AS reaches_p90
          |FROM ch, mx ORDER BY hop""".stripMargin,
+
+    "reach_converged_census" -> reachConvergedSql,
 
     // the walk unrolled step by step: per-step QUALIFY argmin mirrors
     // Spark's min_by(dst, (h, dst)); the pair census is the same

@@ -540,6 +540,25 @@ object StreamQueries extends QueryRegistry {
         .limit(30)
     }),
 
+    // FOURTEENTH replay: streaming REACH maintenance — converged
+    // HyperBall registers kept fresh as whole-order edge batches land.
+    // Each tick overwrites its batchId-keyed edge increment, derives
+    // the CURRENT w≥2 backbone from the merged store, and re-converges
+    // the register store FROM ITS MAINTAINED STATE (seed = stored
+    // registers max-merged with hop-0 registers of the current node
+    // set). Register state is a monotone lattice and the backbone only
+    // gains edges under whole-order additivity, so converging from any
+    // maintained intermediate state lands on the same fixed point as a
+    // from-scratch build — the semi-naive incremental evaluation that
+    // makes each tick O(newly-opened absorption paths), and makes
+    // re-delivery idempotent even AFTER the state was applied (a
+    // retried tick re-converges already-converged state: zero rounds,
+    // identical overwrite). Serve = the shared register-histogram
+    // census; oracle = reach_converged_census's from-scratch connected
+    // reach replay VERBATIM.
+    "stream_reach_replay" -> ((s, dir) =>
+      GraphQueries.reachCensus(s.read.parquet(reachStreamReplay(s, dir)))),
+
     // NINTH replay: streaming GRAPH maintenance — each micro-batch of
     // lineitem rows (whole orders per batch) lands its order-local
     // co-purchase edge increment in a durable store via foreachBatch;
@@ -842,6 +861,63 @@ object StreamQueries extends QueryRegistry {
       .agg(sum(col("w")).as("w"))
   }
 
+  /** The streaming-maintained converged register store (memoized per
+    * session/dir); returns the store path the serve-side census
+    * reads. */
+  private def reachStreamReplay(s: SparkSession, dir: String): String =
+    SharedBuilds.of(s, dir, "stream-reach") {
+      reachStreamReplayCore(s, dir, reset = true)
+    }
+
+  /** One full streaming pass of the reach-maintenance ticks.
+    * `reset = false` keeps stores + inputs and clears only the
+    * checkpoint, forcing a full re-delivery; StreamReplaySpec pins
+    * that the re-delivered register store is value-identical (the
+    * lattice idempotence claimed above). The converge input is cut
+    * (materialized) before the store overwrite, so the tick never
+    * reads the files it is replacing. */
+  private[graft] def reachStreamReplayCore(s: SparkSession, dir: String,
+      reset: Boolean): String = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edgeStore = buildPath(dir, "stream-reach-edges")
+    val regStore = buildPath(dir, "stream-reach-regs")
+    val in = buildPath(dir, "stream-reach-in")
+    val ckpt = buildPath(dir, "stream-reach-ckpt")
+    if (reset) {
+      rmrf(edgeStore, regStore, in, ckpt)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      (0 until 3).foreach { i =>
+        writeMtimed(dir, in, f"$i%02d-lineitem",
+          li.filter(col("l_orderkey") % 3 === i),
+          1700000000000L + i * 100000L)
+      }
+    } else rmrf(ckpt)
+    val q = s.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        GraphQueries.edgesOf(batch)
+          .write.mode("overwrite").parquet(s"$edgeStore/batch=$id")
+        val bb = s.read.parquet(edgeStore)
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+          .filter(col("w") >= 2).select(col("src"), col("dst"))
+        val nodes = bb.select(col("src").as("node")).distinct()
+        val seed0 = graft.operators.HyperBall.registers0(nodes)
+        val seed =
+          if (!new java.io.File(regStore).exists()) seed0
+          else seed0.unionByName(s.read.parquet(regStore))
+            .groupBy(col("root"), col("b")).agg(max(col("r")).as("r"))
+        graft.operators.HyperBall.converge(bb, seed, maxRounds = 64)
+          .write.mode("overwrite").parquet(regStore)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    regStore
+  }
+
   /** Three mtime-ordered whole-order lineitem batches through
     * foreachBatch, each landing its edge increment AND its gained-
     * triangle count (vs the prefix store) in batchId-keyed partitions;
@@ -1128,6 +1204,11 @@ object StreamQueries extends QueryRegistry {
     // train+score replay verbatim (one formula, two replays — the
     // stream_hll_replay precedent)
     "stream_nb_replay" -> PipelineQueries.oracle("nb_quality_score"),
+
+    // the maintained register store must census EXACTLY like the
+    // from-scratch converged build: the oracle is
+    // reach_converged_census's connected-reach replay verbatim
+    "stream_reach_replay" -> GraphQueries.reachConvergedSql,
 
     // the full from-scratch edge build + PageRank replay: green means
     // the streaming-maintained edge store ranks identically to a

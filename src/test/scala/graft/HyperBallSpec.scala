@@ -79,6 +79,50 @@ class HyperBallSpec extends SparkSpec {
     assert(at3 == at5)
   }
 
+  test("converge equals the per-component exact register merge, incl. disconnected graphs") {
+    for (trial <- 1 to 3) {
+      // two disjoint seeded clusters + isolated-pair edges: several
+      // components of different sizes, so the fixed point is NOT one
+      // global merge
+      val a = seededGraph(11 + trial, 10, 0.4)
+      val b = seededGraph(50 + trial, 8, 0.5).map { case (s, d) => (s + 100, d + 100) }
+      val c = Vector((200L, 201L), (201L, 200L), (300L, 301L), (301L, 300L))
+      val edges = a ++ b ++ c
+      val nodeIds = edges.map(_._1).distinct.sorted
+      // exact components via union-find over the replica adjacency
+      val parent = scala.collection.mutable.Map(nodeIds.map(v => v -> v): _*)
+      def find(v: Long): Long = if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+      edges.foreach { case (s, d) => parent(find(s)) = find(d) }
+      val comp = nodeIds.groupBy(find)
+      val want = comp.values.flatMap { members =>
+        val merged = members.map(regOf).groupBy(_._1)
+          .map { case (bk, rs) => bk -> rs.map(_._2).max }
+        members.flatMap(root => merged.map { case (bk, r) => (root, bk, r) })
+      }.toSet
+      val got = HyperBall.converge(edges.toDF("src", "dst"),
+          HyperBall.registers0(nodeIds.toDF("node")), maxRounds = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("converge from an intermediate maintained state reaches the same fixed point") {
+    val edges = seededGraph(31, 25, 0.12)
+    val nodeIds = edges.map(_._1).distinct.sorted
+    val nodes = nodeIds.toDF("node")
+    val full = HyperBall.converge(edges.toDF("src", "dst"),
+        HyperBall.registers0(nodes), maxRounds = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // maintained state: converged over HALF the edges (a valid
+    // intermediate lattice point), then re-converged with all edges
+    val half = edges.take(edges.length / 2) ++ edges.take(edges.length / 2).map(_.swap)
+    val partial = HyperBall.converge(half.distinct.toDF("src", "dst"),
+      HyperBall.registers0(nodes), maxRounds = 64)
+    val resumed = HyperBall.converge(edges.toDF("src", "dst"), partial, maxRounds = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(resumed == full)
+  }
+
   test("summed corrected estimate tracks exact Σ|ball| within 30% on a 300-node graph") {
     val edges = seededGraph(99, 300, 0.012)
     val nodeIds = edges.map(_._1).distinct.sorted

@@ -257,6 +257,25 @@ class StreamReplaySpec extends SparkSpec {
     assert(second == first, "re-delivered batches must rewrite, not re-append")
   }
 
+  test("stream_reach_replay: re-delivery from APPLIED state lands on the same fixed point") {
+    // pass 1: fresh stores; pass 2: same inputs, edge AND register
+    // stores already applied, checkpoint cleared — every re-delivered
+    // tick re-converges already-converged state (the lattice
+    // idempotence claim: monotone max-merge from any intermediate
+    // state reaches the same fixed point), so the register store must
+    // be value-identical, not just census-identical.
+    val store1 = graft.queries.StreamQueries
+      .reachStreamReplayCore(spark, sfDir, reset = true)
+    val first = spark.read.parquet(store1)
+      .collect().map(_.toSeq).toSet
+    val store2 = graft.queries.StreamQueries
+      .reachStreamReplayCore(spark, sfDir, reset = false)
+    val second = spark.read.parquet(store2)
+      .collect().map(_.toSeq).toSet
+    assert(first.nonEmpty)
+    assert(second == first, "re-converged register store must be identical")
+  }
+
   test("stream_nb_replay: a full re-delivery leaves the merged count table invariant") {
     // NB counts are ADDITIVE (unlike HLL's idempotent max), so
     // at-least-once delivery would double-count under a naive append
