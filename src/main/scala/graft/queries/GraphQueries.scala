@@ -100,6 +100,30 @@ object GraphQueries extends QueryRegistry {
       bb
     }
 
+  /** Per-hop HyperBall register frames 0..HbHops over the backbone,
+    * memoized per (session, dir): the supersteps run once and every
+    * register consumer (nf census, harmonic centrality) reads the
+    * same cut frames — the build-once/probe-many discipline of the
+    * index stores applied to sketch state. */
+  private def hyperballRegHops(s: SparkSession, dir: String): Seq[DataFrame] =
+    SharedBuilds.of(s, dir, "hyperball-regs") {
+      val bb = sharedBackbone(s, dir)
+      val nodes = bb.select(col("src").as("node")).distinct()
+      graft.operators.HyperBall.registerHops(bb, nodes, HbHops)
+    }
+
+  /** Per-(hop, root) corrected estimates from the memoized register
+    * frames — the shared input of the nf census and the harmonic
+    * centrality top-k. */
+  private def hyperballEstByHop(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HyperBall
+    hyperballRegHops(s, dir).zipWithIndex.map { case (regs, h) =>
+      HyperBall.perRootDenom(regs)
+        .select(col("root"), lit(h.toLong).as("hop"), col("nregs"),
+          col("sumr"), HyperBall.estimate(col("nregs"), col("hnum")).as("est"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Converged reach registers over the backbone, memoized per
     * (session, dir) — the fixed point is a build-once artifact like
     * the prepared graph itself (the cut frames [[graft.operators.Cuts]]
@@ -392,28 +416,18 @@ object GraphQueries extends QueryRegistry {
     // oracle scale, the very thing HyperBall avoids at 100 TB) and
     // replays registers + estimator bit-for-bit.
     "hyperball_nf_census" -> ((s, dir) => {
-      import graft.operators.HyperBall
-      val bb = sharedBackbone(s, dir)
-      val nodes = bb.select(col("src").as("node")).distinct()
-      val perHop = HyperBall.registerHops(bb, nodes, HbHops).zipWithIndex
-        .map { case (regs, h) =>
-          val es = HyperBall.perRootDenom(regs)
-            .select(col("root"), col("nregs"), col("sumr"),
-              HyperBall.estimate(col("nregs"), col("hnum")).as("est"))
-          es.groupBy(pmod(col("root"), lit(1024L)).as("bkt"))
-            .agg(count(lit(1)).as("nr"), sum(col("nregs")).as("nn"),
-              sum(col("sumr")).as("sr"),
-              Folds.orderedSum(col("root"), col("est")).as("p"))
-            .groupBy()
-            .agg(sum(col("nr")).as("n_roots"), sum(col("nn")).as("n_reg_rows"),
-              sum(col("sr")).as("sum_rank"),
-              (round(Folds.orderedSum(col("bkt"), col("p")), 6) + 0.0)
-                .as("nf_est"))
-            .select(lit(h.toLong).as("hop"), col("n_roots").cast("long"),
-              col("n_reg_rows").cast("long"), col("sum_rank").cast("long"),
-              col("nf_est"))
-        }
-      val census = perHop.reduce(_ unionByName _)
+      val es = hyperballEstByHop(s, dir)
+      val census = es
+        .groupBy(col("hop"), pmod(col("root"), lit(1024L)).as("bkt"))
+        .agg(count(lit(1)).as("nr"), sum(col("nregs")).as("nn"),
+          sum(col("sumr")).as("sr"),
+          Folds.orderedSum(col("root"), col("est")).as("p"))
+        .groupBy(col("hop"))
+        .agg(sum(col("nr")).cast("long").as("n_roots"),
+          sum(col("nn")).cast("long").as("n_reg_rows"),
+          sum(col("sr")).cast("long").as("sum_rank"),
+          (round(Folds.orderedSum(col("bkt"), col("p")), 6) + 0.0)
+            .as("nf_est"))
       val plateau = census.filter(col("hop") === HbHops.toLong)
         .select(col("nf_est").as("nf_max"))
       census.crossJoin(plateau) // 5-row × 1-row stapler
@@ -421,6 +435,33 @@ object GraphQueries extends QueryRegistry {
           col("sum_rank"), col("nf_est"),
           (col("nf_est") >= col("nf_max") * 0.9).as("reaches_p90"))
         .orderBy(col("hop"))
+    }),
+
+    // harmonic centrality — HyperBall's flagship application (Boldi &
+    // Vigna 2013 §1): H(v) = Σ_u 1/d(v,u), estimated within the 4-hop
+    // horizon as Σ_h (NF_v(h) − NF_v(h−1))/h off the SAME memoized
+    // register frames as the nf census (distances beyond the cap
+    // contribute ≤ 1/5 each and are truncated — stated, not hidden).
+    // Top-10 most-central parts: the "which items sit closest to the
+    // whole catalog" signal a recommender reads off reach, computed
+    // without ever materializing a distance matrix. The 4-term
+    // per-root sum folds in hop order (deterministic), ordering is on
+    // the identical-bits double, and the oracle replays estimator and
+    // window-lag arithmetic exactly.
+    "hyperball_harmonic_top10" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("root")).orderBy(col("hop"))
+      val tm = hyperballEstByHop(s, dir)
+        .withColumn("prev", lag(col("est"), 1).over(w))
+        .filter(col("hop") >= 1)
+        .select(col("root"), col("hop"),
+          ((col("est") - col("prev")) / col("hop")).as("term"))
+      tm.groupBy(col("root"))
+        .agg(Folds.orderedSum(col("hop"), col("term")).as("c"))
+        .orderBy(col("c").desc, col("root"))
+        .limit(10)
+        .select(col("root").as("node"),
+          (round(col("c"), 6) + 0.0).as("harmonic_c"))
     }),
 
     // converged-reach register census: HyperBall's absorption
@@ -630,6 +671,31 @@ object GraphQueries extends QueryRegistry {
        |     THEN ${graft.operators.HyperBall.linearTableSql}[CAST(64 - nregs AS INT)]
        |     ELSE ${graft.operators.HyperBall.rawNumSql}
        |            / CAST(hnum + (64 - nregs) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) END""".stripMargin
+
+  /** Shared per-(hop, root) estimate chain (backbone → registers →
+    * exact ≤h balls → merged registers → corrected estimates), ending
+    * in CTE `es(hop, root, nregs, sumr, est)` — the DuckDB mirror of
+    * [[hyperballEstByHop]], used by both the nf census and the
+    * harmonic-centrality oracle. */
+  private lazy val hbEsByHopSql: String =
+    s"""bb AS (SELECT src, dst FROM e WHERE w >= 2),
+       |nodes AS (SELECT DISTINCT src AS node FROM bb),
+       |$hbRegSql,
+       |reach AS (SELECT node AS root, node AS member, 0 AS d FROM nodes
+       |          UNION
+       |          SELECT reach.root, bb.dst, reach.d + 1
+       |          FROM reach JOIN bb ON bb.src = reach.member
+       |          WHERE reach.d < $HbHops),
+       |md AS (SELECT root, member, min(d) AS md FROM reach GROUP BY 1, 2),
+       |hops AS (SELECT unnest(range(${HbHops + 1})) AS hop),
+       |regs AS (SELECT hops.hop, md.root, reg0.b, max(reg0.r) AS r
+       |         FROM hops JOIN md ON md.md <= hops.hop
+       |         JOIN reg0 ON reg0.node = md.member
+       |         GROUP BY 1, 2, 3),
+       |pr AS (SELECT hop, root, count(*) AS nregs, sum(r) AS sumr,
+       |         sum(CAST(1 AS BIGINT) << CAST(55 - r AS INT)) AS hnum
+       |       FROM regs GROUP BY 1, 2),
+       |es AS (SELECT hop, root, nregs, sumr, $hbEstSql AS est FROM pr)""".stripMargin
 
   /** Converged-reach census replay: connected reach (unbounded
     * recursive CTE) + per-(root, bucket) max — per-component register
@@ -870,24 +936,7 @@ object GraphQueries extends QueryRegistry {
     // SAME Scala-rendered linear-count literals
     "hyperball_nf_census" ->
       s"""WITH RECURSIVE $edgesSql,
-         |bb AS (SELECT src, dst FROM e WHERE w >= 2),
-         |nodes AS (SELECT DISTINCT src AS node FROM bb),
-         |$hbRegSql,
-         |reach AS (SELECT node AS root, node AS member, 0 AS d FROM nodes
-         |          UNION
-         |          SELECT reach.root, bb.dst, reach.d + 1
-         |          FROM reach JOIN bb ON bb.src = reach.member
-         |          WHERE reach.d < $HbHops),
-         |md AS (SELECT root, member, min(d) AS md FROM reach GROUP BY 1, 2),
-         |hops AS (SELECT unnest(range(${HbHops + 1})) AS hop),
-         |regs AS (SELECT hops.hop, md.root, reg0.b, max(reg0.r) AS r
-         |         FROM hops JOIN md ON md.md <= hops.hop
-         |         JOIN reg0 ON reg0.node = md.member
-         |         GROUP BY 1, 2, 3),
-         |pr AS (SELECT hop, root, count(*) AS nregs, sum(r) AS sumr,
-         |         sum(CAST(1 AS BIGINT) << CAST(55 - r AS INT)) AS hnum
-         |       FROM regs GROUP BY 1, 2),
-         |es AS (SELECT hop, root, nregs, sumr, $hbEstSql AS est FROM pr),
+         |$hbEsByHopSql,
          |eb AS (SELECT hop, root % 1024 AS bkt, count(*) AS nr,
          |         sum(nregs) AS nn, sum(sumr) AS sr,
          |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -903,6 +952,20 @@ object GraphQueries extends QueryRegistry {
          |SELECT CAST(hop AS BIGINT) AS hop, n_roots, n_reg_rows, sum_rank,
          |       nf_est, nf_est >= nf_max * 0.9 AS reaches_p90
          |FROM ch, mx ORDER BY hop""".stripMargin,
+
+    // the identical estimator chain, then the window-lag hop
+    // differences and the hop-ordered per-root fold
+    "hyperball_harmonic_top10" ->
+      s"""WITH RECURSIVE $edgesSql,
+         |$hbEsByHopSql,
+         |tm AS (SELECT root, hop,
+         |         (est - lag(est) OVER (PARTITION BY root ORDER BY hop)) / hop AS term
+         |       FROM es),
+         |hc AS (SELECT root, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |         list(term ORDER BY hop)), (a, x) -> a + x) AS c
+         |       FROM tm WHERE hop >= 1 GROUP BY root)
+         |SELECT root AS node, round(c, 6) + 0.0 AS harmonic_c
+         |FROM hc ORDER BY c DESC, root LIMIT 10""".stripMargin,
 
     "reach_converged_census" -> reachConvergedSql,
 

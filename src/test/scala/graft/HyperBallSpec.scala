@@ -139,6 +139,17 @@ class HyperBallSpec extends SparkSpec {
     }
   }
 
+  test("declared harmonic top-10: positive, descending, within the node set") {
+    val rows = GraphQueries.queries("hyperball_harmonic_top10")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val cs = rows.map(_.getDouble(1))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "ordered by centrality desc")
+    assert(cs.forall(_ > 0.0), "within-horizon harmonic centrality is positive")
+    val nodes = GraphQueries.queries("hyperball_nf_census")(spark, sfDir)
+      .collect().map(_.getLong(1)).head // n_roots > 0 sanity via census
+    assert(nodes > 0)
+  }
+
   test("declared census: shape laws at sf0.001") {
     val rows = GraphQueries.queries("hyperball_nf_census")(spark, sfDir)
       .collect().sortBy(_.getLong(0))
