@@ -27,10 +27,12 @@ object GraphQueries extends QueryRegistry {
     * depth/unnest range. */
   private val HbHops = 4
 
-  /** Walk length / skip-gram window for randwalk_skipgram_pairs —
-    * shared by the Spark loop and the oracle's step-CTE unroll. */
+  /** Walk length / skip-gram window / negatives-per-position for the
+    * randwalk queries — shared by the Spark loops and the oracles'
+    * step-CTE unrolls. */
   private val RwSteps = 4
   private val RwWindow = 2
+  private val NegK = 3
 
   /** Co-purchase edge list (src, dst, w), both directions; w = the
     * number of ORDERS where the two parts appear together (per-order
@@ -123,6 +125,33 @@ object GraphQueries extends QueryRegistry {
           col("sumr"), HyperBall.estimate(col("nregs"), col("hnum")).as("est"))
     }.reduce(_ unionByName _)
   }
+
+  /** Walk positions memoized per (session, dir) — the walk corpus is
+    * a build-once artifact like the index stores; the pair census and
+    * the negatives audit probe the same materialized frames. */
+  private def walkPositionsShared(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "randwalk-positions") {
+      val bb = sharedBackbone(s, dir)
+      val nodes = bb.select(col("src").as("node")).distinct()
+      graft.operators.Walks.walkPositions(bb, nodes, RwSteps)
+    }
+
+  /** Hash-ranked node table (rk = 1..n, node) — the negative-sampling
+    * index: one draw = one lookup at rank (hash mod n) + 1, never an
+    * argmin over the node set per sample. Rank order = md5 of
+    * "nrk:"+node with id tiebreak (total, cross-engine). The build is
+    * ONE global row_number over the node set — a once-per-corpus sort
+    * in the same cost class as the index builds it sits beside. */
+  private def rankedNodes(s: SparkSession, dir: String): DataFrame =
+    SharedBuilds.of(s, dir, "randwalk-ranked-nodes") {
+      val bb = sharedBackbone(s, dir)
+      val nodes = bb.select(col("src").as("node")).distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy(
+        graft.functions.TextOps.md5Long(
+          concat(lit("nrk:"), col("node").cast("string"))), col("node"))
+      graft.operators.Cuts.cut(
+        nodes.select(col("node"), row_number().over(w).cast("long").as("rk")))
+    }
 
   /** Converged reach registers over the backbone, memoized per
     * (session, dir) — the fixed point is a build-once artifact like
@@ -490,15 +519,43 @@ object GraphQueries extends QueryRegistry {
     // edge list + one src-keyed join; walk state is one row per root.
     // The oracle unrolls the 4 steps as QUALIFY-argmin CTEs and
     // replays the pair census bit for bit.
-    "randwalk_skipgram_pairs" -> ((s, dir) => {
-      import graft.operators.Walks
-      val bb = sharedBackbone(s, dir)
-      val nodes = bb.select(col("src").as("node")).distinct()
-      val pos = Walks.walkPositions(bb, nodes, RwSteps)
-      Walks.skipGramPairs(pos, RwWindow)
+    "randwalk_skipgram_pairs" -> ((s, dir) =>
+      graft.operators.Walks.skipGramPairs(walkPositionsShared(s, dir), RwWindow)
         .orderBy(col("cnt").desc, col("ctr"), col("ctx"))
         .limit(20)
-        .select(col("ctr"), col("ctx"), col("cnt").cast("long"))
+        .select(col("ctr"), col("ctx"), col("cnt").cast("long"))),
+
+    // negative-sampling audit over the walk corpus — the other half of
+    // the skip-gram training artifact: for every (center, step)
+    // position, NegK deterministic negatives drawn by indexing a
+    // hash-RANKED node table at rank md5("neg:i:ctr:step") mod n (the
+    // walk discipline: hash-random, reproducible anywhere, and an
+    // O(1)-per-sample table lookup — never an argmin over all nodes
+    // per sample). The audit: how many negatives collide with a TRUE
+    // ±2-window context of the same center (false negatives — the
+    // quantity that corrupts a contrastive objective), total/distinct
+    // draw counts. One row, all integers; the oracle replays the rank
+    // table, the draws, and the collision join exactly.
+    "randwalk_negatives_audit" -> ((s, dir) => {
+      val pos = walkPositionsShared(s, dir)
+      val ranked = rankedNodes(s, dir)
+      val n = ranked.count() // memoized frame; one bounded count
+      val negIdx = s.range(NegK).select(col("id").cast("string").as("i"))
+      val draws = pos.select(col("root"), col("step"), col("node").as("ctr"))
+        .crossJoin(negIdx) // NegK-row literal side → broadcast NLJ
+        .withColumn("rk", pmod(graft.functions.TextOps.md5Long(
+          concat(lit("neg:"), col("i"), lit(":"), col("ctr").cast("string"),
+            lit(":"), col("step").cast("string"))), lit(n)) + 1)
+        .join(ranked, "rk")
+        .select(col("root"), col("ctr"), col("node").as("neg"))
+      val ctx = graft.operators.Walks.skipGramPairs(pos, RwWindow)
+        .select(col("ctr").as("c2"), col("ctx"))
+      draws.join(ctx, draws("ctr") === col("c2") && draws("neg") === col("ctx"),
+          "left")
+        .agg(count(lit(1)).cast("long").as("n_draws"),
+          countDistinct(col("neg")).cast("long").as("n_distinct_negs"),
+          sum(when(col("ctx").isNotNull, 1L).otherwise(0L)).cast("long")
+            .as("n_false_negs"))
     }),
 
     // cheapest co-purchase path costs from Brand#13's parts: edge cost
@@ -729,6 +786,25 @@ object GraphQueries extends QueryRegistry {
        |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |         list(p ORDER BY bkt)), (a, x) -> a + x), 6) + 0.0 AS nf_est
        |FROM eb GROUP BY nregs ORDER BY n_regs""".stripMargin
+
+  /** The shared walk-corpus CTE chain ending in
+    * `p(root, step, cur)` — the unrolled deterministic walk both
+    * randwalk oracles read. */
+  private lazy val rwWalkSql: String = {
+    val stepCtes = (1 to RwSteps).map(rwStepSql).mkString(",\n")
+    val walkCtes = (1 to RwSteps).map { t =>
+      s"""w$t AS (SELECT w${t - 1}.root, CAST($t AS BIGINT) AS step, s$t.nxt AS cur
+         |        FROM w${t - 1} JOIN s$t ON s$t.src = w${t - 1}.cur)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (0 to RwSteps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
+    s"""$edgesSql,
+       |bb AS (SELECT src, dst FROM e WHERE w >= 2),
+       |nodes AS (SELECT DISTINCT src AS node FROM bb),
+       |$stepCtes,
+       |w0 AS (SELECT node AS root, CAST(0 AS BIGINT) AS step, node AS cur FROM nodes),
+       |$walkCtes,
+       |p AS ($unionAll)""".stripMargin
+  }
 
   /** One walk-successor CTE: step t's hash-minimal out-neighbor per
     * src (the QUALIFY mirror of Walks.successors' min_by). */
@@ -972,26 +1048,39 @@ object GraphQueries extends QueryRegistry {
     // the walk unrolled step by step: per-step QUALIFY argmin mirrors
     // Spark's min_by(dst, (h, dst)); the pair census is the same
     // root-keyed window self-join
-    "randwalk_skipgram_pairs" -> {
-      val stepCtes = (1 to RwSteps).map(rwStepSql).mkString(",\n")
-      val walkCtes = (1 to RwSteps).map { t =>
-        s"""w$t AS (SELECT w${t - 1}.root, CAST($t AS BIGINT) AS step, s$t.nxt AS cur
-           |        FROM w${t - 1} JOIN s$t ON s$t.src = w${t - 1}.cur)""".stripMargin
-      }.mkString(",\n")
-      val unionAll = (0 to RwSteps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
-      s"""WITH $edgesSql,
-         |bb AS (SELECT src, dst FROM e WHERE w >= 2),
-         |nodes AS (SELECT DISTINCT src AS node FROM bb),
-         |$stepCtes,
-         |w0 AS (SELECT node AS root, CAST(0 AS BIGINT) AS step, node AS cur FROM nodes),
-         |$walkCtes,
-         |p AS ($unionAll)
+    "randwalk_skipgram_pairs" ->
+      s"""WITH $rwWalkSql
          |SELECT a.cur AS ctr, b.cur AS ctx, CAST(count(*) AS BIGINT) AS cnt
          |FROM p a JOIN p b
          |  ON a.root = b.root AND a.step <> b.step
          |  AND abs(a.step - b.step) <= $RwWindow
-         |GROUP BY 1, 2 ORDER BY cnt DESC, ctr, ctx LIMIT 20""".stripMargin
-    },
+         |GROUP BY 1, 2 ORDER BY cnt DESC, ctr, ctx LIMIT 20""".stripMargin,
+
+    // the rank table, the hash draws, and the collision join replayed
+    // exactly — false negatives are draws that equal a true ±window
+    // context of the same center
+    "randwalk_negatives_audit" ->
+      s"""WITH $rwWalkSql,
+         |rkt AS (SELECT node, CAST(row_number() OVER (ORDER BY
+         |          CAST(('0x'||substr(md5('nrk:'||CAST(node AS VARCHAR)),1,15)) AS BIGINT),
+         |          node) AS BIGINT) AS rk
+         |        FROM nodes),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |negs AS (SELECT p.root, p.cur AS ctr,
+         |           (CAST(('0x'||substr(md5('neg:'||ii.i||':'||CAST(p.cur AS VARCHAR)||':'||CAST(p.step AS VARCHAR)),1,15)) AS BIGINT)
+         |             % (SELECT n FROM nn)) + 1 AS rk
+         |         FROM p, (SELECT CAST(unnest(range($NegK)) AS VARCHAR) AS i) ii),
+         |dr AS (SELECT negs.root, negs.ctr, rkt.node AS neg
+         |       FROM negs JOIN rkt USING (rk)),
+         |ctx AS (SELECT a.cur AS ctr, b.cur AS ctx
+         |        FROM p a JOIN p b
+         |          ON a.root = b.root AND a.step <> b.step
+         |          AND abs(a.step - b.step) <= $RwWindow
+         |        GROUP BY 1, 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_draws,
+         |       CAST(count(DISTINCT dr.neg) AS BIGINT) AS n_distinct_negs,
+         |       CAST(sum(CASE WHEN ctx.ctx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negs
+         |FROM dr LEFT JOIN ctx ON dr.ctr = ctx.ctr AND dr.neg = ctx.ctx""".stripMargin,
 
     "sssp_brand_cost" ->
       s"""WITH $edgesSql,

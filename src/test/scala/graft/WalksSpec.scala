@@ -72,6 +72,18 @@ class WalksSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("declared negatives audit: draw-count law at sf0.001") {
+    val row = GraphQueries.queries("randwalk_negatives_audit")(spark, sfDir)
+      .collect().head
+    val n = GraphQueries.copurchaseEdges(spark, sfDir)
+      .filter(col("w") >= 2).select(col("src")).distinct().count()
+    // one walk of 4 hops per node → 5 positions, 3 draws per position
+    assert(row.getLong(0) == n * 5 * 3, "n_draws = positions × NegK")
+    assert(row.getLong(1) <= n, "negatives come from the node set")
+    assert(row.getLong(2) <= row.getLong(0), "false negatives bounded by draws")
+    assert(row.getLong(1) >= 1)
+  }
+
   test("declared skip-gram query: shape laws at sf0.001") {
     val rows = GraphQueries.queries("randwalk_skipgram_pairs")(spark, sfDir).collect()
     assert(rows.length == 20)
