@@ -184,4 +184,79 @@ object Triangles {
     c1.crossJoin(c2).crossJoin(c3) // 1-row × 1-row × 1-row stapler
       .select((col("c1") - col("c2") + col("c3")).as("n_delta"))
   }
+
+  /** Per-edge triangle SUPPORT of the undirected graph `e`
+    * (both-direction distinct edge list): one row per undirected edge
+    * in u &lt; v form, (u, v, sup) with sup ≥ 1 — edges in no triangle
+    * get NO row. Triangles are enumerated once each at their
+    * lowest-rank vertex (the same degree-ordered machinery as
+    * [[count]], O(m^1.5) hub-proof) and exploded onto their three
+    * edges; support is a keyed count — never a per-edge
+    * common-neighbor intersection, which re-pays the Σ deg² wedge
+    * volume per EDGE-SIDE instead of once. */
+  def edgeSupport(e: DataFrame): DataFrame = {
+    val o = orient(e).cut()
+    val ab = o.select(col("a"), col("b"), col("rb").as("r1"))
+    val ac = o.select(col("a"), col("b").as("c"), col("rb").as("r2"))
+    val bc = o.select(col("a").as("b"), col("b").as("c"))
+    val tris = ab.join(ac, "a")
+      .filter(col("r1") < col("r2") ||
+        (col("r1") === col("r2") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+      .join(bc, Seq("b", "c"), "left_semi")
+    tris.select(explode(array(
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v"))))
+        .as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(F.count(lit(1)).as("sup"))
+  }
+
+  /** k-truss peeling run TO ITS FIXED POINT (capped at `maxRounds`),
+    * over a BOTH-DIRECTION DISTINCT edge list (the [[count]] input
+    * contract): each round keeps the undirected edges whose triangle
+    * support in the CURRENT subgraph is ≥ k−2 (Cohen 2008 — the
+    * edge-cohesion complement of k-core's vertex degree; a k-truss
+    * edge sits in ≥ k−2 triangles of the truss, so every community it
+    * witnesses is reinforced by k−2 independent wedges). Returns the
+    * census (round, n_edges, sum_support) — n_edges UNDIRECTED, round
+    * 0 the input graph — up to and INCLUDING the first stable round:
+    * peeling only removes edges, so an equal (edge count, support
+    * sum) pair means an equal edge SET and a true fixed point (the
+    * k-core convention, including the cap rule: if the cascade
+    * outlives `maxRounds`, all maxRounds+1 rows are emitted and the
+    * oracle applies the identical trim over the identical unroll).
+    * Per round: one degree-ordered support enumeration + one
+    * edge-keyed semi-join; every frame is [[Cuts]]-cut, so plan depth
+    * stays bounded and census actions read materialized partitions. */
+  def kTrussConvergedCensus(edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges0.sparkSession
+    def bothDir(u: DataFrame): DataFrame =
+      u.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(u.select(col("v").as("src"), col("u").as("dst")))
+    def supSum(s: DataFrame): Long =
+      s.agg(coalesce(F.sum(col("sup")), lit(0L))).head().getLong(0)
+    var und = edges0.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v")).cut()
+    var sup = edgeSupport(edges0).cut()
+    val census = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    census += ((0L, und.count(), supSum(sup)))
+    var r = 1
+    var done = false
+    while (!done && r <= maxRounds) {
+      und = und.join(sup.filter(col("sup") >= k - 2), Seq("u", "v"), "left_semi")
+        .cut()
+      sup = edgeSupport(bothDir(und)).cut()
+      census += ((r.toLong, und.count(), supSum(sup)))
+      val n = census.size
+      done = census(n - 1)._2 == census(n - 2)._2 &&
+        census(n - 1)._3 == census(n - 2)._3
+      r += 1
+    }
+    import spark.implicits._
+    census.toSeq.toDF("round", "n_edges", "sum_support")
+  }
 }

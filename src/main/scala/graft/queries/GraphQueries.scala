@@ -34,6 +34,11 @@ object GraphQueries extends QueryRegistry {
   private val RwWindow = 2
   private val NegK = 3
 
+  /** k-truss parameters for ktruss_converged_census — shared by the
+    * Spark peel and the oracle's round unroll. */
+  private val KTrussK = 12
+  private val KTrussMaxRounds = 10
+
   /** Co-purchase edge list (src, dst, w), both directions; w = the
     * number of ORDERS where the two parts appear together (per-order
     * (orderkey, partkey) pairs are distinct'd BEFORE the self-join, so
@@ -397,6 +402,31 @@ object GraphQueries extends QueryRegistry {
             round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6) + 0.0))
     }),
 
+    // 12-truss peel census over the FULL co-purchase graph (edge
+    // cohesion needs the triangle-rich graph; the w≥2 backbone is too
+    // sparse to carry 10 triangles per edge): each round keeps edges
+    // with ≥ k−2 = 10 triangles of support in the current subgraph —
+    // k-core's complement on EDGES (Cohen 2008), the
+    // community-skeleton extraction a recommender runs to separate
+    // reinforced co-purchase structure from one-off coincidences.
+    // Support comes from the degree-ordered triangle enumeration
+    // (each triangle counted once at its lowest-rank vertex, exploded
+    // onto its 3 edges — O(m^1.5) per round, hub-proof), never a
+    // per-edge common-neighbor intersection. Runs to the integer
+    // fixed point (equal (n_edges, sum_support) = equal edge set)
+    // capped at 10 rounds; the oracle unrolls the identical rounds
+    // with the INDEPENDENT naive wedge-support formulation and
+    // applies the identical trim (cross-algorithm agreement, the
+    // copurchase_triangles convention).
+    "ktruss_converged_census" -> ((s, dir) =>
+      SharedBuilds.of(s, dir, "ktruss-census") {
+        // the returned census is a bounded LocalRelation (≤ 11 rows),
+        // so the memo alone makes the peel a build-once artifact
+        graft.operators.Triangles.kTrussConvergedCensus(
+          sharedGraph(s, dir).ew.select(col("src"), col("dst")),
+          k = KTrussK, maxRounds = KTrussMaxRounds)
+      }.orderBy(col("round"))),
+
     // multi-source BFS hop census from Brand#7's parts over the w≥2
     // BACKBONE (the full graph is diameter-2 dense — every hop census
     // there is the degenerate {0,1,2}): per-hop node count + id
@@ -459,7 +489,11 @@ object GraphQueries extends QueryRegistry {
             .as("nf_est"))
       val plateau = census.filter(col("hop") === HbHops.toLong)
         .select(col("nf_est").as("nf_max"))
-      census.crossJoin(plateau) // 5-row × 1-row stapler
+      // explicit broadcast: the stapler side is 1 row by construction,
+      // but its size ESTIMATE flows through agg-of-agg stats Catalyst
+      // can't bound, so an unhinted crossJoin planned a
+      // CartesianProduct (PlanSpec's round-6 sweep caught it)
+      census.crossJoin(broadcast(plateau)) // 5-row × 1-row stapler
         .select(col("hop"), col("n_roots"), col("n_reg_rows"),
           col("sum_rank"), col("nf_est"),
           (col("nf_est") >= col("nf_max") * 0.9).as("reaches_p90"))
@@ -787,6 +821,56 @@ object GraphQueries extends QueryRegistry {
        |         list(p ORDER BY bkt)), (a, x) -> a + x), 6) + 0.0 AS nf_est
        |FROM eb GROUP BY nregs ORDER BY n_regs""".stripMargin
 
+  /** One unrolled k-truss round: peel on the previous round's support,
+    * re-derive both directions, then naive wedge support (the
+    * INDEPENDENT formulation — common-neighbor count per kept edge;
+    * the Spark side enumerates degree-ordered triangles instead, so
+    * green is cross-algorithm agreement). MATERIALIZED for the same
+    * reason as the k-core unroll: each round references its
+    * predecessor repeatedly and DuckDB inlines plain CTEs. */
+  private def trussRoundSql(i: Int): String =
+    s"""tu$i AS MATERIALIZED (SELECT s.u, s.v FROM ts${i - 1} s WHERE s.sup >= ${KTrussK - 2}),
+       |tb$i AS MATERIALIZED (SELECT u AS src, v AS dst FROM tu$i
+       |        UNION ALL SELECT v, u FROM tu$i),
+       |${trussSupSql(i)}""".stripMargin
+
+  /** Naive per-edge support of round i's frame (tu$i over tb$i). */
+  private def trussSupSql(i: Int): String =
+    s"""tw$i AS (SELECT x.src AS u, y.src AS v, count(*) AS sup
+       |        FROM tb$i x JOIN tb$i y ON x.dst = y.dst AND x.src < y.src
+       |        GROUP BY 1, 2),
+       |ts$i AS MATERIALIZED (SELECT t.u, t.v, coalesce(tw$i.sup, 0) AS sup
+       |        FROM tu$i t LEFT JOIN tw$i ON t.u = tw$i.u AND t.v = tw$i.v)""".stripMargin
+
+  /** The k-truss census replay: identical unroll, identical trim (the
+    * kcoreConvergedSql convention). */
+  private lazy val ktrussConvergedSql: String = {
+    val chain = (1 to KTrussMaxRounds).map(trussRoundSql).mkString(",\n")
+    val rows = (1 to KTrussMaxRounds)
+      .map(i => s"UNION ALL SELECT $i, (SELECT count(*) FROM tu$i), (SELECT coalesce(sum(sup), 0) FROM ts$i)")
+      .mkString("\n  ")
+    s"""WITH $edgesSql,
+       |tb0 AS MATERIALIZED (SELECT src, dst FROM e),
+       |tu0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM tb0 WHERE src < dst),
+       |${trussSupSql(0)},
+       |$chain,
+       |c AS (
+       |  SELECT CAST(0 AS BIGINT) AS round,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM tu0) AS n_edges,
+       |         (SELECT CAST(coalesce(sum(sup), 0) AS BIGINT) FROM ts0) AS sum_support
+       |  $rows),
+       |d AS (SELECT round, n_edges, sum_support,
+       |        lag(n_edges) OVER (ORDER BY round) AS pe,
+       |        lag(sum_support) OVER (ORDER BY round) AS ps
+       |      FROM c),
+       |stable AS (SELECT min(round) AS r FROM d
+       |           WHERE n_edges = pe AND sum_support = ps)
+       |SELECT round, CAST(n_edges AS BIGINT) AS n_edges,
+       |       CAST(sum_support AS BIGINT) AS sum_support
+       |FROM c WHERE round <= coalesce((SELECT r FROM stable), $KTrussMaxRounds)
+       |ORDER BY round""".stripMargin
+  }
+
   /** The shared walk-corpus CTE chain ending in
     * `p(root, step, cur)` — the unrolled deterministic walk both
     * randwalk oracles read. */
@@ -1044,6 +1128,8 @@ object GraphQueries extends QueryRegistry {
          |FROM hc ORDER BY c DESC, root LIMIT 10""".stripMargin,
 
     "reach_converged_census" -> reachConvergedSql,
+
+    "ktruss_converged_census" -> ktrussConvergedSql,
 
     // the walk unrolled step by step: per-step QUALIFY argmin mirrors
     // Spark's min_by(dst, (h, dst)); the pair census is the same

@@ -77,6 +77,68 @@ class GraphMiningSpec extends SparkSpec {
     }
   }
 
+  test("edge support equals brute-force per-edge triangle counts on seeded graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 4) {
+      val n = 6 + rnd.nextInt(8)
+      val und = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.45
+      } yield (a.toLong, b.toLong)).toVector
+      val undSet = und.toSet
+      def adj(x: Long, y: Long) =
+        undSet((math.min(x, y), math.max(x, y)))
+      val expect = und.flatMap { case (u, v) =>
+        val sup = (0 until n).map(_.toLong)
+          .count(w => w != u && w != v && adj(u, w) && adj(v, w)).toLong
+        if (sup > 0) Some((u, v, sup)) else None
+      }.toSet
+      val both = und.flatMap { case (a, b) => Vector((a, b), (b, a)) }
+      val got = graft.operators.Triangles.edgeSupport(both.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("k-truss converged census equals an in-memory peel replica") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val n = 9 + rnd.nextInt(6)
+      val orig = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.5
+      } yield (a.toLong, b.toLong)).toVector
+      val k = 4
+      def supOf(es: Vector[(Long, Long)]): Map[(Long, Long), Long] = {
+        val s = es.toSet
+        def adj(x: Long, y: Long) = s((math.min(x, y), math.max(x, y)))
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        es.map { case (u, v) =>
+          (u, v) -> nodes.count(w => w != u && w != v && adj(u, w) && adj(v, w)).toLong
+        }.toMap
+      }
+      val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var und = orig
+      var r = 0L
+      var done = false
+      while (!done && r <= 8) {
+        val sup = supOf(und)
+        expect += ((r, und.size.toLong, sup.values.sum))
+        if (expect.size > 1 &&
+          expect(expect.size - 1)._2 == expect(expect.size - 2)._2 &&
+          expect(expect.size - 1)._3 == expect(expect.size - 2)._3) done = true
+        else { und = und.filter(e => sup(e) >= k - 2); r += 1 }
+      }
+      val bothDir = orig.flatMap { case (a, b) => Vector((a, b), (b, a)) }
+      val got = graft.operators.Triangles.kTrussConvergedCensus(
+          bothDir.toDF("src", "dst"), k, maxRounds = 8)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == expect.toSet, s"trial $trial: $got vs $expect")
+    }
+  }
+
   test("LPA 20 deep iterations: lineage cuts bound the plan; stable-exit is result-identical") {
     import spark.implicits._
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 3L, 2L),
