@@ -350,7 +350,23 @@ object Bench {
         // is the recurring delta, whose ratio should track the batch
         // (~10×), never a stored-graph re-enumeration blow-up
         "sssp_brand_cost" -> SparkEntry.queries("sssp_brand_cost"),
-        "triangle_append_audit" -> SparkEntry.queries("triangle_append_audit"))
+        "triangle_append_audit" -> SparkEntry.queries("triangle_append_audit"),
+        // r14: the sketch-state superstep tier — UNMEMOIZED register
+        // build (the declared census memoizes it, so probing the
+        // declared query would time the serve read): 4 absorption
+        // supersteps over the memoized backbone (its build lands in
+        // the warm-up), each one src-keyed join + one keyed max. The
+        // salted ×10 corpus has 10 disjoint backbone copies, so
+        // register rows and the absorb shuffle both scale ~linearly —
+        // the ratio should track edges, the hard m-rows-per-node cap
+        // is what keeps it from ever tracking ball volume
+        "hyperball_registers" -> ((s, d) => {
+          val bb = graft.queries.GraphQueries.sharedBackbone(s, d)
+          val nodes = bb.select(col("src").as("node")).distinct()
+          graft.operators.HyperBall.registerHops(bb, nodes, 4).last
+            .groupBy().agg(count(lit(1)).as("n_regs"),
+              sum(col("r")).as("sum_r"))
+        }))
       val scaledDir = s"target/bench-scale10/$sfTag"
       val reps = 10
       val buildSec = buildScaled(spark, sfDir, scaledDir, reps)

@@ -99,7 +99,7 @@ object GraphQueries extends QueryRegistry {
     * non-degenerate. Persisted once per (session, dir) like the graph
     * itself; filtering the prepared frame keeps its src-hash
     * partitioning, so frontier joins stay co-partitioned. */
-  private def sharedBackbone(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedBackbone(s: SparkSession, dir: String): DataFrame =
     SharedBuilds.of(s, dir, "copurchase-backbone") {
       val bb = sharedGraph(s, dir).ew.filter(col("w") >= 2)
         .select(col("src"), col("dst")).persist()
