@@ -77,6 +77,17 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
     val dim = vectors.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
     vectors
       .select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
+      // cluster by bucket before the partitioned write: a 16-plane
+      // store has up to 2^16 bucket directories, and an unclustered
+      // write makes EACH input task open a parquet writer per bucket it
+      // sees — a single-task source serially opens/commits thousands of
+      // tiny files (measured r14: 2000 buckets ≈ 30-60 s of pure file
+      // churn at sf0.1). Hash-clustering routes every bucket wholly to
+      // one task: file creation parallelizes across the cluster and the
+      // store gets exactly ONE file per bucket instead of one per
+      // (task × bucket) — the compact() layout, written right the first
+      // time (guide §6: file sizing/count is set at write time)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     Lsh.writeDim(vectors.sparkSession.sparkContext.hadoopConfiguration, path, dim)
   }
@@ -134,6 +145,11 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
       s"Lsh.append: batch dimension $dim != index dimension $sd at $path"))
     batch
       .select(col(idCol), col(vecCol), bucketCol(col(vecCol), dim).as("bucket"))
+      // same bucket-clustering as build(): one file per bucket per
+      // append instead of one per (task × bucket) — appends stay
+      // O(batch) and the store accumulates far fewer small files
+      // between compactions
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
     // bootstrap AND backfill: whenever the sidecar was missing, record
     // the (verified or bootstrapped) dimension so future appends take

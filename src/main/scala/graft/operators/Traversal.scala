@@ -87,7 +87,16 @@ object Traversal {
     * src-keyed join + one node-keyed min. */
   def bellmanFord(edgesWithCost: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     val d0 = seeds.select(col("node"), lit(0L).as("cost"))
-    Supersteps.loop(d0, rounds, checkpointEvery = 5, None) { dist =>
+    // checkpointEvery = 1: the relaxation references `dist` TWICE (once
+    // in the edge join, once in the min-union), so an uncut loop
+    // re-executes each earlier round's subtree 2× per later round —
+    // work doubles per round (measured r14: the declared 3-round sssp
+    // ran 4.2 s isolated against PageRank's 1.2 s for the same
+    // two-shuffle superstep; per-round cuts collapse the doubling and
+    // the cut frame is node-sized). PageRank references its rank state
+    // once per step, so it keeps the sparser default; LPA shares this
+    // double-reference shape and cuts per round too.
+    Supersteps.loop(d0, rounds, checkpointEvery = 1, None) { dist =>
       val relax = edgesWithCost
         .join(dist, edgesWithCost("src") === dist("node"))
         .select(edgesWithCost("dst").as("node"),

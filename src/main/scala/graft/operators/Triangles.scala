@@ -82,6 +82,16 @@ object Triangles {
     // un-materialized lineage re-derived the edge build three times:
     // 8.7 s vs 5.0 s isolated, measured r12)
     val o = orient(e).cut()
+    countFromOriented(o, edgeRowBound.map(_ / 2).getOrElse(o.count()))
+  }
+
+  /** Exact triangle count from a pre-materialized oriented frame
+    * ([[orient]] output, already lineage-cut) with a KNOWN oriented-edge
+    * row bound — the build/probe split for callers that orient once and
+    * count repeatedly (the shared co-purchase oriented frame is a
+    * session memo; re-running the orient joins + the sizing count per
+    * probe paid two full edge aggregations per invocation). */
+  def countFromOriented(o: DataFrame, orientedBound: Long): DataFrame = {
     val ab = o.select(col("a"), col("b"), col("rb").as("r1"))
     val ac = o.select(col("a"), col("b").as("c"), col("rb").as("r2"))
     val bc = o.select(col("a").as("b"), col("b").as("c"))
@@ -104,7 +114,6 @@ object Triangles {
     // beat shuffle_hash was measured in the broadcast regime at sf0.1,
     // where the closure never dominates; at scale the sort is the
     // whole cost.
-    val orientedBound = edgeRowBound.map(_ / 2).getOrElse(o.count())
     val closure =
       if (orientedBound <= BroadcastMaxOrientedEdges) broadcast(bc)
       else bc.hint("shuffle_hash")
@@ -172,11 +181,17 @@ object Triangles {
       .join(adjM.select(col("src").as("v"), col("dst").as("wn")),
         Seq("v", "wn"), "left_semi")
       .agg(F.count(lit(1)).cast("long").as("c1"))
+    // the c2 closure semi probes with x < y pairs, and adjM carries both
+    // directions, so the build side needs NO src < dst pre-filter — and
+    // dropping it makes this build side canonically IDENTICAL to c1's
+    // (v, wn) build, so the planner reuses ONE broadcast/exchange of the
+    // merged edge set for both closure semis instead of building the
+    // ~|old|+|batch| hash relation twice per tick (ReusedExchange,
+    // verified in the r14 plan diff)
     val c2 = newBoth.select(col("src").as("ctr"), col("dst").as("x"))
       .join(newBoth.select(col("src").as("ctr"), col("dst").as("y")), "ctr")
       .filter(col("x") < col("y"))
-      .join(adjM.filter(col("src") < col("dst"))
-        .select(col("src").as("x"), col("dst").as("y")),
+      .join(adjM.select(col("src").as("x"), col("dst").as("y")),
         Seq("x", "y"), "left_semi")
       .agg(F.count(lit(1)).cast("long").as("c2"))
     val c3 = count(newBoth, newEdgeRowBound)
@@ -194,8 +209,14 @@ object Triangles {
     * edges; support is a keyed count — never a per-edge
     * common-neighbor intersection, which re-pays the Σ deg² wedge
     * volume per EDGE-SIDE instead of once. */
-  def edgeSupport(e: DataFrame): DataFrame = {
-    val o = orient(e).cut()
+  def edgeSupport(e: DataFrame): DataFrame =
+    edgeSupportFromOriented(orient(e).cut())
+
+  /** [[edgeSupport]] from a pre-materialized oriented frame — the same
+    * build/probe split as [[countFromOriented]], so the k-truss peel's
+    * round 0 (the only round over the FULL graph) can ride the shared
+    * session-memoized orientation instead of re-deriving it. */
+  def edgeSupportFromOriented(o: DataFrame): DataFrame = {
     val ab = o.select(col("a"), col("b"), col("rb").as("r1"))
     val ac = o.select(col("a"), col("b").as("c"), col("rb").as("r2"))
     val bc = o.select(col("a").as("b"), col("b").as("c"))
@@ -230,7 +251,8 @@ object Triangles {
     * Per round: one degree-ordered support enumeration + one
     * edge-keyed semi-join; every frame is [[Cuts]]-cut, so plan depth
     * stays bounded and census actions read materialized partitions. */
-  def kTrussConvergedCensus(edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+  def kTrussConvergedCensus(edges0: DataFrame, k: Int, maxRounds: Int,
+      oriented0: Option[DataFrame] = None): DataFrame = {
     require(k >= 3, s"k must be >= 3, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = edges0.sparkSession
@@ -241,7 +263,12 @@ object Triangles {
       s.agg(coalesce(F.sum(col("sup")), lit(0L))).head().getLong(0)
     var und = edges0.filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v")).cut()
-    var sup = edgeSupport(edges0).cut()
+    // round 0 — the only round over the FULL graph — takes the caller's
+    // pre-materialized orientation when one exists (the shared
+    // co-purchase oriented memo); later rounds orient their own shrunken
+    // subgraphs, where the orient joins are peel-sized
+    var sup = oriented0.map(o => edgeSupportFromOriented(o))
+      .getOrElse(edgeSupport(edges0)).cut()
     val census = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     census += ((0L, und.count(), supSum(sup)))
     var r = 1

@@ -27,7 +27,19 @@ object Tables {
     // idempotent: every declared query loads at least one table, which
     // guarantees the native expressions are available in its session
     graft.expressions.GraftFunctions.register(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    // The analyzed relation is memoized per (session, dir, table): a
+    // fresh `spark.read.parquet` per invocation re-lists the directory
+    // and re-reads parquet footers for schema on the DRIVER — pure
+    // per-query latency that a 221-query suite pays ~500× per pass
+    // (guide §6: file listing is driver-side, single-process work).
+    // The DataFrame is an immutable plan over immutable driver
+    // testdata, so sharing it never changes results; execution still
+    // scans the parquet files on every action (this memoizes the
+    // RELATION, never data). Dynamic stores (index builds, stream
+    // sinks) do NOT come through here — they re-read their paths
+    // directly, so overwrite-then-reread stays correct.
+    SharedBuilds.of(spark, dir, s"table-$name")(
+      spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** documents feeds per-row-HEAVY pipelines (tokenize + md5-shingle)
