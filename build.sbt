@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // periodic ContextCleaner GCs (Bench sets
+  // spark.cleaner.periodicGC.interval) must run as CONCURRENT cycles,
+  // not stop-the-world full GCs inside a timed query
+  "-XX:+ExplicitGCInvokesConcurrent",
   // 48g default (was 8g through r12): the bench host has 128 GiB and a
   // local[32] session IS the whole cluster — at 8g the suite logged
   // GCLocker allocation retries during the 10× probe's 512 MB array

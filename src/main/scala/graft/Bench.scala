@@ -186,6 +186,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Long-lived-driver block hygiene (guide §5 "unpersist when
+      // done", automated): every lineage cut leaves a localCheckpoint
+      // RDD whose blocks are only reclaimed after a JVM GC lets
+      // ContextCleaner see the dead reference — at 221 queries × 4
+      // passes the 48g heap can go 20+ minutes without one, so dead
+      // checkpoint blocks pile up in the block manager and late-suite
+      // queries run against a storage-pressured JVM (BASELINE.md's
+      // documented in-suite inflation). 3 min periodic GC bounds the
+      // pile; build.sbt pairs it with -XX:+ExplicitGCInvokesConcurrent
+      // so the triggered GC is a concurrent cycle, not a
+      // stop-the-world pause inside a timed query. The same setting is
+      // standard on any long-lived cluster driver.
+      .config("spark.cleaner.periodicGC.interval", "3min")
       .getOrCreate()
     // ERROR, not WARN: benign WARN chatter (function re-registration,
     // state-store maintenance) lands in the same tail window the
