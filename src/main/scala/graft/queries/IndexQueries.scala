@@ -52,7 +52,16 @@ object IndexQueries extends QueryRegistry {
       val path = buildPath(dir, "lsh16")
       lsh.build(embeddings(s, dir), path)
       val idx = s.read.parquet(path)
-      (idx, lsh.bucketHistogram(idx))
+      // the histogram comes from the in-memory assignment frame, not a
+      // read-back of the store: build() writes that exact frame
+      // losslessly, and at 16 planes the store is one tiny file per
+      // populated bucket — a full read-back scan pays per-file open
+      // cost ~|buckets| times for identical counts (r14 optimization
+      // round: the read-back histogram was ~1/3 of this store's 33 s
+      // first-touch cost). Probes still read the WRITTEN store
+      // (partition-pruned), and lsh_bucket_stats still audits the
+      // store read-back directly.
+      (idx, lsh.bucketHistogram(lsh.index(embeddings(s, dir))))
     }
   /** Plane count of the append-audit LSH store (2^4 = 16 buckets). */
   private[graft] val LshAppendPlanes = 4
