@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNMODIFIED instead of
+// re-logging each line with an "[info] " prefix (the sbt default,
+// LoggedOutput). The bench contract's final JSON metric line must be
+// machine-parseable from the build output tail; since r07 every
+// BENCH_r*.json carried `parsed: null` because the prefix (plus log
+// framing) defeated the driver's parser even though the line was
+// visibly present. sbt's own "[success] Total time" banner still
+// follows after the process exits — the JSON line itself is now a
+// bare line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -234,6 +234,77 @@ object Triangles {
       .groupBy(col("u"), col("v")).agg(F.count(lit(1)).as("sup"))
   }
 
+  private def bothDirUv(u: DataFrame): DataFrame =
+    u.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(u.select(col("v").as("src"), col("u").as("dst")))
+
+  /** One peel round: from the current undirected edge set `und` (u<v)
+    * and its support frame `sup` ((u, v, sup ≥ 1) — edges in no
+    * triangle carry no row), produce the next round's support frame,
+    * keeping edges with sup ≥ k−2 (callers derive the next edge set as
+    * `keep`'s (u, v) projection). Two provably-equivalent backends:
+    *
+    *  - `decrement = false` (the r14 shape): re-enumerate full support
+    *    over the SHRUNKEN subgraph — one degree-ordered wedge pass per
+    *    round, O(m'^1.5) in the kept subgraph. Right when a round
+    *    removes most of the graph (the kept core is small).
+    *  - `decrement = true` (r15, guide §2 "stop recomputing the
+    *    world"): support only changes where a triangle DIED, and a
+    *    triangle dies iff it contains a removed edge — enumerate the
+    *    triangles of the CURRENT graph that contain ≥ 1 removed edge
+    *    (removed-edge-anchored common-neighbor join: |removed| × deg
+    *    fan-out, never a full wedge pass), dedupe them (a triangle
+    *    with 2–3 removed edges is generated once per removed edge it
+    *    contains, but dies exactly once), and decrement each hit
+    *    triangle's SURVIVING edges by 1:
+    *      sup_{r+1}(e) = sup_r(e) − |{T ∋ e in G_r : T hit}|
+    *    because a triangle of G_{r+1} containing e is exactly a
+    *    triangle of G_r containing e, none of whose edges was removed.
+    *    Rows that hit 0 are dropped (the "no row for no-triangle
+    *    edges" invariant). Right when removals are the minority —
+    *    late cascade rounds, where re-enumerating the near-unchanged
+    *    core repaid the whole wedge volume per round.
+    *
+    * TrussPeelSpec pins the two backends to identical census rows on
+    * randomized graphs; the driver's DuckDB oracle replays the unroll
+    * with the independent naive wedge-support formulation. */
+  private[graft] def peelRoundSupport(und: DataFrame, keep: DataFrame,
+      decrement: Boolean): DataFrame = {
+    if (!decrement)
+      edgeSupport(bothDirUv(keep.select(col("u"), col("v")))).cut()
+    else {
+      val removed = und.join(keep.select(col("u"), col("v")),
+        Seq("u", "v"), "left_anti")
+      val adj = bothDirUv(und) // triangles die in the CURRENT graph
+      val hitTris = removed
+        .join(adj.select(col("src").as("u"), col("dst").as("w")), "u")
+        .filter(col("w") =!= col("v"))
+        .join(adj.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"), "left_semi")
+        // canonical triangle id (x1 < x2 < x3): dedupe multi-removed-
+        // edge triangles; x2 via the exact long identity u+v+w−min−max
+        .select(least(col("u"), col("v"), col("w")).as("x1"),
+          (col("u") + col("v") + col("w")
+            - least(col("u"), col("v"), col("w"))
+            - greatest(col("u"), col("v"), col("w"))).as("x2"),
+          greatest(col("u"), col("v"), col("w")).as("x3"))
+        .distinct()
+      val dec = hitTris.select(explode(array(
+          struct(col("x1").as("u"), col("x2").as("v")),
+          struct(col("x1").as("u"), col("x3").as("v")),
+          struct(col("x2").as("u"), col("x3").as("v")))).as("ed"))
+        .select(col("ed.u").as("u"), col("ed.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(F.count(lit(1)).as("d"))
+      // removed edges' dec rows fall out here: the left join starts
+      // from `keep`, which holds surviving edges only
+      keep.join(dec, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          (col("sup") - coalesce(col("d"), lit(0L))).as("sup"))
+        .filter(col("sup") >= 1)
+        .cut()
+    }
+  }
+
   /** k-truss peeling run TO ITS FIXED POINT (capped at `maxRounds`),
     * over a BOTH-DIRECTION DISTINCT edge list (the [[count]] input
     * contract): each round keeps the undirected edges whose triangle
@@ -248,36 +319,69 @@ object Triangles {
     * k-core convention, including the cap rule: if the cascade
     * outlives `maxRounds`, all maxRounds+1 rows are emitted and the
     * oracle applies the identical trim over the identical unroll).
-    * Per round: one degree-ordered support enumeration + one
-    * edge-keyed semi-join; every frame is [[Cuts]]-cut, so plan depth
-    * stays bounded and census actions read materialized partitions. */
+    *
+    * Per round the support backend is chosen by measured shape (see
+    * [[peelRoundSupport]]): full re-enumeration while removals
+    * dominate (the first cut of a k-12 peel drops most of the graph),
+    * support DECREMENT once the surviving core is the majority — the
+    * r14-verdict scale-killer fix: the cascade's long tail no longer
+    * re-pays the core's full wedge volume per round. The census
+    * actions (count + sum) read materialized cut partitions either
+    * way, and both backends are census-identical by construction
+    * (TrussPeelSpec) and vs the driver's independent oracle. */
   def kTrussConvergedCensus(edges0: DataFrame, k: Int, maxRounds: Int,
       oriented0: Option[DataFrame] = None): DataFrame = {
     require(k >= 3, s"k must be >= 3, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = edges0.sparkSession
-    def bothDir(u: DataFrame): DataFrame =
-      u.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(u.select(col("v").as("src"), col("u").as("dst")))
+    val trace = sys.env.contains("GRAFT_TRACE")
     def supSum(s: DataFrame): Long =
       s.agg(coalesce(F.sum(col("sup")), lit(0L))).head().getLong(0)
     var und = edges0.filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v")).cut()
+    var undN = und.count()
     // round 0 — the only round over the FULL graph — takes the caller's
     // pre-materialized orientation when one exists (the shared
-    // co-purchase oriented memo); later rounds orient their own shrunken
-    // subgraphs, where the orient joins are peel-sized
+    // co-purchase oriented memo); later rounds work on their own
+    // shrunken subgraphs
+    var t0 = System.nanoTime()
     var sup = oriented0.map(o => edgeSupportFromOriented(o))
       .getOrElse(edgeSupport(edges0)).cut()
     val census = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-    census += ((0L, und.count(), supSum(sup)))
+    census += ((0L, undN, supSum(sup)))
+    if (trace) System.err.println(
+      f"[ktruss] round 0: n_edges=$undN sup_sum=${census.last._3} ${(System.nanoTime() - t0) / 1e9}%.2f s")
     var r = 1
     var done = false
     while (!done && r <= maxRounds) {
-      und = und.join(sup.filter(col("sup") >= k - 2), Seq("u", "v"), "left_semi")
-        .cut()
-      sup = edgeSupport(bothDir(und)).cut()
-      census += ((r.toLong, und.count(), supSum(sup)))
+      t0 = System.nanoTime()
+      val keep = sup.filter(col("sup") >= k - 2).cut()
+      val keptN = keep.count()
+      val removedN = undN - keptN
+      if (removedN == 0) {
+        // zero removals → the edge set, hence every edge's support, is
+        // UNCHANGED: the stable row is an algebraic identity, so emit
+        // it from the previous round's numbers instead of re-paying a
+        // full support enumeration of the converged core to discover
+        // "nothing changed" (every converged cascade's last round is
+        // exactly this round — measured 0.8–1.1 s at sf0.1, a whole
+        // core wedge pass at scale)
+        census += ((r.toLong, undN, census.last._3))
+        if (trace) System.err.println(
+          f"[ktruss] round $r: n_edges=$undN removed=0 (stable — identity row) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } else {
+        // decrement only when removals are well under the surviving
+        // core (measured sf0.1 bracket: at removed:kept = 2:1 the full
+        // re-enumeration won 1.0 s vs 2.6 s; at 0:1 decrement won
+        // 0.75 s vs 1.05 s — the crossover sits below 1:1)
+        val useDecrement = removedN * 2 <= keptN
+        sup = peelRoundSupport(und, keep, useDecrement)
+        und = keep.select(col("u"), col("v"))
+        undN = keptN
+        census += ((r.toLong, undN, supSum(sup)))
+        if (trace) System.err.println(
+          f"[ktruss] round $r: n_edges=$undN removed=$removedN dec=$useDecrement sup_sum=${census.last._3} ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
       val n = census.size
       done = census(n - 1)._2 == census(n - 2)._2 &&
         census(n - 1)._3 == census(n - 2)._3
