@@ -26,6 +26,12 @@ object LshProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B knob: GRAFT_LSH_COMMITTER=2 routes the store writes through
+    // FileOutputCommitter v2 (task-side merge — no driver-sequential
+    // job-commit rename pass), to split "driver job commit" out of the
+    // build phase
+    sys.env.get("GRAFT_LSH_COMMITTER").foreach(v => spark.conf.set(
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", v))
     val emb = graft.queries.Tables.embeddings(spark, sfDir)
     emb.write.format("noop").mode("overwrite").save() // warm scan + JIT
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
@@ -38,6 +44,11 @@ object LshProbe {
       graft.sources.CollectionManager.deleteRecursively(
         java.nio.file.Paths.get(path))
       val lsh = new graft.operators.Lsh(numPlanes = 16, seed = 42L)
+      // phase split inside build: signature compute + bucket shuffle
+      // WITHOUT any file I/O (noop sink) — the remainder of the build
+      // phase is parquet-writer/file churn
+      val (_, tAssign) = t(lsh.index(emb).repartition(col("bucket"))
+        .write.format("noop").mode("overwrite").save())
       val (_, tBuild) = t(lsh.build(emb, path))
       val ((idx, n), tRead) = t {
         val f = spark.read.parquet(path); (f, f.count())
@@ -45,8 +56,8 @@ object LshProbe {
       val (hist, tHist) = t(lsh.bucketHistogram(lsh.index(emb)))
       val (_, tQuery) = t(
         lsh.queryMultiProbe(spark, idx, qv, 10, bucketSizes = Some(hist)).collect())
-      println(f"rep $i: build=$tBuild%.2f readback=$tRead%.2f (rows=$n) " +
-        f"hist=$tHist%.2f multiprobe=$tQuery%.2f")
+      println(f"rep $i: assign+shuffle=$tAssign%.2f build=$tBuild%.2f " +
+        f"readback=$tRead%.2f (rows=$n) hist=$tHist%.2f multiprobe=$tQuery%.2f")
     }
     spark.stop()
   }

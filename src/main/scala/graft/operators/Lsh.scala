@@ -86,8 +86,21 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
       // one task: file creation parallelizes across the cluster and the
       // store gets exactly ONE file per bucket instead of one per
       // (task × bucket) — the compact() layout, written right the first
-      // time (guide §6: file sizing/count is set at write time)
-      .repartition(col("bucket"))
+      // time (guide §6: file sizing/count is set at write time).
+      // The partition COUNT must be pinned (r15): a bare
+      // repartition(col) is an AQE-coalescible shuffle, and at
+      // byte-tiny row volume AQE folds it back to ONE post-shuffle
+      // partition — one task again serially opening every bucket's
+      // writer, which is exactly the churn this clustering removes
+      // (measured: 2000 bucket dirs = 0.3 s shuffle + ~25 s
+      // single-task file churn; pinned at the session's shuffle
+      // parallelism the churn spreads across the cluster). Writer
+      // parallelism is FILE-metadata-bound here, not byte-bound, so
+      // the session's shuffle-partition setting — not AQE's
+      // byte-advisory target — is the right width at any scale.
+      .repartition(
+        vectors.sparkSession.sessionState.conf.numShufflePartitions,
+        col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     Lsh.writeDim(vectors.sparkSession.sparkContext.hadoopConfiguration, path, dim)
   }
@@ -148,8 +161,11 @@ class Lsh(val numPlanes: Int = 16, val seed: Long = 42L,
       // same bucket-clustering as build(): one file per bucket per
       // append instead of one per (task × bucket) — appends stay
       // O(batch) and the store accumulates far fewer small files
-      // between compactions
-      .repartition(col("bucket"))
+      // between compactions; count pinned for the same AQE-coalescing
+      // reason as build()
+      .repartition(
+        batch.sparkSession.sessionState.conf.numShufflePartitions,
+        col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
     // bootstrap AND backfill: whenever the sidecar was missing, record
     // the (verified or bootstrapped) dimension so future appends take
@@ -335,7 +351,9 @@ object Lsh {
     fs.delete(tmp, true)
     fs.delete(old, true)
     spark.read.parquet(path)
-      .repartition(col(partCol))
+      // pinned count: see build() — a bare repartition(col) AQE-folds
+      // a byte-tiny clustered rewrite back to one serial writer task
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(partCol))
       .write.partitionBy(partCol).parquet(tmp.toString)
     readDim(conf, path).foreach(d => writeDim(conf, tmp.toString, d)) // sidecar rides along
     require(fs.rename(store, old), s"compact: stage-out $store -> $old failed")
