@@ -82,6 +82,12 @@ object Bench {
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
         col("p_retailprice"))
       .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    // the scaled tables were just OVERWRITTEN under names Tables.t
+    // memoizes per (session, dir): evict any relation captured for
+    // this dir so every later probe read re-lists the fresh files
+    // (r14 advisory — makes the write-before-read ordering a
+    // structural guarantee instead of a call-order accident)
+    graft.queries.Tables.evictRelations(spark, outDir)
     (System.nanoTime() - t0) / 1e9
   }
 

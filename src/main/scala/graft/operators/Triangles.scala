@@ -329,6 +329,12 @@ object Triangles {
     * actions (count + sum) read materialized cut partitions either
     * way, and both backends are census-identical by construction
     * (TrussPeelSpec) and vs the driver's independent oracle. */
+  /* requires: `oriented0`, when supplied, must be [[orient]]'s output
+   * over THIS `edges0` (the shared co-purchase oriented memo and the
+   * shared graph satisfy this by construction — both derive from the
+   * same prepared edge frame). A mismatched pre-orientation silently
+   * computes wrong round-0 supports; callers wiring a new source must
+   * keep the two derivations coupled (r14 advisory). */
   def kTrussConvergedCensus(edges0: DataFrame, k: Int, maxRounds: Int,
       oriented0: Option[DataFrame] = None): DataFrame = {
     require(k >= 3, s"k must be >= 3, got $k")

@@ -61,6 +61,12 @@ object IndexQueries extends QueryRegistry {
       // first-touch cost). Probes still read the WRITTEN store
       // (partition-pruned), and lsh_bucket_stats still audits the
       // store read-back directly.
+      // SINGLE-WRITER assumption (r14 advisory): histogram ≡ store
+      // holds because this memo thunk is the lsh16 path's ONLY writer
+      // (build-once, mode overwrite). Any future append/compact path
+      // onto THIS store must recompute the histogram from the store —
+      // a drifted histogram silently desyncs the < k fallback
+      // decisions from store contents.
       (idx, lsh.bucketHistogram(lsh.index(embeddings(s, dir))))
     }
   /** Plane count of the append-audit LSH store (2^4 = 16 buckets). */

@@ -42,6 +42,16 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet"))
   }
 
+  /** Invalidate the memoized parquet RELATIONS for `dir` (r14
+    * advisory): the memo above captures the directory's file listing
+    * at first touch, so any writer that OVERWRITES `dir`'s table
+    * files mid-session must call this before the next read — without
+    * it the next query serves a stale or deleted file index.
+    * Bench.buildScaled (the one in-repo such writer) calls it after
+    * rewriting the scaled corpus. */
+  def evictRelations(s: SparkSession, dir: String): Unit =
+    SharedBuilds.evictMatching(s, dir, _.startsWith("table-"))
+
   /** documents feeds per-row-HEAVY pipelines (tokenize + md5-shingle)
     * that Spark evaluates in interpreted mode (HOFs have no codegen).
     * The testdata parquet is a single row group, so the scan yields ONE
@@ -219,6 +229,25 @@ object SharedBuilds {
     }
     h.asInstanceOf[Holder[T]].value
   }
+  /** Drop the artifacts for (`s`, `dir`) whose key name satisfies
+    * `pred` — the targeted invalidation hook for callers that
+    * OVERWRITE a dir's source files mid-session (Bench.buildScaled
+    * rewrites the scaled corpus's table parquets every run): a
+    * memoized relation captures the file listing at first touch, so
+    * without eviction a rebuild-then-requery of the same dir would
+    * serve a stale or deleted file index (r14 advisory). */
+  def evictMatching(s: SparkSession, dir: String,
+      pred: String => Boolean): Unit = m.synchronized {
+    val inner = m.get(s)
+    if (inner != null) {
+      val it = inner.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == dir && pred(k._2)) it.remove()
+      }
+    }
+  }
+
   /** Drop every artifact built for `s` (call when stopping a session in
     * a multi-session JVM; checkpointed blocks are then reclaimable).
     * Also detaches the close hook so a later register on the same
